@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.HtmlText
+
+class ExtractTextSpec extends AnyFunSuite {
+
+  private def x(html: String): String = HtmlText.extractString(html)
+
+  test("strips simple tags") {
+    assert(x("<p>hello <b>world</b></p>") == "hello world")
+  }
+  test("drops script/style/noscript content") {
+    assert(x("a<script>var x='<p>no</p>';</script>b") == "a b")
+    assert(x("a<style>p{}</style>b") == "a b")
+    assert(x("a<NOSCRIPT>no</noscript>b") == "a b")
+    assert(x("a<scriptx>keep</scriptx>b") == "a keep b")
+  }
+  test("drops comments and doctype") {
+    assert(x("<!DOCTYPE html>a<!-- zap -->b") == "a b")
+    assert(x("a<!-- unclosed") == "a")
+  }
+  test("entities decode; unknown kept literal") {
+    assert(x("a &amp; b &lt;c&gt; &quot;d&apos; &#65;&#x42;") == "a & b <c> \"d' AB")
+    assert(x("price &euro;5 & more") == "price &euro;5 & more")
+    assert(x("x&nbsp;y") == "x y")
+  }
+  test("whitespace collapses; trimmed") {
+    assert(x("  a \n\t b  ") == "a b")
+    assert(x("<div>\n  <p> a </p>\n</div>") == "a")
+  }
+  test("malformed: unclosed tag consumes rest; literal <") {
+    assert(x("a <div class=unterminated") == "a")
+    assert(x("1 < 2") == "1 < 2")
+  }
+  test("utf8 binary round trip") {
+    assert(HtmlText.extract("<p>héllo wörld — ✓</p>".getBytes(UTF_8)) == "héllo wörld — ✓")
+  }
+  test("byte stability: same bytes => same string over random fragment soup") {
+    val frags = Array("<p>", "</p>", "word", "&amp;", " ", "&#65;", "x",
+      "<b>x</b>", "<!--c-->", "<script>s</script>", "é", "<", ">", "&", "\n")
+    var caseI = 0
+    while (caseI < 2000) {
+      val len = (graft.sources.PageGen.rnd(7L, 0, caseI) >>> 1).toInt % 30
+      val s = (0 until len).map { i =>
+        frags(((graft.sources.PageGen.rnd(7L, 1, caseI, i) >>> 1) % frags.length).toInt)
+      }.mkString
+      val b = s.getBytes(UTF_8)
+      val t1 = HtmlText.extract(b)
+      val t2 = HtmlText.extract(b.clone())
+      assert(t1 == t2, s"instability on: $s")
+      assert(!t1.exists(c => c == '\n' || c == '\t'), s"raw whitespace in: $s -> $t1")
+      caseI += 1
+    }
+  }
+}
