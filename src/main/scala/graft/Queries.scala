@@ -1,0 +1,544 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.ExtractHtmlText.extract_html_text
+import graft.operators._
+import graft.sources.{PageGen, PageGenConfig}
+
+/**
+ * Query registry: every operator of the engine exercised as a named query
+ * over the driver test tables, each with an equivalent DuckDB oracle SQL
+ * (or marked engine-native ⇒ rows-only check).
+ *
+ * Determinism rules shared by Spark impl and oracle (so value hashes
+ * match bit-for-bit):
+ *  - timestamps → epoch microseconds (bigint): Spark `unix_micros`,
+ *    DuckDB `epoch_us`;
+ *  - money/doubles → per-row `floor(x*scale)` to bigint BEFORE any
+ *    aggregation (integer sums are order-independent; double sums are
+ *    not);
+ *  - similarity scores → quantized integers (see [[operators.VectorOps]]);
+ *  - top-k → total order with explicit id tie-breaks.
+ */
+object Queries {
+
+  final case class QueryDef(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  private def rd(s: SparkSession, sfDir: String, name: String): DataFrame =
+    s.read.parquet(t(sfDir, name))
+
+  /** floor(x*100) cents as bigint — identical per-row in Spark & DuckDB. */
+  private def cents(c: Column): Column = floor(c * 100).cast(LongType)
+
+  /** epoch microseconds; casts TIMESTAMP_NTZ parquet columns first (UTC). */
+  private def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  // ==========================================================================
+  // Relational core (engine basics: scan, filter pushdown, joins, agg)
+  // ==========================================================================
+
+  private val q01 = QueryDef("q01_pricing_summary",
+    (s, d) => {
+      val li = rd(s, d, "lineitem")
+      li.where(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(floor(col("l_quantity")).cast(LongType)).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast(LongType)).as("sum_disc_cents"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      sum(cast(floor(l_quantity) as bigint)) AS sum_qty,
+      sum(cast(floor(l_extendedprice*100) as bigint)) AS sum_base_cents,
+      sum(cast(floor(l_extendedprice*(1-l_discount)*100) as bigint)) AS sum_disc_cents,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  private val q02 = QueryDef("q02_revenue_by_nation",
+    (s, d) => {
+      // dims are broadcast: customer/nation/region are tiny vs lineitem
+      val li = rd(s, d, "lineitem")
+      val o = rd(s, d, "orders")
+      val c = rd(s, d, "customer")
+      val n = rd(s, d, "nation")
+      val r = rd(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast(LongType)).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT n_name,
+      sum(cast(floor(l_extendedprice*(1-l_discount)*100) as bigint)) AS revenue_cents,
+      count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' GROUP BY n_name"""))
+
+  private val q03 = QueryDef("q03_shipping_priority",
+    (s, d) => {
+      val li = rd(s, d, "lineitem")
+      val o = rd(s, d, "orders")
+      val c = rd(s, d, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .where(col("c_mktsegment") === "BUILDING" &&
+          col("o_orderdate") < lit("1998-01-01").cast(TimestampType) &&
+          col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast(LongType)).as("revenue_cents"))
+        .select(col("l_orderkey"), epochUs(col("o_orderdate")).as("o_date_us"),
+          col("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, epoch_us(o_orderdate) AS o_date_us,
+      sum(cast(floor(l_extendedprice*(1-l_discount)*100) as bigint)) AS revenue_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10"""))
+
+  private val q04 = QueryDef("q04_priority_semi_join",
+    (s, d) => {
+      val o = rd(s, d, "orders")
+      val li = rd(s, d, "lineitem").where(col("l_quantity") >= 45)
+      o.join(li.select(col("l_orderkey")).distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      GROUP BY o_orderpriority"""))
+
+  private val q05 = QueryDef("q05_revenue_by_part_type",
+    (s, d) => {
+      val li = rd(s, d, "lineitem")
+      val p = rd(s, d, "part")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast(LongType)).as("revenue_cents"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+    },
+    Some("""SELECT p_type,
+      sum(cast(floor(l_extendedprice*(1-l_discount)*100) as bigint)) AS revenue_cents,
+      count(DISTINCT l_partkey) AS n_parts
+      FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_type"""))
+
+  private val q06 = QueryDef("q06_selective_filter",
+    (s, d) =>
+      rd(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 100)
+          .cast(LongType)).as("revenue_cents"),
+          count(lit(1)).as("n_rows")),
+    Some("""SELECT
+      sum(cast(floor(l_extendedprice*l_discount*100) as bigint)) AS revenue_cents,
+      count(*) AS n_rows FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  private val q07 = QueryDef("q07_top_orders_per_customer",
+    (s, d) => {
+      val o = rd(s, d, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"),
+          cents(col("o_totalprice")).as("price_cents"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, rk,
+      cast(floor(o_totalprice*100) as bigint) AS price_cents
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER
+        (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        FROM orders) WHERE rk <= 3"""))
+
+  private val q08 = QueryDef("q08_running_total",
+    (s, d) => {
+      val e = rd(s, d, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.select(col("user_id"), col("event_id"),
+        sum(cents(col("value"))).over(w).as("run_cents"))
+    },
+    Some("""SELECT user_id, event_id,
+      sum(cast(floor(value*100) as bigint)) OVER
+        (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+      FROM events"""))
+
+  private val q09 = QueryDef("q09_event_gaps",
+    (s, d) => {
+      val e = rd(s, d, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      e.select(col("user_id"), epochUs(col("ts")).as("ts_us"),
+          lag(epochUs(col("ts")), 1).over(w).as("prev_us"))
+        .where(col("prev_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(col("ts_us") - col("prev_us")).as("sum_gap_us"),
+          max(col("ts_us") - col("prev_us")).as("max_gap_us"),
+          count(lit(1)).as("n_gaps"))
+    },
+    Some("""WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+      FROM events)
+      SELECT user_id, sum(ts_us - prev_us) AS sum_gap_us,
+        max(ts_us - prev_us) AS max_gap_us, count(*) AS n_gaps
+      FROM g WHERE prev_us IS NOT NULL GROUP BY user_id"""))
+
+  // ==========================================================================
+  // Streaming analogs over the events table (same window definitions the
+  // streaming pipelines use; DuckDB verifies the batch semantics)
+  // ==========================================================================
+
+  private val q10 = QueryDef("q10_tumbling_hourly",
+    (s, d) => Windows.tumbling(rd(s, d, "events"), "ts", "1 hour",
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents")))
+      .select(col("event_type"), col("w_start"), col("n"), col("sum_cents")),
+    Some("""SELECT event_type,
+      (epoch_us(ts) // 3600000000) * 3600000000 AS w_start,
+      count(*) AS n, sum(cast(floor(value*100) as bigint)) AS sum_cents
+      FROM events GROUP BY 1, 2"""))
+
+  private val q11 = QueryDef("q11_sliding_1h_30m",
+    (s, d) => Windows.sliding(rd(s, d, "events"), "ts", "1 hour", "30 minutes",
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents")))
+      .select(col("event_type"), col("w_start"), col("n"), col("sum_cents")),
+    Some("""SELECT event_type,
+      (epoch_us(ts) // 1800000000) * 1800000000 - k.k * 1800000000 AS w_start,
+      count(*) AS n, sum(cast(floor(value*100) as bigint)) AS sum_cents
+      FROM events CROSS JOIN (VALUES (0), (1)) AS k(k) GROUP BY 1, 2"""))
+
+  private val q12 = QueryDef("q12_session_windows",
+    (s, d) => Windows.session(rd(s, d, "events"), "ts", "30 minutes",
+      Seq(col("user_id")),
+      Seq(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents")))
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n"), col("sum_cents")),
+    Some("""WITH g AS (SELECT user_id, ts, value, CASE WHEN
+        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC) >= 1800000000
+        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events),
+      i AS (SELECT user_id, ts, value, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+      SELECT user_id, epoch_us(min(ts)) AS s_start,
+        epoch_us(max(ts)) + 1800000000 AS s_end,
+        count(*) AS n, sum(cast(floor(value*100) as bigint)) AS sum_cents
+      FROM i GROUP BY user_id, sid"""))
+
+  private val q13 = QueryDef("q13_interval_join",
+    (s, d) => {
+      val e = rd(s, d, "events")
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+      val buys = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      views.join(buys, Seq("user_id"))
+        .where(col("p_ts") > col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), sum(cents(col("value"))).as("attributed_cents"))
+    },
+    Some("""SELECT v.user_id AS user_id, count(*) AS n_pairs,
+      sum(cast(floor(p.value*100) as bigint)) AS attributed_cents
+      FROM (SELECT user_id, ts FROM events WHERE event_type='view') v
+      JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') p
+      ON v.user_id = p.user_id AND p.ts > v.ts
+        AND p.ts <= v.ts + INTERVAL 30 MINUTE
+      GROUP BY v.user_id"""))
+
+  private val q14 = QueryDef("q14_dedup_latest",
+    (s, d) => {
+      val e = rd(s, d, "events")
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("user_id"), col("event_type"), epochUs(col("ts")).as("ts_us"),
+          col("event_id"))
+    },
+    Some("""SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) AS rk FROM events) WHERE rk = 1"""))
+
+  // ==========================================================================
+  // Text / dedup over documents
+  // ==========================================================================
+
+  private val q15 = QueryDef("q15_exact_dup_groups",
+    (s, d) => Dedup.exactDups(rd(s, d, "documents"), "doc_id", "text"),
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
+      count(*) AS dup_cnt FROM documents GROUP BY 1"""))
+
+  private val q16 = QueryDef("q16_token_stats",
+    (s, d) => {
+      val doc = rd(s, d, "documents")
+      doc.select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("toks"),
+          TextAnalysis.charCount(col("text")).as("chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("toks")).as("sum_tokens"),
+          sum(col("chars")).as("sum_chars"), max(col("toks")).as("max_tokens"))
+    },
+    Some("""SELECT lang, count(*) AS docs,
+      sum(len(regexp_extract_all(text, '\S+'))) AS sum_tokens,
+      sum(length(regexp_replace(text, '\s', '', 'g'))) AS sum_chars,
+      max(len(regexp_extract_all(text, '\S+'))) AS max_tokens
+      FROM documents GROUP BY lang"""))
+
+  private val q17 = QueryDef("q17_quality_by_source",
+    (s, d) => rd(s, d, "documents")
+      .select(col("source"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("q")).as("sum_q"),
+        sum(when(col("q") >= 60, 1).otherwise(0)).as("n_good")),
+    Some("""WITH f AS (SELECT source,
+        len(regexp_extract_all(text, '\S+')) AS toks,
+        length(regexp_replace(text, '\s', '', 'g')) AS chars,
+        len(regexp_extract_all(text, '\b(the|a|and|of|is|to|in)\b')) AS stop
+      FROM documents),
+      q AS (SELECT source,
+        (CASE WHEN toks >= 32 THEN 40 ELSE 0 END) +
+        (CASE WHEN chars >= 200 THEN 20 ELSE 0 END) +
+        (CASE WHEN toks > 0 AND floor((chars*10)/toks) BETWEEN 30 AND 90 THEN 20 ELSE 0 END) +
+        (CASE WHEN stop >= 2 THEN 20 ELSE 0 END) AS q
+      FROM f)
+      SELECT source, count(*) AS docs, sum(q) AS sum_q,
+        sum(CASE WHEN q >= 60 THEN 1 ELSE 0 END) AS n_good
+      FROM q GROUP BY source"""))
+
+  private val q18 = QueryDef("q18_langid_distribution",
+    (s, d) => rd(s, d, "documents")
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n")),
+    Some(s"""WITH sc AS (SELECT lang,
+        len(regexp_extract_all(text, '${TextAnalysis.cjkPattern}')) AS cjk,
+        len(regexp_extract_all(text, '\\b(the|and|of|is|was|this|that|with)\\b')) AS s_en,
+        len(regexp_extract_all(text, '\\b(und|der|die|nicht|werden|eine?)\\b')) AS s_de,
+        len(regexp_extract_all(text, '\\b(vous|dans|pour|faire|avec|les?)\\b')) AS s_fr,
+        len(regexp_extract_all(text, '\\b(como|haber|tener|para|el|una?)\\b')) AS s_es
+      FROM documents),
+      p AS (SELECT lang, CASE WHEN cjk >= 3 THEN 'zh'
+        WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+        WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+        WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+        WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+        ELSE 'es' END AS pred FROM sc)
+      SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred"""))
+
+  private val q19 = QueryDef("q19_fingerprint_distinct",
+    (s, d) => rd(s, d, "documents")
+      .select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("fp")).as("n_fp"), count(lit(1)).as("docs")),
+    Some("""SELECT source,
+      count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS n_fp,
+      count(*) AS docs FROM documents GROUP BY source"""))
+
+  private val q20 = QueryDef("q20_ngram_jaccard_pairs",
+    (s, d) => Dedup.ngramJaccardPairs(rd(s, d, "documents"), "doc_id", "text",
+      n = 3, minJaccQ = 500)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jacc_q")),
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(ts)-2, 0)),
+        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT ia AS doc_a, ib AS doc_b,
+        cast(floor(1000 * i / (sa.sz + sb.sz - i)) as bigint) AS jacc_q
+      FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+      WHERE floor(1000 * i / (sa.sz + sb.sz - i)) >= 500"""))
+
+  private val q21 = QueryDef("q21_minhash_lsh_pairs",
+    (s, d) => Dedup.minhashLshPairs(rd(s, d, "documents"), "doc_id", "text",
+      n = 3, bands = 8, minJaccQ = 500)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jacc_q")),
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(ts)-2, 0)),
+        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle FROM toks),
+      mh AS (SELECT doc_id, b.band, min(md5(shingle || '|' || b.band)) AS sig
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b
+        GROUP BY doc_id, b.band),
+      cand AS (SELECT DISTINCT l.doc_id AS ia, r.doc_id AS ib
+        FROM mh l JOIN mh r ON l.band = r.band AND l.sig = r.sig
+          AND l.doc_id < r.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN cand ON cand.ia = a.doc_id AND cand.ib = b.doc_id
+        GROUP BY 1, 2)
+      SELECT inter.ia AS doc_a, inter.ib AS doc_b,
+        cast(floor(1000 * i / (sa.sz + sb.sz - i)) as bigint) AS jacc_q
+      FROM inter JOIN sizes sa ON inter.ia = sa.doc_id
+        JOIN sizes sb ON inter.ib = sb.doc_id
+      WHERE floor(1000 * i / (sa.sz + sb.sz - i)) >= 500"""))
+
+  // custom 64-bit hashing — engine-native, rows-only check
+  private val q22 = QueryDef("q22_simhash_pairs",
+    (s, d) => Dedup.simhashPairs(rd(s, d, "documents"), "doc_id", "text", maxDist = 16)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dist")),
+    None)
+
+  // ==========================================================================
+  // Embedding similarity
+  // ==========================================================================
+
+  private val q23 = QueryDef("q23_knn_bruteforce",
+    (s, d) => {
+      val emb = rd(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val corpus = emb.where(col("vec_id") >= 10)
+      Similarity.bruteForceTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"), col("cos_q"), col("rk"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+        cast(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1000000))) as bigint) AS qn
+        FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS corpus_id, embedding AS cv,
+        cast(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1000000))) as bigint) AS cn
+        FROM embeddings WHERE vec_id >= 10),
+      s AS (SELECT query_id, corpus_id,
+        cast(floor(cast(list_sum(list_transform(generate_series(1, len(qv)),
+          i -> floor(qv[i]::DOUBLE * cv[i]::DOUBLE * 1000000))) as bigint)
+          / sqrt(qn::DOUBLE * cn::DOUBLE) * 1000000) as bigint) AS cos_q
+        FROM q CROSS JOIN c),
+      r AS (SELECT query_id, corpus_id, cos_q, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos_q DESC, corpus_id ASC) AS rk FROM s)
+      SELECT query_id, corpus_id, cos_q, rk FROM r WHERE rk <= 5"""))
+
+  private val q24 = QueryDef("q24_label_centroids",
+    (s, d) => Similarity.centroidSums(rd(s, d, "embeddings"), "label", "embedding"),
+    Some("""SELECT label, u.i - 1 AS pos,
+      sum(cast(floor(embedding[u.i]::DOUBLE * 1000000) as bigint)) AS sum_q,
+      count(*) AS n
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+      GROUP BY 1, 2"""))
+
+  // LSH bucketing uses the engine's splitmix-derived hyperplanes — rows-only
+  private val q25 = QueryDef("q25_ann_lsh",
+    (s, d) => {
+      val emb = rd(s, d, "embeddings")
+      Similarity.lshTopK(emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "vec_id", "embedding", "embedding", k = 5, nPlanes = 8)
+        .select(col("query_id"), col("corpus_id"), col("cos_q"), col("rk"))
+    },
+    None)
+
+  private val q26 = QueryDef("q26_embedding_near_dups",
+    (s, d) => Dedup.embeddingNearDupPairs(rd(s, d, "embeddings"), "vec_id",
+      "embedding", minCosQ = 250000L, nPlanes = 8)
+      .select(col("id_a"), col("id_b"), col("cos_q")),
+    None)
+
+  // ==========================================================================
+  // Multimodal plumbing: binary column + typed metadata + frame sampling
+  // ==========================================================================
+
+  private val q27 = QueryDef("q27_media_frame_sample",
+    (s, d) => Multimodal.frameSampleStats(rd(s, d, "documents")),
+    Some("""WITH m AS (SELECT source, octet_length(encode(text)) AS nbytes,
+        (octet_length(encode(text)) % 30) + 1 AS frames FROM documents),
+      fr AS (SELECT source, nbytes, unnest(generate_series(0, frames - 1)) AS f FROM m)
+      SELECT source, count(*) AS n_frames, sum(nbytes) AS sum_bytes
+      FROM fr WHERE f % 10 = 0 GROUP BY source"""))
+
+  // ==========================================================================
+  // Page-engine queries (engine-native over the deterministic generator;
+  // rows-only checks — the per-row invariant is covered by ScalaTest)
+  // ==========================================================================
+
+  private def pageCfg = PageGenConfig(nPages = 20000L, nHosts = 50, parallelism = 16)
+
+  private val q28 = QueryDef("q28_page_sessions",
+    (s, _) => {
+      val pages = PageGen.rawPages(s, pageCfg)
+        .withColumn("text", extract_html_text(col("html")))
+      Windows.session(pages.toDF(), "warc_ts", "30 minutes",
+        Seq(col("host")),
+        Seq(count(lit(1)).as("n_pages"), sum(length(col("text"))).as("text_chars")))
+        .select(col("host"), col("s_start"), col("s_end"), col("n_pages"), col("text_chars"))
+    },
+    None)
+
+  private val q29 = QueryDef("q29_page_host_stats_salted",
+    (s, _) => {
+      val pages = PageGen.rawPages(s, pageCfg)
+        .withColumn("text", extract_html_text(col("html")))
+      SkewAgg.saltedAgg(pages.toDF(),
+        keys = Seq(col("host")), saltSrc = col("url"), buckets = 16,
+        partial = Seq(count(lit(1)).as("c"), sum(length(col("text"))).as("tc")),
+        merge = Seq(sum(col("c")).as("n_pages"), sum(col("tc")).as("text_chars")))
+    },
+    None)
+
+  private val q30 = QueryDef("q30_page_lang_accuracy",
+    (s, _) => {
+      val pages = PageGen.genPages(s, pageCfg).toDF()
+        .withColumn("text", extract_html_text(col("html")))
+      pages.select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("lang"), 1).otherwise(0)).as("n_correct"))
+    },
+    None)
+
+  private val q31 = QueryDef("q31_page_meta_join",
+    (s, _) => {
+      val pages = PageGen.rawPages(s, pageCfg).toDF()
+      val meta = PageGen.hostMeta(s, pageCfg).toDF()
+      // equi-join on host with a ±30 min event-time band — the batch
+      // mirror of the watermarked stream-stream join (StreamJoin)
+      pages.join(meta, Seq("host"))
+        .where(abs(epochUs(col("warc_ts")) - epochUs(col("meta_ts"))) <=
+          lit(1800L * 1000000L))
+        .groupBy(col("host"), col("category"))
+        .agg(count(lit(1)).as("n_matched"))
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
+    q28, q29, q30, q31)
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: image/audio/video as opaque `binary`
+ * columns with typed metadata, plus decode / feature-extract /
+ * frame-sample stages.
+ *
+ * Reference analog: `Frame.imageBytes` + lazily-decoded image cache
+ * (`model/Frame.java:40,84-93`) and the codec ops
+ * (`operation/VideoToFramesOp.java:90-129` decodes a binary chunk into
+ * frames — the explode pattern below).
+ *
+ * The actual codec step is a STUB — media libraries are not available in
+ * this environment — but it is a *deterministic* stub (metadata derived
+ * from byte content), so the surrounding Spark machinery (schema, batch
+ * shape, explode-per-frame, partition sizing) is real and testable. Swap
+ * [[MediaStub.decode]] for a real decoder (JavaCV/ffmpeg) on a real
+ * cluster; nothing else changes.
+ */
+object Multimodal {
+
+  /** Typed metadata carried next to the opaque payload. */
+  final case class MediaMeta(width: Int, height: Int, frames: Int, sampleRateHz: Int)
+  final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+  final case class FrameRow(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  object MediaStub {
+    /**
+     * STUB decode: a real implementation would parse the container header.
+     * This deterministic fake derives metadata from the payload bytes so
+     * tests and oracles are exact. Marked clearly; replace me.
+     */
+    def decode(payload: Array[Byte]): MediaMeta = {
+      val n = payload.length
+      MediaMeta(
+        width = n % 640 + 1,
+        height = (n * 7) % 480 + 1,
+        frames = n % 30 + 1,
+        sampleRateHz = 16000)
+    }
+
+    /** STUB frame extraction: slice of payload per frame index. */
+    def frame(payload: Array[Byte], idx: Int, frames: Int): Array[Byte] = {
+      val n = payload.length
+      if (n == 0) Array.emptyByteArray
+      else {
+        val start = (n.toLong * idx / frames).toInt
+        val end = (n.toLong * (idx + 1) / frames).toInt
+        java.util.Arrays.copyOfRange(payload, start, math.max(end, start))
+      }
+    }
+  }
+
+  /** Wrap a (id, binary) DataFrame into typed media records (stub decode). */
+  def asMedia(spark: SparkSession, df: DataFrame, idCol: String, binCol: String,
+      kind: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaRecord(id, kind, bytes, MediaStub.decode(bytes))
+      })
+  }
+
+  /**
+   * Frame sampling: one output row per `every`-th frame — the reference's
+   * frame-skip predicate `frameNr % frameSkip == 0`
+   * (`util/StreamReader.java:162`) as an explode. mapPartitions keeps the
+   * decode state per-partition (a real codec would be opened once per
+   * partition, not per row — same shape as executor-side lazy init,
+   * SURVEY.md §2.9 OpenCVOp note).
+   */
+  def sampleFrames(media: Dataset[MediaRecord], every: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here (real codec handle)
+      it.flatMap { m =>
+        Iterator.range(0, m.meta.frames)
+          .filter(_ % every == 0)
+          .map(i => FrameRow(m.media_id, i, MediaStub.frame(m.payload, i, m.meta.frames)))
+      }
+    }
+  }
+
+  /**
+   * Oracle-checked stats over the stubbed pipeline, driven by the
+   * documents table (text bytes as the opaque payload): per source, the
+   * number of sampled frames (every 10th) and total payload bytes.
+   * Pure column expressions — the formula mirrors MediaStub.decode.
+   */
+  def frameSampleStats(docs: DataFrame): DataFrame = {
+    val m = docs.select(col("source"),
+      octet_length(col("text")).as("nbytes"),
+      (octet_length(col("text")) % 30 + 1).as("frames"))
+    m.select(col("source"), col("nbytes"),
+        explode(sequence(lit(0), col("frames") - 1)).as("f"))
+      .where(col("f") % 10 === 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("nbytes")).as("sum_bytes"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/**
+ * Event-time windowing — the Spark transposition of StormCV's batcher
+ * plane (SURVEY.md §2.5):
+ *
+ *  - `SlidingWindowBatcher` (`batcher/SlidingWindowBatcher.java:24-74`,
+ *    completeness-gated sliding count window with TTL escape) →
+ *    `window(ts, len, slide)` + watermark: emission is governed by event
+ *    time, not wall-clock races, so identical input + watermark ⇒
+ *    identical output (the north rule's determinism criterion).
+ *  - `DiscreteWindowBatcher` (`batcher/DiscreteWindowBatcher.java:26-86`,
+ *    tumbling count window with skip-ahead loss tolerance) →
+ *    `window(ts, len)`; late rows are dropped by the watermark instead of
+ *    the reference's wall-clock TTL failure
+ *    (`bolt/BatchInputBolt.java:221-232`).
+ *  - session windows (absent in the reference; nearest device is the
+ *    TTL-based group eviction) → `session_window(ts, gap)` /
+ *    [[Sessionize]] for the stateful form.
+ *
+ * These helpers exist so batch verification queries and streaming
+ * pipelines share one window definition.
+ */
+object Windows {
+
+  /** Tumbling event-time window aggregation; adds w_start/w_end epochs. */
+  def tumbling(df: DataFrame, tsCol: String, dur: String,
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy((window(col(tsCol), dur) +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("w_start", unix_micros(col("window.start").cast(TimestampType)))
+      .withColumn("w_end", unix_micros(col("window.end").cast(TimestampType)))
+      .drop("window")
+
+  /** Sliding event-time window aggregation. */
+  def sliding(df: DataFrame, tsCol: String, dur: String, slide: String,
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy((window(col(tsCol), dur, slide) +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("w_start", unix_micros(col("window.start").cast(TimestampType)))
+      .withColumn("w_end", unix_micros(col("window.end").cast(TimestampType)))
+      .drop("window")
+
+  /** Session window (gap-merged) aggregation; end = last event + gap. */
+  def session(df: DataFrame, tsCol: String, gap: String,
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy((session_window(col(tsCol), gap) +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("s_start", unix_micros(col("session_window.start").cast(TimestampType)))
+      .withColumn("s_end", unix_micros(col("session_window.end").cast(TimestampType)))
+      .drop("session_window")
+}
+
+/**
+ * Salted two-phase aggregation for hot keys — the fix for StormCV's
+ * `fieldsGrouping` hotspot (SURVEY.md §2.8): a Zipf-hot host would hash
+ * every row to one task. Phase 1 aggregates on (key, salt) spreading a
+ * hot key over `buckets` reducers; phase 2 merges the partial aggregates
+ * per key — the second shuffle moves only `buckets` rows per key.
+ *
+ * Only algebraic (re-aggregatable) functions are valid here; the API
+ * takes the partial and final agg lists explicitly to keep that visible.
+ */
+object SkewAgg {
+
+  /**
+   * @param saltSrc  column whose hash spreads the hot key (e.g. url)
+   * @param partial  phase-1 aggregates over raw rows
+   * @param merge    phase-2 aggregates over the phase-1 outputs
+   */
+  def saltedAgg(df: DataFrame, keys: Seq[Column], saltSrc: Column, buckets: Int,
+      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(hash(saltSrc), lit(buckets)))
+    val phase1 = salted.groupBy((keys :+ col("_salt")): _*)
+      .agg(partial.head, partial.tail: _*)
+    phase1.groupBy(keys: _*).agg(merge.head, merge.tail: _*)
+  }
+}
