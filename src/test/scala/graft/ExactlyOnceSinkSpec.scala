@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.ExactlyOnceSink
+
+class ExactlyOnceSinkSpec extends SparkSpec {
+
+  test("re-delivered epochs are skipped; reader sees only committed epochs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eos").toString
+    val sink = new ExactlyOnceSink(dir)
+    val df1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val df2 = Seq((3, "c")).toDF("id", "v")
+
+    sink.write(df1, 0L)
+    sink.write(df2, 1L)
+    // re-delivery of epoch 0 with DIFFERENT data must be a no-op
+    sink.write(df2.withColumn("v", lit("EVIL")), 0L)
+    assert(sink.committedEpochs() == Seq(0L, 1L))
+
+    val back = sink.read(spark).orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(back.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("uncommitted partial data is invisible and safely overwritten") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eos2").toString
+    val sink = new ExactlyOnceSink(dir)
+    // simulate a crashed attempt: data written, no manifest
+    Seq((9, "junk")).toDF("id", "v").write.parquet(s"$dir/data/epoch=5")
+    assert(sink.committedEpochs().isEmpty)
+    // retry of epoch 5 overwrites and commits atomically
+    sink.write(Seq((5, "good")).toDF("id", "v"), 5L)
+    val back = sink.read(spark).collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(back.toSeq == Seq((5, "good")))
+  }
+}
