@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // pre-size (and optionally pre-touch) the heap: on this VM, concurrent
+  // first-touch page faults from 32 allocating threads put the kernel at
+  // 90% sys time for minutes while the heap grows (see BENCH notes)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN",
+    sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
+) ++ (if (sys.env.contains("SPARK_PRETOUCH")) Seq("-XX:+AlwaysPreTouch") else Seq())

@@ -537,8 +537,91 @@ object Queries {
     },
     None)
 
+  // ==========================================================================
+  // Topology plane: tiling fan-out/recombine, grouped batches, DRPC, union
+  // ==========================================================================
+
+  private val q32 = QueryDef("q32_section_roundtrip",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val rt = Topology.recombine(
+        Topology.sections(docs.select(col("doc_id"), col("source"), col("text")),
+          "text", 4),
+        Seq("doc_id", "source", "text"))
+      rt.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("recombined_text") === col("text"), 1).otherwise(0)).as("n_ok"))
+    },
+    // the engine must reassemble every doc byte-identically, so the oracle
+    // is simply "every doc round-trips"
+    Some("""SELECT source, count(*) AS docs, count(*) AS n_ok
+      FROM documents GROUP BY source"""))
+
+  private val q33 = QueryDef("q33_request_response_match",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      RequestResponse.matchText(s,
+        docs.where(col("doc_id") < 5), docs.where(col("doc_id") >= 5),
+        "doc_id", "text", "doc_id", "text", k = 3, n = 2)
+        .select(col("request_id"), col("doc_id"), col("score_q"), col("rk"))
+    },
+    Some("""WITH qsh AS (SELECT DISTINCT doc_id AS request_id,
+        unnest(list_transform(generate_series(1, greatest(len(ts)-1, 0)),
+          i -> ts[i] || ' ' || ts[i+1])) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE doc_id < 5)),
+      qsz AS (SELECT request_id, count(*) AS q_sz FROM qsh GROUP BY 1),
+      dsh AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(ts)-1, 0)),
+          i -> ts[i] || ' ' || ts[i+1])) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE doc_id >= 5)),
+      hits AS (SELECT request_id, d.doc_id, count(*) AS inter
+        FROM dsh d JOIN qsh q ON d.shingle = q.shingle GROUP BY 1, 2),
+      sc AS (SELECT h.request_id, doc_id,
+        cast(floor(1000 * inter / q_sz) as bigint) AS score_q
+        FROM hits h JOIN qsz ON h.request_id = qsz.request_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY request_id
+        ORDER BY score_q DESC, doc_id ASC) AS rk FROM sc)
+      SELECT request_id, doc_id, score_q, rk FROM r WHERE rk <= 3"""))
+
+  private val q34 = QueryDef("q34_union_streams",
+    (s, d) => {
+      val e = rd(s, d, "events")
+      // multi-edge subscription: two derived streams unioned, then agg
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), lit("c").as("src"), cents(col("value")).as("v"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id"), lit("e").as("src"), cents(col("value")).as("v"))
+      clicks.union(errors)
+        .groupBy(col("user_id"), col("src"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents"))
+    },
+    Some("""SELECT user_id, src, count(*) AS n, sum(v) AS sum_cents FROM (
+        SELECT user_id, 'c' AS src, cast(floor(value*100) as bigint) AS v
+          FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, 'e' AS src, cast(floor(value*100) as bigint) AS v
+          FROM events WHERE event_type = 'error')
+      GROUP BY user_id, src"""))
+
+  private val q35 = QueryDef("q35_group_of_pages",
+    (s, d) => {
+      val e = rd(s, d, "events")
+      // GroupOfFrames analog: batches of 10 events per user in ts order
+      Topology.groupN(e, "user_id", "ts", col("event_id"), 10)
+        .select(col("user_id"), col("batch_id"), col("n_rows"),
+          size(col("group")).as("group_size"))
+    },
+    Some("""WITH r AS (SELECT user_id, event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn
+        FROM events)
+      SELECT user_id, cast(floor(rn / 10) as int) AS batch_id,
+        count(*) AS n_rows, cast(count(*) as int) AS group_size
+      FROM r GROUP BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31)
+    q28, q29, q30, q31, q32, q33, q34, q35)
 }

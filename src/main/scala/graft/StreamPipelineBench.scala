@@ -15,24 +15,32 @@ import graft.streaming.{ExactlyOnceSink, MetricsListener, Sessionize}
  * topology (SURVEY.md §3.1): page stream → deterministic extraction →
  * per-host sessionization → exactly-once sink.
  *
- * Input is pre-generated Parquet (so source generation cost is excluded),
- * streamed with `Trigger.AvailableNow` + `maxFilesPerTrigger` to get a
- * realistic multi-micro-batch run with watermark progression. Reports
- * sustained pages/sec and p99 micro-batch latency from the
- * [[graft.streaming.MetricsListener]].
+ * The source is pre-generated, time-ordered Parquet ([[prepare]]): a
+ * crawl stream arrives in crawl-time order with hosts interleaved —
+ * id-order delivery would hand one Zipf-hot host to a single stateful
+ * task and bound every micro-batch on it. [[stream]] is the measured
+ * part, driven with `Trigger.AvailableNow` + `maxFilesPerTrigger`.
  */
 object StreamPipelineBench {
 
-  final case class Result(rows: Long, wallSec: Double, rowsPerSec: Double, p99Ms: Long)
+  final case class Result(rows: Long, wallSec: Double, rowsPerSec: Double,
+      sustainedPps: Double, p99Ms: Long)
 
-  def run(spark: SparkSession, nPages: Long, cpus: Int,
-      filesPerTrigger: Int = 8, nFiles: Int = 64): Result = {
-    val work = Files.createTempDirectory("streambench").toString
-    val srcDir = s"$work/pages"
-    val cfg = PageGenConfig(nPages = nPages, nHosts = 200, parallelism = cpus)
-    PageGen.rawPages(spark, cfg).repartition(nFiles).write.parquet(srcDir)
+  /** Write the deterministic page stream as time-ordered parquet files. */
+  def prepare(spark: SparkSession, cfg: PageGenConfig, nFiles: Int = 256): String = {
+    val srcDir = Files.createTempDirectory("graft-bench-src").toString + "/pages"
+    PageGen.rawPages(spark, cfg)
+      .repartitionByRange(nFiles, col("warc_ts"))
+      .sortWithinPartitions(col("warc_ts"))
+      .write.parquet(srcDir)
+    srcDir
+  }
+
+  /** The measured streaming run over a prepared source directory. */
+  def stream(spark: SparkSession, srcDir: String, nRows: Long,
+      filesPerTrigger: Int = 128): Result = {
+    val work = Files.createTempDirectory("graft-bench-run").toString
     val schema = spark.read.parquet(srcDir).schema
-
     val sink = new ExactlyOnceSink(s"$work/out")
     val listener = new MetricsListener()
     spark.streams.addListener(listener)
@@ -53,6 +61,20 @@ object StreamPipelineBench {
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
     spark.streams.removeListener(listener)
-    Result(nPages, wall, nPages / wall, listener.p99LatencyMs)
+    // sustained = rows per second of trigger execution over non-empty
+    // batches (excludes one-time query start/teardown)
+    val busy = listener.batches.filter(_.numInputRows > 0)
+    val sustained =
+      if (busy.isEmpty) nRows / wall
+      else busy.map(_.numInputRows).sum.toDouble / (busy.map(_.durationMs).sum / 1000.0)
+    Result(nRows, wall, nRows / wall, sustained, listener.p99LatencyMs)
+  }
+
+  /** Convenience: generate + stream in one session (driver Bench path). */
+  def run(spark: SparkSession, nPages: Long, cpus: Int,
+      filesPerTrigger: Int = 64, nFiles: Int = 256): Result = {
+    val cfg = PageGenConfig(nPages = nPages, nHosts = 2000, parallelism = cpus)
+    val srcDir = prepare(spark, cfg, nFiles)
+    stream(spark, srcDir, nPages, filesPerTrigger)
   }
 }

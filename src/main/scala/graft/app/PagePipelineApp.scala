@@ -1,0 +1,80 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.ExtractHtmlText.extract_html_text
+import graft.sources.PageGenConfig
+import graft.streaming._
+
+/**
+ * The spark-submit-able streaming job — the engine's equivalent of the
+ * reference's deployable topologies (`E1_GrayScaledTopology.java:43-69`,
+ * `stormcv-deploy/.../DeploymentTopology.java:41-82`): page stream →
+ * deterministic extraction → per-host sessionization → exactly-once
+ * epoch-manifest table, resumable from checkpoint, with per-batch
+ * offset/watermark metrics.
+ *
+ * Usage (all args optional):
+ *   spark-submit --class graft.app.PagePipelineApp app.jar \
+ *     --pages 1000000 --hosts 10000 --rate 50000 --checkpoint /cp \
+ *     --table /out/pages_sessions --metrics /out/progress.jsonl \
+ *     [--join-meta]
+ *
+ * Kill it at any point and resubmit with the same --checkpoint/--table:
+ * processing resumes from the last committed offsets and the sink skips
+ * re-delivered epochs (see [[graft.streaming.ExactlyOnceSink]]).
+ */
+object PagePipelineApp {
+
+  def main(args: Array[String]): Unit = {
+    val a = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val nPages = a.getOrElse("--pages", "1000000").toLong
+    val nHosts = a.getOrElse("--hosts", "1000").toInt
+    val rate = a.getOrElse("--rate", "20000").toLong
+    val cp = a.getOrElse("--checkpoint", "/tmp/graft-cp")
+    val table = a.getOrElse("--table", "/tmp/graft-sessions")
+    val metricsPath = a.get("--metrics")
+    val joinMeta = args.contains("--join-meta")
+
+    val builder = SparkSession.builder()
+      .appName("graft-page-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // spark-submit injects spark.master; default to local[*] for bare runs
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master("local[*]")
+                   .config("spark.sql.shuffle.partitions",
+                     Runtime.getRuntime.availableProcessors)).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val listener = new MetricsListener(metricsPath)
+    spark.streams.addListener(listener)
+
+    val cfg = PageGenConfig(nPages = nPages, nHosts = nHosts)
+    val pages = PageStream.fromRate(spark, cfg, rowsPerSecond = rate)
+      .withColumn("text", extract_html_text(col("html")))
+      .drop("html") // never carry the blob past extraction
+
+    val out =
+      if (joinMeta) {
+        val meta = PageStream.metaFromRate(spark, cfg, rowsPerSecond = rate / 10).toDF()
+        PageStream.joinPagesWithMeta(pages.toDF(), meta)
+      } else {
+        Sessionize.fromPages(spark, pages).toDF()
+      }
+
+    val sink = new ExactlyOnceSink(table)
+    val q = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink.write(df.toDF(), id))
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -22,8 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * partitioning (the north rule's per-row invariant).
  *
  * Extraction spec (fixed, versioned by test golden hashes):
- *   1. Bytes are decoded as UTF-8 (malformed sequences → U+FFFD, the JDK
- *      CharsetDecoder REPLACE default — deterministic).
+ *   1. Input is UTF-8 bytes, processed byte-level ([[HtmlTextBytes]]);
+ *      non-ASCII bytes pass through verbatim (malformed UTF-8 is opaque
+ *      content — still byte-stable). Whitespace = ASCII 0x09–0x0D, 0x20,
+ *      and U+00A0.
  *   2. `<script>`, `<style>`, `<noscript>` elements are dropped entirely
  *      (case-insensitive; content skipped until the matching close tag, or
  *      end-of-input if unclosed).
@@ -38,14 +40,21 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object HtmlText {
 
-  /** Entry point used by both interpreted eval and generated code. */
+  /** Entry point used by both interpreted eval and generated code —
+    * byte-level fast path ([[HtmlTextBytes]]): zero intermediate decode. */
   def extractUTF8(bytes: Array[Byte]): UTF8String =
-    UTF8String.fromString(extract(bytes))
+    UTF8String.fromBytes(HtmlTextBytes.extract(bytes))
 
   def extract(bytes: Array[Byte]): String =
-    extractString(new String(bytes, StandardCharsets.UTF_8))
+    new String(HtmlTextBytes.extract(bytes), StandardCharsets.UTF_8)
 
-  def extractString(html: String): String = {
+  def extractString(html: String): String =
+    new String(HtmlTextBytes.extract(html.getBytes(StandardCharsets.UTF_8)),
+      StandardCharsets.UTF_8)
+
+  /** Character-level reference implementation, kept as the cross-check
+    * oracle for the byte-level fast path (tests assert equality). */
+  def extractStringReference(html: String): String = {
     val n = html.length
     val out = new java.lang.StringBuilder(n)
     var i = 0
@@ -102,7 +111,7 @@ object HtmlText {
               i = if (end < 0) n else end + 1
               pendingSpace = true
             }
-          } else if (Character.isLetter(c1) || c1 == '/' || c1 == '?') {
+          } else if ((c1 >= 'a' && c1 <= 'z') || (c1 >= 'A' && c1 <= 'Z') || c1 == '/' || c1 == '?') {
             // tag name for raw-text elements
             val rawName =
               if (matchesIgnoreCase("<script", i) && isNameEnd(html, i + 7)) "script"
@@ -159,7 +168,9 @@ object HtmlText {
             else (body.substring(1), 10)
           try {
             val cp = Integer.parseInt(digits, radix)
-            if (cp >= 0 && cp <= 0x10FFFF && digits.nonEmpty)
+            // surrogate range is not a valid scalar: keep literal
+            if (cp >= 0 && cp <= 0x10FFFF && digits.nonEmpty &&
+              !(cp >= 0xD800 && cp <= 0xDFFF))
               new String(Character.toChars(cp))
             else null
           } catch { case _: IllegalArgumentException => null }

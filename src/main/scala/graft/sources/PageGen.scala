@@ -40,6 +40,7 @@ final case class PageGenConfig(
     scriptFrac: Double = 0.15,
     entityFrac: Double = 0.2,
     malformedFrac: Double = 0.05,
+    paraMult: Int = 1,
     parallelism: Int = 32,
     baseEpochSec: Long = 1700000000L) {
   /** inter-session gap; ≥ 3× sessionGap so jitter can never close a gap. */
@@ -167,7 +168,7 @@ object PageGen {
     }
 
     val nTitle = 3 + draw(cfg.seed, 8, id, 0, 4)
-    val nParas = 1 + draw(cfg.seed, 9, id, 0, 4)
+    val nParas = (1 + draw(cfg.seed, 9, id, 0, 4)) * cfg.paraMult
 
     html.append("<!DOCTYPE html>\n<html lang=\"").append(lang)
       .append("\">\n<head>\n<title>")

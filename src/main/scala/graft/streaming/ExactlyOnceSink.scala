@@ -51,9 +51,13 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
   def write(df: DataFrame, batchId: Long): Unit = {
     if (committed(batchId)) return // re-delivered epoch: exactly-once skip
     val dataPath = s"$tableDir/data/epoch=$batchId"
-    // overwrite handles a partially-written, uncommitted previous attempt
+    // persist so the count and the write share one computation of the
+    // micro-batch plan (foreachBatch re-executes the plan per action)
+    df.persist()
     val count = df.count()
+    // overwrite handles a partially-written, uncommitted previous attempt
     df.write.mode(SaveMode.Overwrite).parquet(dataPath)
+    df.unpersist()
     Files.createDirectories(manifestDir)
     val tmp = manifestDir.resolve(s".epoch-$batchId.json.tmp")
     val body =

@@ -39,6 +39,24 @@ class ExtractTextSpec extends AnyFunSuite {
   test("utf8 binary round trip") {
     assert(HtmlText.extract("<p>héllo wörld — ✓</p>".getBytes(UTF_8)) == "héllo wörld — ✓")
   }
+  test("byte-level fast path equals character-level reference implementation") {
+    val frags = Array("<p>", "</p>", "word", "&amp;", " ", "&#65;", "x", "\u00e9",
+      "<b>x</b>", "<!--c-->", "<script>s</script>", "<", ">", "&", "\n", "\t",
+      "&nbsp;", "&#x1F600;", "&#xD800;", "&bogus;", "&#;", "<style>p{}</style>",
+      "<NOSCRIPT>n</noscript>", "<div class=x>", "—", "&#8212;", "  ")
+    var caseI = 0
+    while (caseI < 5000) {
+      val len = (graft.sources.PageGen.rnd(11L, 0, caseI) >>> 1).toInt % 40
+      val s = (0 until len).map { i =>
+        frags(((graft.sources.PageGen.rnd(11L, 1, caseI, i) >>> 1) % frags.length).toInt)
+      }.mkString
+      val fast = HtmlText.extractString(s)
+      val ref = HtmlText.extractStringReference(s)
+      assert(fast == ref, s"byte/char divergence on: $s\n fast=$fast\n ref =$ref")
+      caseI += 1
+    }
+  }
+
   test("byte stability: same bytes => same string over random fragment soup") {
     val frags = Array("<p>", "</p>", "word", "&amp;", " ", "&#65;", "x",
       "<b>x</b>", "<!--c-->", "<script>s</script>", "é", "<", ">", "&", "\n")

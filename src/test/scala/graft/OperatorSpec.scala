@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Batch operator specs: dedup, similarity, topology, request/response. */
+class OperatorSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(sf("sf0.001/documents.parquet")).cache()
+  private lazy val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet")).cache()
+
+  test("exact dedup finds injected duplicates and keeps min id") {
+    import spark.implicits._
+    val withDups = docs.select($"doc_id", $"text")
+      .union(docs.where($"doc_id" < 3).select($"doc_id" + 1000, $"text"))
+    val groups = Dedup.exactDups(withDups, "doc_id", "text")
+    assert(groups.where($"dup_cnt" === 2).count() == 3)
+    val keepers = groups.where($"dup_cnt" === 2).select("keeper")
+      .collect().map(_.getLong(0)).sorted
+    assert(keepers.sameElements(Array(0L, 1L, 2L)), "keeper must be the min id")
+  }
+
+  test("minhash LSH recall: near-identical docs are found with verified jaccard") {
+    import spark.implicits._
+    // append one word to each of 5 docs -> ~95%+ shingle overlap
+    val mutated = docs.where($"doc_id" < 5)
+      .select(($"doc_id" + 5000).as("doc_id"), concat($"text", lit(" extra")).as("text"))
+    val corpus = docs.select($"doc_id", $"text").union(mutated)
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", n = 3, bands = 8,
+      minJaccQ = 700).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(found.contains((i.toLong, i + 5000L)), s"pair $i missing: $found")
+    }
+  }
+
+  test("simhash: exact dups at distance 0; near-dups have smaller distance than random") {
+    import spark.implicits._
+    // exact duplicates: distance 0, always recalled by the 4-block join
+    val dups = docs.where($"doc_id" < 5)
+      .select(($"doc_id" + 5000).as("doc_id"), $"text")
+    val corpus = docs.select($"doc_id", $"text").union(dups)
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 0)
+      .where($"id_b" === $"id_a" + 5000).collect()
+    assert(pairs.length == 5, s"expected all 5 exact pairs, got ${pairs.length}")
+    // direct hamming: doc vs doc+word is closer than doc vs other doc
+    val sigs = docs.where($"doc_id" < 20)
+      .select($"doc_id", operators.TextAnalysis.simhash64($"text").as("s"),
+        operators.TextAnalysis.simhash64(concat($"text", lit(" zz"))).as("sm"))
+      .withColumn("d_self", operators.TextAnalysis.hamming64($"s", $"sm").cast("long"))
+      .collect()
+    val selfAvg = sigs.map(_.getAs[Long]("d_self")).sum.toDouble / sigs.length
+    assert(selfAvg < 16, s"near-dup hamming too large: $selfAvg")
+  }
+
+  test("brute-force topk: self is nearest when query is in corpus") {
+    import spark.implicits._
+    val res = Similarity.bruteForceTopK(
+      emb.where($"vec_id" < 5), emb, "vec_id", "vec_id", "embedding", "embedding", 1)
+    val top1 = res.where($"rk" === 1).select($"query_id", $"corpus_id", $"cos_q")
+      .collect()
+    top1.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"self not top-1: $r")
+      assert(math.abs(r.getLong(2) - 1000000L) <= 2, s"self-cos != 1e6: $r")
+    }
+  }
+
+  test("lsh ann finds planted near-duplicate neighbors like brute force") {
+    import spark.implicits._
+    val queries = emb.where($"vec_id" < 20)
+    // plant a near-twin of each query in the corpus (one dim scaled 5%)
+    val twins = queries.select(($"vec_id" + 10000).as("vec_id"),
+      expr("transform(embedding, (x, i) -> IF(i = 0, cast(x * 1.05 as float), x))")
+        .as("embedding"))
+    val corpus = emb.where($"vec_id" >= 20).select($"vec_id", $"embedding")
+      .union(twins)
+    val bf = Similarity.bruteForceTopK(queries, corpus, "vec_id", "vec_id",
+      "embedding", "embedding", 1).where($"rk" === 1)
+      .select($"query_id", $"corpus_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ann = Similarity.lshTopK(queries, corpus, "vec_id", "vec_id",
+      "embedding", "embedding", 1, nPlanes = 8).where($"rk" === 1)
+      .select($"query_id", $"corpus_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force must find every twin; ANN at least 80% of them
+    bf.foreach { case (q, c) => assert(c == q + 10000, s"bf: $q -> $c") }
+    val hits = ann.count { case (q, c) => c == q + 10000 }
+    assert(hits >= 16, s"ANN planted-twin recall too low: $hits/20")
+  }
+
+  test("section fan-out / recombine round-trips text") {
+    import spark.implicits._
+    val rt = Topology.recombine(
+      Topology.sections(docs.select($"doc_id", $"text"), "text", 4),
+      Seq("doc_id", "text"))
+    assert(rt.where($"recombined_text" =!= $"text").count() == 0)
+    assert(rt.where($"n_sections" =!= 4).count() == 0)
+  }
+
+  test("request/response match: query doc matches its twin first") {
+    import spark.implicits._
+    // distinctive query tokens (outside the corpus vocab) avoid ties
+    val requests = Seq(
+      (0L, "quasar nebula pulsar magnetar blazar kilonova"),
+      (1L, "fjord tundra taiga steppe savanna archipelago"),
+      (2L, "sonnet haiku limerick villanelle sestina ode")).toDF("doc_id", "text")
+    val corpus = docs.where($"doc_id" >= 3).select($"doc_id", $"text")
+      .union(requests.select(($"doc_id" + 7000).as("doc_id"),
+        concat($"text", lit(" tail")).as("text")))
+    val res = RequestResponse.matchText(spark, requests, corpus,
+      "doc_id", "text", "doc_id", "text", k = 1, n = 2)
+    val top = res.where($"rk" === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 3).foreach { i =>
+      assert(top(i.toLong) == i + 7000L, s"req $i matched ${top(i.toLong)}")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    import spark.implicits._
+    val e = spark.read.parquet(sf("sf0.001/events.parquet"))
+    val direct = e.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(floor($"value" * 100).cast("long")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = SkewAgg.saltedAgg(e, Seq($"event_type"), $"event_id", 16,
+      Seq(count(lit(1)).as("c"), sum(floor($"value" * 100).cast("long")).as("v")),
+      Seq(sum($"c").as("n"), sum($"v").as("s")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(direct == salted)
+  }
+
+  test("multimodal: stub decode + frame sampling plumbing") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(spark,
+      docs.select($"doc_id", $"text".cast("binary").as("payload")),
+      "doc_id", "payload", "fake/video")
+    val frames = Multimodal.sampleFrames(media, every = 10)
+    val perDoc = frames.groupBy($"media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val metas = media.collect()
+    metas.foreach { m =>
+      val expect = (0 until m.meta.frames).count(_ % 10 == 0)
+      assert(perDoc(m.media_id) == expect.toLong, s"media ${m.media_id}")
+    }
+    // frames reassemble to the original payload when sampling every frame
+    val all = Multimodal.sampleFrames(media, every = 1)
+      .groupByKey(_.media_id)
+      .mapGroups((id, it) => (id, it.toSeq.sortBy(_.frame_idx).flatMap(_.frame_bytes).toArray))
+      .collect().toMap
+    metas.foreach { m =>
+      assert(java.util.Arrays.equals(all(m.media_id), m.payload), s"roundtrip ${m.media_id}")
+    }
+  }
+}
