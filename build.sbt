@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 90% sys time for minutes while the heap grows (see BENCH notes)
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN",
     sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
-) ++ (if (sys.env.contains("SPARK_PRETOUCH")) Seq("-XX:+AlwaysPreTouch") else Seq())
+) ++ (if (sys.env.contains("SPARK_PRETOUCH")) Seq("-XX:+AlwaysPreTouch") else Seq()) ++
+  (sys.env.get("SPARK_GC") match { // e.g. SPARK_GC=parallel for throughput runs
+    case Some("parallel") => Seq("-XX:+UseParallelGC")
+    case _ => Seq()
+  })

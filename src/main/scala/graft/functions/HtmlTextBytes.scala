@@ -36,9 +36,20 @@ object HtmlTextBytes {
     true
   }
 
+  // reusable per-thread scratch output buffer: extraction output is ≤ input
+  // size, so one growable scratch per thread halves allocations on the
+  // hot path (only the final right-sized copy is allocated per row)
+  private val scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](64 * 1024)
+  }
+
   def extract(in: Array[Byte]): Array[Byte] = {
     val n = in.length
-    val out = new Array[Byte](n)
+    var out = scratch.get()
+    if (out.length < n) {
+      out = new Array[Byte](Integer.highestOneBit(n) * 2)
+      scratch.set(out)
+    }
     var o = 0
     var pendingSpace = false
     var emitted = false
@@ -137,7 +148,7 @@ object HtmlTextBytes {
         emitByte(c); i += 1
       }
     }
-    if (o == n) out else java.util.Arrays.copyOf(out, o)
+    java.util.Arrays.copyOf(out, o)
   }
 
   private def isNameEnd(in: Array[Byte], at: Int): Boolean = {

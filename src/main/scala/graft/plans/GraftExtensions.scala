@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.ExtractHtmlText
+import graft.operators.{LshBucket, MinRollingHash, QuantizedDot, SimHash64}
+
+/**
+ * SQL surface of the engine's custom expressions, injected via
+ * `SparkSessionExtensions` so `spark.sql("SELECT extract_html_text(html)
+ * ...")` works exactly like the Column API:
+ *
+ *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+ *   // or: --conf spark.sql.extensions=graft.plans.GraftExtensions
+ *
+ * This is the engine-level registration point (SURVEY.md §4: the one
+ * place custom Catalyst work is warranted); everything else the engine
+ * does is built-in Catalyst operators.
+ */
+object GraftExtensions {
+  /** Register the same functions into an ALREADY-BUILT session (extensions
+    * only apply at session build time; getOrCreate may reuse a session). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("extract_html_text",
+      (args: Seq[Expression]) => ExtractHtmlText(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      (args: Seq[Expression]) => SimHash64(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("min_rolling_hash",
+      (args: Seq[Expression]) => MinRollingHash(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_q",
+      (args: Seq[Expression]) => QuantizedDot(args.head, args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_bucket",
+      (args: Seq[Expression]) => args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n, _) =>
+          LshBucket(args.head, n.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(s"lsh_bucket nPlanes must be a literal, got $other")
+      }, "scala_udf")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("extract_html_text"),
+      info("extract_html_text", "extract_html_text(html) - deterministic HTML->text over binary"),
+      (args: Seq[Expression]) => ExtractHtmlText(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit near-dup sketch"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("min_rolling_hash"),
+      info("min_rolling_hash", "min_rolling_hash(text) - winnowing fingerprint"),
+      (args: Seq[Expression]) => MinRollingHash(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_q"),
+      info("dot_q", "dot_q(a, b) - quantized integer dot product of float arrays"),
+      (args: Seq[Expression]) => QuantizedDot(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_bucket"),
+      info("lsh_bucket", "lsh_bucket(v, nPlanes) - sign-random-projection bucket"),
+      (args: Seq[Expression]) => args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n, _) =>
+          LshBucket(args.head, n.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(s"lsh_bucket nPlanes must be a literal, got $other")
+      }))
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftExtensions
+
+/** SQL registration of the custom expressions via SparkSessionExtensions. */
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  // getOrCreate may reuse the shared test session (extensions apply only
+  // at build time), so exercise the explicit registration path — the same
+  // expressions the extensions class injects
+  private lazy val spark: SparkSession = {
+    val s = TestSpark.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("extract_html_text callable from SQL and equal to the Scala function") {
+    val row = spark.sql(
+      "SELECT extract_html_text(cast('<p>a &amp; b</p>' as binary)) AS t")
+      .collect()(0)
+    assert(row.getString(0) == "a & b")
+  }
+
+  test("simhash64 / min_rolling_hash / dot_q / lsh_bucket callable from SQL") {
+    val r = spark.sql(
+      """SELECT simhash64('a b c') AS sh,
+        |       min_rolling_hash('abcdefghijklmno') AS mrh,
+        |       dot_q(array(cast(1.0 as float), cast(2.0 as float)),
+        |             array(cast(3.0 as float), cast(4.0 as float))) AS d,
+        |       lsh_bucket(array(cast(0.5 as float), cast(-0.5 as float)), 4) AS b
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == graft.operators.SimHash64.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
+    assert(r.getLong(2) == math.floor(3.0 * 1e6).toLong + math.floor(8.0 * 1e6).toLong)
+    assert(r.getLong(3) >= 0 && r.getLong(3) < 16)
+  }
+}
