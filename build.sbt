@@ -36,4 +36,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   (sys.env.get("SPARK_GC") match { // e.g. SPARK_GC=parallel for throughput runs
     case Some("parallel") => Seq("-XX:+UseParallelGC")
     case _ => Seq()
-  })
+  }) ++ sys.env.get("SPARK_XOPTS").map(_.split(" ").toSeq).getOrElse(Seq())

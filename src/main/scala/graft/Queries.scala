@@ -620,8 +620,56 @@ object Queries {
         count(*) AS n_rows, cast(count(*) as int) AS group_size
       FROM r GROUP BY 1, 2"""))
 
+  private val q36 = QueryDef("q36_twophase_sessions",
+    (s, d) => {
+      import s.implicits._
+      // the skew-proof two-phase sessionizer over the events table; must
+      // be value-identical to q12's session_window/gaps-and-islands SQL
+      val lite = rd(s, d, "events")
+        .select(col("user_id").cast(StringType).as("host"),
+          col("ts").cast(TimestampType).as("warc_ts"),
+          floor(col("value") * 100).cast(LongType).as("text_len"))
+        .as[graft.streaming.Sessionize.PageLite]
+      graft.streaming.SessionizeTwoPhase.sessionsBatch(s, lite)
+        .toDF()
+        .select(col("host").cast(LongType).as("user_id"),
+          epochUs(col("session_start")).as("s_start"),
+          epochUs(col("session_end")).as("s_end"),
+          col("n_pages").as("n"), col("text_bytes").as("sum_cents"))
+    },
+    Some("""WITH g AS (SELECT user_id, ts, value, CASE WHEN
+        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC) >= 1800000000
+        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events),
+      i AS (SELECT user_id, ts, value, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+      SELECT user_id, epoch_us(min(ts)) AS s_start,
+        epoch_us(max(ts)) + 1800000000 AS s_end,
+        count(*) AS n, sum(cast(floor(value*100) as bigint)) AS sum_cents
+      FROM i GROUP BY user_id, sid"""))
+
+  // ColorHistogramOp analog (reference `operation/ColorHistogramOp.java`):
+  // per-row histogram, rolled up to top terms per language
+  private val q37 = QueryDef("q37_term_histogram",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val toks = docs.select(col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      val counts = toks.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("token").asc)
+      counts.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+    },
+    Some("""WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents),
+      c AS (SELECT lang, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+      r AS (SELECT lang, token, cnt, row_number() OVER
+        (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rk FROM c)
+      SELECT lang, token, cnt, rk FROM r WHERE rk <= 10"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q35)
+    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }

@@ -29,6 +29,7 @@ object ScalingBench {
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", 32 * 1024 * 1024)
     .config("spark.ui.enabled", "false")
     // the north rule's state backend: RocksDB with changelog
     // checkpointing (avoids full snapshot uploads per micro-batch)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.functions.ExtractHtmlText.extract_html_text
 import graft.sources.{PageGen, PageGenConfig}
-import graft.streaming.{ExactlyOnceSink, MetricsListener, Sessionize}
+import graft.streaming.{ExactlyOnceSink, MetricsListener, SessionizeTwoPhase}
 
 /**
  * End-to-end streaming page-pipeline benchmark — the E1-equivalent
@@ -50,7 +50,10 @@ object StreamPipelineBench {
       .parquet(srcDir)
       .withColumn("text", extract_html_text(col("html")))
       .drop("html")
-    val sessions = Sessionize.fromPages(spark, pages, watermark = "2 hours")
+    // two-phase sessionizer: per-partition fragment assembly then per-host
+    // fragment merge — the Zipf-hot host costs (#partitions) fragments per
+    // batch in the stateful stage, not all of its events
+    val sessions = SessionizeTwoPhase.fromPages(spark, pages, watermarkDelaySec = 7200L)
     val q = sessions.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$work/cp")

@@ -55,6 +55,17 @@ case class HostSession(
     n_pages: Long,
     text_bytes: Long)
 
+/** Microsecond-exact Timestamp conversions (getTime alone drops micros). */
+object TsUtil {
+  def toUs(t: Timestamp): Long =
+    (t.getTime - t.getNanos / 1000000L) * 1000L + t.getNanos / 1000L
+  def fromUs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+}
+
 object PageEvent {
   /** Deterministic host extraction from a `https://host/path` url. */
   def hostOf(url: String): String = {

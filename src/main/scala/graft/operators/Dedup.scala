@@ -62,7 +62,10 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccQ: Int = 500): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    // no .cache() here: a library operator must not pin executor memory
+    // behind the caller's back; the shuffle files of the shingle exchange
+    // are reused by Spark for the two consumers (sizes + inter)
+    val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), $"shingle")
     val b = sh.select(col(idCol).as("id_b"), $"shingle")

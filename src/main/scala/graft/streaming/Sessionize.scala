@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.model.HostSession
+import graft.model.{HostSession, TsUtil}
 
 /**
  * Stateful per-host sessionizer over the streaming page stream —
@@ -61,8 +61,8 @@ object Sessionize {
     val (closed, open) = sessions.partition(s => s.last.tsUs + gapUs <= watermarkUs)
     val out = closed.map { s =>
       HostSession(host,
-        new Timestamp(s.head.tsUs / 1000L),
-        new Timestamp((s.last.tsUs + gapUs) / 1000L),
+        TsUtil.fromUs(s.head.tsUs),
+        TsUtil.fromUs(s.last.tsUs + gapUs),
         s.size.toLong, s.map(_.bytes).sum)
     }
     (out.toSeq, open.flatten.toSeq)
@@ -85,7 +85,7 @@ object Sessionize {
           // the op is deterministic given (input, watermark) — the
           // replacement for the reference's wall-clock TTL failure race
           val incoming = rows.map(p =>
-            Ev(p.warc_ts.getTime * 1000L, p.text_len))
+            Ev(TsUtil.toUs(p.warc_ts), p.text_len))
             .filter(e => e.tsUs >= wm).toList
           val all = state.getOption.map(_.events).getOrElse(Nil) ::: incoming
           val (closed, open) = assemble(host, all, gapUs, wm)

@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerStageSubmitted}
 import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
 import org.apache.spark.sql.streaming.StreamingQueryListener._
 
@@ -24,6 +25,7 @@ object StreamDiag {
       val s = SparkSession.builder().master(s"local[$cpus]")
         .appName(s"sdiag$cpus")
         .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.files.maxPartitionBytes", 32 * 1024 * 1024)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false").getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
@@ -52,8 +54,23 @@ object StreamDiag {
       }
     }
 
+    class StageL extends SparkListener {
+      val t0 = System.nanoTime()
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val wall = for {
+          a <- si.submissionTime; b <- si.completionTime
+        } yield b - a
+        val m = si.taskMetrics
+        println(f"[stage] id=${si.stageId} tasks=${si.numTasks} wall=${wall.getOrElse(-1L)}ms " +
+          f"taskSum=${m.executorRunTime}ms gc=${m.jvmGCTime}ms " +
+          f"name=${si.name.take(60)}")
+      }
+    }
+
     for (mode <- Seq("extract_only", "sessionize_memory", "full_eos"); cpus <- coresList) {
       val s = sess(cpus)
+      if (sys.env.contains("GRAFT_STAGE_DIAG")) s.sparkContext.addSparkListener(new StageL)
       val schema = s.read.parquet(srcDir).schema
       val l = new L(s"$mode/$cpus")
       s.streams.addListener(l)
