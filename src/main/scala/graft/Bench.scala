@@ -17,6 +17,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", 32 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -32,8 +33,8 @@ object Bench {
 
     // streaming page pipeline throughput (gen -> extract -> sessionize -> sink)
     val stream = StreamPipelineBench.run(spark,
-      nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "150000").toLong,
-      cpus = cpus)
+      nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toLong,
+      cpus = cpus, filesPerTrigger = 32, nFiles = 64)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
