@@ -174,7 +174,8 @@ object Queries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       o.withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("rk"),
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("rk").cast(LongType).as("rk"), // driver schema compare: DuckDB row_number is BIGINT
           cents(col("o_totalprice")).as("price_cents"))
     },
     Some("""SELECT o_custkey, o_orderkey, rk,
@@ -309,7 +310,8 @@ object Queries {
           TextAnalysis.charCount(col("text")).as("chars"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"), sum(col("toks")).as("sum_tokens"),
-          sum(col("chars")).as("sum_chars"), max(col("toks")).as("max_tokens"))
+          sum(col("chars")).as("sum_chars"),
+          max(col("toks")).cast(LongType).as("max_tokens"))
     },
     Some("""SELECT lang, count(*) AS docs,
       sum(len(regexp_extract_all(text, '\S+'))) AS sum_tokens,
@@ -428,7 +430,8 @@ object Queries {
       val corpus = emb.where(col("vec_id") >= 10)
       Similarity.bruteForceTopK(queries, corpus, "vec_id", "vec_id",
         "embedding", "embedding", k = 5)
-        .select(col("query_id"), col("corpus_id"), col("cos_q"), col("rk"))
+        .select(col("query_id"), col("corpus_id"), col("cos_q"),
+          col("rk").cast(LongType).as("rk"))
     },
     Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
         cast(list_sum(list_transform(generate_series(1, len(embedding)),
@@ -461,7 +464,8 @@ object Queries {
       val emb = rd(s, d, "embeddings")
       Similarity.lshTopK(emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
         "vec_id", "vec_id", "embedding", "embedding", k = 5, nPlanes = 8)
-        .select(col("query_id"), col("corpus_id"), col("cos_q"), col("rk"))
+        .select(col("query_id"), col("corpus_id"), col("cos_q"),
+          col("rk").cast(LongType).as("rk"))
     },
     None)
 
@@ -563,7 +567,8 @@ object Queries {
       RequestResponse.matchText(s,
         docs.where(col("doc_id") < 5), docs.where(col("doc_id") >= 5),
         "doc_id", "text", "doc_id", "text", k = 3, n = 2)
-        .select(col("request_id"), col("doc_id"), col("score_q"), col("rk"))
+        .select(col("request_id"), col("doc_id"), col("score_q"),
+          col("rk").cast(LongType).as("rk"))
     },
     Some("""WITH qsh AS (SELECT DISTINCT doc_id AS request_id,
         unnest(list_transform(generate_series(1, greatest(len(ts)-1, 0)),
@@ -660,6 +665,7 @@ object Queries {
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("cnt").desc, col("token").asc)
       counts.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+        .withColumn("rk", col("rk").cast(LongType))
     },
     Some("""WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
         FROM documents),

@@ -86,6 +86,7 @@ object Similarity {
   /** Per-label quantized centroid sums: (label, pos, sum_q, n). Exact. */
   def centroidSums(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("pos", $"pos".cast(LongType))
       .groupBy($"label", $"pos")
       .agg(sum(floor($"v".cast(DoubleType) * 1e6).cast(LongType)).as("sum_q"),
         count(lit(1)).as("n"))
