@@ -674,8 +674,36 @@ object Queries {
         (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rk FROM c)
       SELECT lang, token, cnt, rk FROM r WHERE rk <= 10"""))
 
+  // brute-force embedding near-dup pairs (the exact-verification path the
+  // LSH variant q26 approximates) — fully oracle-checked
+  private val q38 = QueryDef("q38_near_dup_bruteforce",
+    (s, d) => {
+      val emb = rd(s, d, "embeddings")
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+        VectorOps.norm_q(col("embedding")).as("n_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+        VectorOps.norm_q(col("embedding")).as("n_b"))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          floor(VectorOps.cosineScore(VectorOps.dot_q(col("v_a"), col("v_b")),
+            col("n_a"), col("n_b")) * 1e6).cast(LongType).as("cos_q"))
+        .where(col("cos_q") >= 300000L)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+        cast(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1000000))) as bigint) AS nq
+        FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        cast(floor(cast(list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> floor(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE * 1000000))) as bigint)
+          / sqrt(a.nq::DOUBLE * b.nq::DOUBLE) * 1000000) as bigint) AS cos_q
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE floor(cast(list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> floor(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE * 1000000))) as bigint)
+          / sqrt(a.nq::DOUBLE * b.nq::DOUBLE) * 1000000) >= 300000"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }
