@@ -59,9 +59,9 @@ object Queries {
           count(lit(1)).as("count_order"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
-      sum(cast(floor(l_quantity) as bigint)) AS sum_qty,
-      sum(cast(floor(l_extendedprice*100) as bigint)) AS sum_base_cents,
-      sum(cast(floor(l_extendedprice*(1-l_discount)*100) as bigint)) AS sum_disc_cents,
+      cast(sum(cast(floor(l_quantity) as bigint)) AS BIGINT) AS sum_qty,
+      cast(sum(cast(floor(l_extendedprice*100) as bigint)) AS BIGINT) AS sum_base_cents,
+      cast(sum(cast(floor(l_extendedprice*(1-l_discount)*100) as bigint)) AS BIGINT) AS sum_disc_cents,
       count(*) AS count_order
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus"""))
@@ -85,7 +85,7 @@ object Queries {
           count(lit(1)).as("n_items"))
     },
     Some("""SELECT n_name,
-      sum(cast(floor(l_extendedprice*(1-l_discount)*100) as bigint)) AS revenue_cents,
+      cast(sum(cast(floor(l_extendedprice*(1-l_discount)*100) as bigint)) AS BIGINT) AS revenue_cents,
       count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -112,7 +112,7 @@ object Queries {
         .limit(10)
     },
     Some("""SELECT l_orderkey, epoch_us(o_orderdate) AS o_date_us,
-      sum(cast(floor(l_extendedprice*(1-l_discount)*100) as bigint)) AS revenue_cents
+      cast(sum(cast(floor(l_extendedprice*(1-l_discount)*100) as bigint)) AS BIGINT) AS revenue_cents
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING'
@@ -146,7 +146,7 @@ object Queries {
           countDistinct(col("l_partkey")).as("n_parts"))
     },
     Some("""SELECT p_type,
-      sum(cast(floor(l_extendedprice*(1-l_discount)*100) as bigint)) AS revenue_cents,
+      cast(sum(cast(floor(l_extendedprice*(1-l_discount)*100) as bigint)) AS BIGINT) AS revenue_cents,
       count(DISTINCT l_partkey) AS n_parts
       FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_type"""))
 
@@ -161,7 +161,7 @@ object Queries {
           .cast(LongType)).as("revenue_cents"),
           count(lit(1)).as("n_rows")),
     Some("""SELECT
-      sum(cast(floor(l_extendedprice*l_discount*100) as bigint)) AS revenue_cents,
+      cast(sum(cast(floor(l_extendedprice*l_discount*100) as bigint)) AS BIGINT) AS revenue_cents,
       count(*) AS n_rows FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -194,9 +194,9 @@ object Queries {
         sum(cents(col("value"))).over(w).as("run_cents"))
     },
     Some("""SELECT user_id, event_id,
-      sum(cast(floor(value*100) as bigint)) OVER
+      cast(sum(cast(floor(value*100) as bigint)) OVER
         (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
       FROM events"""))
 
   private val q09 = QueryDef("q09_event_gaps",
@@ -214,7 +214,7 @@ object Queries {
     Some("""WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us,
         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
       FROM events)
-      SELECT user_id, sum(ts_us - prev_us) AS sum_gap_us,
+      SELECT user_id, cast(sum(ts_us - prev_us) AS BIGINT) AS sum_gap_us,
         max(ts_us - prev_us) AS max_gap_us, count(*) AS n_gaps
       FROM g WHERE prev_us IS NOT NULL GROUP BY user_id"""))
 
@@ -230,7 +230,7 @@ object Queries {
       .select(col("event_type"), col("w_start"), col("n"), col("sum_cents")),
     Some("""SELECT event_type,
       (epoch_us(ts) // 3600000000) * 3600000000 AS w_start,
-      count(*) AS n, sum(cast(floor(value*100) as bigint)) AS sum_cents
+      count(*) AS n, cast(sum(cast(floor(value*100) as bigint)) AS BIGINT) AS sum_cents
       FROM events GROUP BY 1, 2"""))
 
   private val q11 = QueryDef("q11_sliding_1h_30m",
@@ -240,7 +240,7 @@ object Queries {
       .select(col("event_type"), col("w_start"), col("n"), col("sum_cents")),
     Some("""SELECT event_type,
       (epoch_us(ts) // 1800000000) * 1800000000 - k.k * 1800000000 AS w_start,
-      count(*) AS n, sum(cast(floor(value*100) as bigint)) AS sum_cents
+      count(*) AS n, cast(sum(cast(floor(value*100) as bigint)) AS BIGINT) AS sum_cents
       FROM events CROSS JOIN (VALUES (0), (1)) AS k(k) GROUP BY 1, 2"""))
 
   private val q12 = QueryDef("q12_session_windows",
@@ -256,7 +256,7 @@ object Queries {
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
       SELECT user_id, epoch_us(min(ts)) AS s_start,
         epoch_us(max(ts)) + 1800000000 AS s_end,
-        count(*) AS n, sum(cast(floor(value*100) as bigint)) AS sum_cents
+        count(*) AS n, cast(sum(cast(floor(value*100) as bigint)) AS BIGINT) AS sum_cents
       FROM i GROUP BY user_id, sid"""))
 
   private val q13 = QueryDef("q13_interval_join",
@@ -273,7 +273,7 @@ object Queries {
         .agg(count(lit(1)).as("n_pairs"), sum(cents(col("value"))).as("attributed_cents"))
     },
     Some("""SELECT v.user_id AS user_id, count(*) AS n_pairs,
-      sum(cast(floor(p.value*100) as bigint)) AS attributed_cents
+      cast(sum(cast(floor(p.value*100) as bigint)) AS BIGINT) AS attributed_cents
       FROM (SELECT user_id, ts FROM events WHERE event_type='view') v
       JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') p
       ON v.user_id = p.user_id AND p.ts > v.ts
@@ -314,8 +314,8 @@ object Queries {
           max(col("toks")).cast(LongType).as("max_tokens"))
     },
     Some("""SELECT lang, count(*) AS docs,
-      sum(len(regexp_extract_all(text, '\S+'))) AS sum_tokens,
-      sum(length(regexp_replace(text, '\s', '', 'g'))) AS sum_chars,
+      cast(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,
+      cast(sum(length(regexp_replace(text, '\s', '', 'g'))) AS BIGINT) AS sum_chars,
       max(len(regexp_extract_all(text, '\S+'))) AS max_tokens
       FROM documents GROUP BY lang"""))
 
@@ -336,8 +336,8 @@ object Queries {
         (CASE WHEN toks > 0 AND floor((chars*10)/toks) BETWEEN 30 AND 90 THEN 20 ELSE 0 END) +
         (CASE WHEN stop >= 2 THEN 20 ELSE 0 END) AS q
       FROM f)
-      SELECT source, count(*) AS docs, sum(q) AS sum_q,
-        sum(CASE WHEN q >= 60 THEN 1 ELSE 0 END) AS n_good
+      SELECT source, count(*) AS docs, cast(sum(q) AS BIGINT) AS sum_q,
+        cast(sum(CASE WHEN q >= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
       FROM q GROUP BY source"""))
 
   private val q18 = QueryDef("q18_langid_distribution",
@@ -453,7 +453,7 @@ object Queries {
   private val q24 = QueryDef("q24_label_centroids",
     (s, d) => Similarity.centroidSums(rd(s, d, "embeddings"), "label", "embedding"),
     Some("""SELECT label, u.i - 1 AS pos,
-      sum(cast(floor(embedding[u.i]::DOUBLE * 1000000) as bigint)) AS sum_q,
+      cast(sum(cast(floor(embedding[u.i]::DOUBLE * 1000000) as bigint)) AS BIGINT) AS sum_q,
       count(*) AS n
       FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
       GROUP BY 1, 2"""))
@@ -484,38 +484,74 @@ object Queries {
     Some("""WITH m AS (SELECT source, octet_length(encode(text)) AS nbytes,
         (octet_length(encode(text)) % 30) + 1 AS frames FROM documents),
       fr AS (SELECT source, nbytes, unnest(generate_series(0, frames - 1)) AS f FROM m)
-      SELECT source, count(*) AS n_frames, sum(nbytes) AS sum_bytes
+      SELECT source, count(*) AS n_frames, cast(sum(nbytes) AS BIGINT) AS sum_bytes
       FROM fr WHERE f % 10 = 0 GROUP BY source"""))
 
   // ==========================================================================
-  // Page-engine queries (engine-native over the deterministic generator;
-  // rows-only checks — the per-row invariant is covered by ScalaTest)
+  // Page-engine queries. q28/q29/q31 synthesize pages deterministically
+  // FROM the driver's events table (host = user_id, warc_ts = ts, html =
+  // a fixed template over event columns) so the full page pipeline —
+  // extract_html_text Catalyst expression included — is DuckDB-oracle
+  // checkable: the oracle mirrors the extraction's output text exactly.
   // ==========================================================================
 
   private def pageCfg = PageGenConfig(nPages = 20000L, nHosts = 50, parallelism = 16)
 
+  /** events → synthetic pages through the REAL extraction expression.
+    * Template exercises tag-collapse, &nbsp;/&amp; entities and script
+    * drop; extracted text is `"{event_type} user {user_id} & {event_id}"`
+    * which DuckDB reproduces as plain string concat. */
+  private def eventPages(s: SparkSession, d: String): DataFrame =
+    rd(s, d, "events").select(
+      col("user_id").cast(StringType).as("host"),
+      col("ts").cast(TimestampType).as("warc_ts"),
+      encode(concat(
+        lit("<html><body><h1>"), col("event_type"),
+        lit("</h1><p>user&nbsp;"), col("user_id").cast(StringType),
+        lit(" &amp; "), col("event_id").cast(StringType),
+        lit("</p><script>var x=1;</script></body></html>")), "UTF-8").as("html"))
+      .withColumn("text", extract_html_text(col("html")))
+
+  /** DuckDB mirror of [[eventPages]]'s extracted text. */
+  private val eventPagesSql =
+    """pg AS (SELECT cast(user_id AS VARCHAR) AS host, ts,
+      event_type || ' user ' || user_id || ' & ' || event_id AS text
+      FROM events)"""
+
   private val q28 = QueryDef("q28_page_sessions",
-    (s, _) => {
-      val pages = PageGen.rawPages(s, pageCfg)
-        .withColumn("text", extract_html_text(col("html")))
-      Windows.session(pages.toDF(), "warc_ts", "30 minutes",
+    (s, d) =>
+      Windows.session(eventPages(s, d), "warc_ts", "30 minutes",
         Seq(col("host")),
         Seq(count(lit(1)).as("n_pages"), sum(length(col("text"))).as("text_chars")))
-        .select(col("host"), col("s_start"), col("s_end"), col("n_pages"), col("text_chars"))
-    },
-    None)
+        .select(col("host"), col("s_start"), col("s_end"), col("n_pages"), col("text_chars")),
+    Some(s"""WITH $eventPagesSql,
+      g AS (SELECT host, ts, length(text) AS tlen, CASE WHEN
+        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY host ORDER BY ts ASC) >= 1800000000
+        OR lag(ts) OVER (PARTITION BY host ORDER BY ts ASC) IS NULL THEN 1 ELSE 0 END AS brk
+      FROM pg),
+      i AS (SELECT host, ts, tlen, sum(brk) OVER (PARTITION BY host ORDER BY ts ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+      SELECT host, epoch_us(min(ts)) AS s_start,
+        epoch_us(max(ts)) + 1800000000 AS s_end,
+        count(*) AS n_pages, cast(sum(tlen) AS BIGINT) AS text_chars
+      FROM i GROUP BY host, sid"""))
 
   private val q29 = QueryDef("q29_page_host_stats_salted",
-    (s, _) => {
-      val pages = PageGen.rawPages(s, pageCfg)
-        .withColumn("text", extract_html_text(col("html")))
-      SkewAgg.saltedAgg(pages.toDF(),
-        keys = Seq(col("host")), saltSrc = col("url"), buckets = 16,
+    (s, d) =>
+      // salted≡direct is the operator's contract (OperatorSpec); the
+      // oracle is therefore the plain unsalted GROUP BY
+      SkewAgg.saltedAgg(eventPages(s, d),
+        keys = Seq(col("host")), saltSrc = col("warc_ts"), buckets = 16,
         partial = Seq(count(lit(1)).as("c"), sum(length(col("text"))).as("tc")),
-        merge = Seq(sum(col("c")).as("n_pages"), sum(col("tc")).as("text_chars")))
-    },
-    None)
+        merge = Seq(sum(col("c")).as("n_pages"), sum(col("tc")).as("text_chars"))),
+    Some(s"""WITH $eventPagesSql
+      SELECT host, count(*) AS n_pages,
+        cast(sum(length(text)) AS BIGINT) AS text_chars
+      FROM pg GROUP BY host"""))
 
+  // generator-native corpus (PageGen language texts have no driver-table
+  // mirror) — rows-only here; langId itself is fully oracle-checked by
+  // q18 over documents, and accuracy ≥99% is asserted by PageGenSpec
   private val q30 = QueryDef("q30_page_lang_accuracy",
     (s, _) => {
       val pages = PageGen.genPages(s, pageCfg).toDF()
@@ -528,18 +564,26 @@ object Queries {
     None)
 
   private val q31 = QueryDef("q31_page_meta_join",
-    (s, _) => {
-      val pages = PageGen.rawPages(s, pageCfg).toDF()
-      val meta = PageGen.hostMeta(s, pageCfg).toDF()
-      // equi-join on host with a ±30 min event-time band — the batch
-      // mirror of the watermarked stream-stream join (StreamJoin)
+    (s, d) => {
+      // symmetric ±30 min event-time band join — the batch mirror of the
+      // watermarked stream-stream join (StreamJoin); pages × per-host meta
+      val pages = eventPages(s, d).select(col("host"), col("warc_ts"))
+      val meta = rd(s, d, "events").where(col("event_type") === "error")
+        .select(col("user_id").cast(StringType).as("host"),
+          col("ts").cast(TimestampType).as("meta_ts"))
       pages.join(meta, Seq("host"))
         .where(abs(epochUs(col("warc_ts")) - epochUs(col("meta_ts"))) <=
           lit(1800L * 1000000L))
-        .groupBy(col("host"), col("category"))
+        .groupBy(col("host"))
         .agg(count(lit(1)).as("n_matched"))
     },
-    None)
+    Some(s"""WITH $eventPagesSql,
+      meta AS (SELECT cast(user_id AS VARCHAR) AS host, ts AS meta_ts
+        FROM events WHERE event_type = 'error')
+      SELECT pg.host AS host, count(*) AS n_matched
+      FROM pg JOIN meta ON pg.host = meta.host
+      WHERE abs(epoch_us(pg.ts) - epoch_us(meta_ts)) <= 1800000000
+      GROUP BY pg.host"""))
 
   // ==========================================================================
   // Topology plane: tiling fan-out/recombine, grouped batches, DRPC, union
@@ -602,7 +646,7 @@ object Queries {
         .groupBy(col("user_id"), col("src"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents"))
     },
-    Some("""SELECT user_id, src, count(*) AS n, sum(v) AS sum_cents FROM (
+    Some("""SELECT user_id, src, count(*) AS n, cast(sum(v) AS BIGINT) AS sum_cents FROM (
         SELECT user_id, 'c' AS src, cast(floor(value*100) as bigint) AS v
           FROM events WHERE event_type = 'click'
         UNION ALL
@@ -650,7 +694,7 @@ object Queries {
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
       SELECT user_id, epoch_us(min(ts)) AS s_start,
         epoch_us(max(ts)) + 1800000000 AS s_end,
-        count(*) AS n, sum(cast(floor(value*100) as bigint)) AS sum_cents
+        count(*) AS n, cast(sum(cast(floor(value*100) as bigint)) AS BIGINT) AS sum_cents
       FROM i GROUP BY user_id, sid"""))
 
   // ColorHistogramOp analog (reference `operation/ColorHistogramOp.java`):

@@ -69,6 +69,12 @@ def main():
         dc, dr = canon(dcols, drows)
         if sc != dc:
             print(f"{name}: SCHEMA MISMATCH spark={sc} duck={dc}"); n_fail += 1; continue
+        # driver's hasher is TYPE-sensitive (HUGEINT != BIGINT): compare
+        # the DuckDB-visible column types too, sorted by column name
+        stypes = sorted(zip(scols, [d[1] for d in sres.description]))
+        dtypes = sorted(zip(dcols, [d[1] for d in dres.description]))
+        if stypes != dtypes:
+            print(f"{name}: TYPE MISMATCH spark={stypes} duck={dtypes}"); n_fail += 1; continue
         if sr == dr:
             print(f"{name}: OK ({len(sr)} rows)"); n_pass += 1
         else:
