@@ -29,7 +29,11 @@ import graft.streaming._
 object PagePipelineApp {
 
   def main(args: Array[String]): Unit = {
-    val a = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    // valueless flags are parsed separately: pairing them positionally
+    // would shift every later key/value option
+    val flags = Set("--join-meta")
+    val a = args.filterNot(flags.contains)
+      .sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val nPages = a.getOrElse("--pages", "1000000").toLong
     val nHosts = a.getOrElse("--hosts", "1000").toInt
     val rate = a.getOrElse("--rate", "20000").toLong

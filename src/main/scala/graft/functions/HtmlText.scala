@@ -61,8 +61,14 @@ object HtmlText {
     var pendingSpace = false // collapse whitespace runs
     var emitted = false      // suppress leading whitespace
 
+    // spec whitespace class (rule 1): 0x09..0x0D, 0x20, U+00A0 -- NOT
+    // Character.isWhitespace, which also accepts 0x1C..0x1F/U+2028 and
+    // would diverge from the byte-level path
+    def isSpecWs(c: Char): Boolean =
+      c == ' ' || (c >= '\u0009' && c <= '\u000D') || c == '\u00A0'
+
     def emit(c: Char): Unit = {
-      if (c == ' ' || Character.isWhitespace(c) || c == '\u00A0') {
+      if (isSpecWs(c)) {
         pendingSpace = true
       } else {
         if (pendingSpace && emitted) out.append(' ')
@@ -84,9 +90,10 @@ object HtmlText {
       while (j < n) {
         if (html.charAt(j) == '<' && matchesIgnoreCase(close, j)) {
           val after = j + close.length
-          // allow whitespace then '>'
+          // allow whitespace then '>' (byte-path parity: 0x09..0x0D, 0x20)
           var k = after
-          while (k < n && Character.isWhitespace(html.charAt(k))) k += 1
+          while (k < n && (html.charAt(k) == ' ' ||
+            (html.charAt(k) >= '\u0009' && html.charAt(k) <= '\u000D'))) k += 1
           if (k < n && html.charAt(k) == '>') return k + 1
           if (k >= n) return n
         }

@@ -132,11 +132,17 @@ object HtmlTextBytes {
         val dec = decodeEntity(in, i)
         if (dec == null) { emitByte('&'); i += 1 }
         else {
+          // decoded bytes go through the same whitespace classifier as
+          // literal input: &#9;/&#10;/&#32;/&#160; all collapse to one
+          // space exactly like their literal forms (spec rule 6)
           var k = 0
-          while (k < dec.bytes.length) {
-            val b = dec.bytes(k)
-            if (b == ' ') emitSpace() else emitByte(b)
-            k += 1
+          val bs = dec.bytes
+          while (k < bs.length) {
+            val b = bs(k)
+            if (isWs(b)) { emitSpace(); k += 1 }
+            else if (b == 0xC2.toByte && k + 1 < bs.length &&
+              bs(k + 1) == 0xA0.toByte) { emitSpace(); k += 2 }
+            else { emitByte(b); k += 1 }
           }
           i = dec.next
         }

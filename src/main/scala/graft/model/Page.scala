@@ -60,8 +60,10 @@ object TsUtil {
   def toUs(t: Timestamp): Long =
     (t.getTime - t.getNanos / 1000000L) * 1000L + t.getNanos / 1000L
   def fromUs(us: Long): Timestamp = {
-    val t = new Timestamp(us / 1000000L * 1000L)
-    t.setNanos((us % 1000000L).toInt * 1000)
+    // floorDiv/floorMod: for pre-1970 (negative) micros, `/` truncates
+    // toward zero and `%` goes negative, which setNanos rejects
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
     t
   }
 }

@@ -57,10 +57,18 @@ case class QuantizedDot(left: Expression, right: Expression) extends BinaryExpre
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_q"
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == ArrayType(FloatType, false) ||
-      left.dataType == ArrayType(FloatType, true)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"dot_q requires array<float>, got ${left.dataType}")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    // both children must be float arrays: getFloat on a double-backed
+    // ArrayData would silently read wrong bytes, not fail
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_q requires (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

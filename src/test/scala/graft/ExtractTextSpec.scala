@@ -28,6 +28,17 @@ class ExtractTextSpec extends AnyFunSuite {
     assert(x("price &euro;5 & more") == "price &euro;5 & more")
     assert(x("x&nbsp;y") == "x y")
   }
+  test("numeric whitespace entities collapse like literal whitespace") {
+    assert(x("a&#9;b") == "a b")     // tab
+    assert(x("a&#10;b") == "a b")    // newline
+    assert(x("a&#13;&#10;b") == "a b")
+    assert(x("a&#32;&#32;b") == "a b")
+    assert(x("a&#160;b") == "a b")   // NBSP via numeric ref
+    assert(x("a&#xA0;b") == "a b")
+    assert(x("&#9;a&#10;") == "a")   // trimmed
+    // U+2028 LS is NOT in the spec whitespace class: literal content
+    assert(x("a&#8232;b") == "a b")
+  }
   test("whitespace collapses; trimmed") {
     assert(x("  a \n\t b  ") == "a b")
     assert(x("<div>\n  <p> a </p>\n</div>") == "a")
@@ -43,7 +54,8 @@ class ExtractTextSpec extends AnyFunSuite {
     val frags = Array("<p>", "</p>", "word", "&amp;", " ", "&#65;", "x", "\u00e9",
       "<b>x</b>", "<!--c-->", "<script>s</script>", "<", ">", "&", "\n", "\t",
       "&nbsp;", "&#x1F600;", "&#xD800;", "&bogus;", "&#;", "<style>p{}</style>",
-      "<NOSCRIPT>n</noscript>", "<div class=x>", "—", "&#8212;", "  ")
+      "<NOSCRIPT>n</noscript>", "<div class=x>", "—", "&#8212;", "  ",
+      "&#9;", "&#10;", "&#160;", "&#xA0;", "&#8232;", " ")
     var caseI = 0
     while (caseI < 5000) {
       val len = (graft.sources.PageGen.rnd(11L, 0, caseI) >>> 1).toInt % 40
