@@ -1,11 +1,11 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /**
  * Idempotent exactly-once `foreachBatch` sink: partitioned Parquet plus an
@@ -17,35 +17,60 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
  * (`spout/CVParticleSpout.java:74-81,129-141`) — replays could duplicate
  * downstream effects. Here re-delivery is *detected*: Structured
  * Streaming may re-run a batch after restart, but a batch's epoch id is
- * recorded in the manifest atomically (write-temp + rename, same-dir so
- * the rename is atomic on POSIX and HDFS), and a re-delivered epoch is
- * skipped. Readers only see data whose manifest entry exists ⇒ snapshot
- * isolation over committed epochs.
+ * recorded in the manifest atomically (write-temp + same-dir rename), and
+ * a re-delivered epoch is skipped. Readers only see data whose manifest
+ * entry exists ⇒ snapshot isolation over committed epochs.
+ *
+ * All manifest I/O goes through the Hadoop `FileSystem` API, so the table
+ * can live on any Hadoop-supported store (`file://`, `hdfs://`, …) — the
+ * transposition of the reference's pluggable connector plane
+ * (`util/connector/ConnectorHolder.java:45-52`, `S3Connector.java`,
+ * `FtpConnector.java`): where StormCV ships one connector class per
+ * scheme, Hadoop's registry resolves the scheme from the URI.
+ *
+ * Object-store caveat (documented, as HDFS/POSIX semantics do NOT carry
+ * over): on S3-style stores a "rename" is copy+delete — not atomic. There,
+ * commit via a conditional PUT of the final manifest key instead
+ * (S3A's create-with-overwrite=false maps to If-None-Match on recent
+ * Hadoop), or front the manifest with a small transactional store. The
+ * epoch protocol itself is unchanged — only the single "publish manifest
+ * entry" primitive needs to be atomic.
  *
  * Layout:
  *   table/
  *     data/epoch=<batchId>/part-*.parquet   (per-epoch lineage)
  *     _manifest/epoch-<batchId>.json        (commit record, atomic)
  *
- * Per-partition lineage: the manifest records the epoch's source offsets
- * and row count; data files are grouped per epoch directory, so any epoch
- * can be audited or replayed independently.
+ * Per-partition lineage: the manifest records the epoch's row count; data
+ * files are grouped per epoch directory, so any epoch can be audited or
+ * replayed independently.
  */
 class ExactlyOnceSink(tableDir: String) extends Serializable {
 
-  private def manifestDir: Path = Paths.get(tableDir, "_manifest")
+  private def manifestDir: Path = new Path(tableDir, "_manifest")
   private def epochManifest(batchId: Long): Path =
-    manifestDir.resolve(f"epoch-$batchId%010d.json")
+    new Path(manifestDir, f"epoch-$batchId%010d.json")
 
-  def committed(batchId: Long): Boolean = Files.exists(epochManifest(batchId))
+  /** Driver-side FS handle for the table's scheme (foreachBatch runs on
+    * the driver; executors never touch the manifest). */
+  private def fs(): FileSystem = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+    manifestDir.getFileSystem(conf)
+  }
 
-  def committedEpochs(): Seq[Long] =
-    if (!Files.exists(manifestDir)) Nil
-    else Files.list(manifestDir).iterator().asScala
-      .map(_.getFileName.toString)
+  def committed(batchId: Long): Boolean = fs().exists(epochManifest(batchId))
+
+  def committedEpochs(): Seq[Long] = {
+    val f = fs()
+    if (!f.exists(manifestDir)) Nil
+    else f.listStatus(manifestDir).toSeq
+      .map(_.getPath.getName)
       .collect { case s if s.startsWith("epoch-") && s.endsWith(".json") =>
         s.stripPrefix("epoch-").stripSuffix(".json").toLong }
-      .toSeq.sorted
+      .sorted
+  }
 
   /** The foreachBatch function. Safe under re-delivery of any batchId. */
   def write(df: DataFrame, batchId: Long): Unit = {
@@ -58,22 +83,21 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
     // overwrite handles a partially-written, uncommitted previous attempt
     df.write.mode(SaveMode.Overwrite).parquet(dataPath)
     df.unpersist()
-    Files.createDirectories(manifestDir)
-    val tmp = manifestDir.resolve(s".epoch-$batchId.json.tmp")
+    val f = fs()
+    f.mkdirs(manifestDir)
+    val tmp = new Path(manifestDir, s".epoch-$batchId.json.tmp")
     val body =
       s"""{"epoch": $batchId, "rows": $count, "committed_at_batch": $batchId,
          | "data_path": "data/epoch=$batchId"}""".stripMargin
-    Files.write(tmp, body.getBytes(UTF_8))
-    try Files.move(tmp, epochManifest(batchId),
-      StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      // a concurrent/duplicate commit of the same epoch won the race: fine
-      case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
-    }
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    // same-dir rename: atomic on POSIX and HDFS; returns false if the
+    // destination exists (a concurrent duplicate commit won the race)
+    if (!f.rename(tmp, epochManifest(batchId))) f.delete(tmp, false)
   }
 
   /** Read back only committed epochs (snapshot over the manifest). */
-  def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  def read(spark: SparkSession): DataFrame = {
     val epochs = committedEpochs()
     if (epochs.isEmpty)
       throw new IllegalStateException(s"no committed epochs in $tableDir")

@@ -25,6 +25,18 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     assert(back.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
   }
 
+  test("manifest I/O works through an explicit file:// URI (Hadoop FS routing)") {
+    import spark.implicits._
+    val dir = "file://" + Files.createTempDirectory("eos3").toString
+    val sink = new ExactlyOnceSink(dir)
+    sink.write(Seq((1, "a")).toDF("id", "v"), 0L)
+    sink.write(Seq((2, "b")).toDF("id", "v"), 1L)
+    sink.write(Seq((9, "dup")).toDF("id", "v"), 0L) // re-delivery: no-op
+    assert(sink.committedEpochs() == Seq(0L, 1L))
+    val back = sink.read(spark).orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(back.toSeq == Seq((1, "a"), (2, "b")))
+  }
+
   test("uncommitted partial data is invisible and safely overwritten") {
     import spark.implicits._
     val dir = Files.createTempDirectory("eos2").toString
