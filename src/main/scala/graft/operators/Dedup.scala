@@ -51,21 +51,58 @@ object Dedup {
   }
 
   /**
+   * Shingles with a document-frequency cap: shingles present in more than
+   * `maxDf` documents are dropped (`maxDf <= 0` disables the cap).
+   *
+   * This is the feature that makes shingle self-joins survive real web
+   * data: one stopword shingle shared by 10^6 docs would contribute 10^12
+   * join rows. Capped shingles bound the per-key fan-out of every
+   * downstream equi-join to `maxDf²` — cost control, with the standard
+   * recall argument that ubiquitous shingles carry no near-dup signal.
+   * Jaccard is then defined over the capped shingle universe (both set
+   * sizes and intersections), so results stay internally consistent and
+   * oracle-reproducible.
+   */
+  def cappedShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+      maxDf: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    if (maxDf <= 0) sh
+    else {
+      // the hot set is tiny (only shingles with df > cap) — anti-join
+      // against it is a broadcast under AQE
+      val hot = sh.groupBy($"shingle").agg(count(lit(1)).as("df_cnt"))
+        .where($"df_cnt" > maxDf).select($"shingle")
+      sh.join(hot, Seq("shingle"), "left_anti")
+    }
+  }
+
+  /** Quantized Jaccard from a per-pair intersection count + per-doc sizes. */
+  private def jaccardFromInter(inter: DataFrame, sizes: DataFrame, idCol: String,
+      minJaccQ: Int): DataFrame =
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), $"sz".as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), $"sz".as("sz_b")), "id_b")
+      .select($"id_a", $"id_b",
+        floor(lit(1000) * $"inter" / ($"sz_a" + $"sz_b" - $"inter")).cast(LongType).as("jacc_q"))
+      .where($"jacc_q" >= minJaccQ)
+
+  /**
    * N-gram Jaccard near-duplicate pairs with quantized similarity
    * `jacc_q = floor(1000 * |A∩B| / |A∪B|) ≥ minJaccQ`.
    *
    * Plan shape: shingle-explode → self-equi-join on shingle (hash shuffle
    * on the shingle, NOT on the pair) → count intersections per pair →
    * join per-doc set sizes. The equi-join on shingle keys is what keeps
-   * this from being a cross join at scale; very frequent shingles should
-   * be capped upstream (stopword shingles explode pair counts).
+   * this from being a cross join at scale; `maxDf` caps per-shingle
+   * fan-out (see [[cappedShingles]]) so a single hot shingle cannot turn
+   * the self-join quadratic.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccQ: Int = 500): DataFrame = {
+      n: Int = 3, minJaccQ: Int = 500, maxDf: Int = 0): DataFrame = {
     // no .cache() here: a library operator must not pin executor memory
     // behind the caller's back; the shuffle files of the shingle exchange
     // are reused by Spark for the two consumers (sizes + inter)
-    val sh = shingles(df, idCol, textCol, n)
+    val sh = cappedShingles(df, idCol, textCol, n, maxDf)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), $"shingle")
     val b = sh.select(col(idCol).as("id_b"), $"shingle")
@@ -73,12 +110,7 @@ object Dedup {
       .where($"id_a" < $"id_b")
       .groupBy($"id_a", $"id_b")
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), $"sz".as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), $"sz".as("sz_b")), "id_b")
-      .select($"id_a", $"id_b",
-        floor(lit(1000) * $"inter" / ($"sz_a" + $"sz_b" - $"inter")).cast(LongType).as("jacc_q"))
-      .where($"jacc_q" >= minJaccQ)
+    jaccardFromInter(inter, sizes, idCol, minJaccQ)
   }
 
   /**
@@ -88,8 +120,11 @@ object Dedup {
    * signature ⇒ candidate bucket). One (id, band, sig) row per band.
    */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 8): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+      n: Int = 3, bands: Int = 8): DataFrame =
+    minhashBandsFromShingles(shingles(df, idCol, textCol, n), idCol, bands)
+
+  /** [[minhashBands]] over an existing (id, shingle) set. */
+  def minhashBandsFromShingles(sh: DataFrame, idCol: String, bands: Int): DataFrame = {
     val bandCols = explode(sequence(lit(0), lit(bands - 1))).as("band")
     sh.select(col(idCol), $"shingle", bandCols)
       .groupBy(col(idCol), $"band")
@@ -104,37 +139,64 @@ object Dedup {
    * compared, so cost is driven by bucket collision rate, not |docs|².
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 8, minJaccQ: Int = 500): DataFrame = {
-    val mh = minhashBands(df, idCol, textCol, n, bands)
+      n: Int = 3, bands: Int = 8, minJaccQ: Int = 500, maxDf: Int = 0): DataFrame = {
+    val sh = cappedShingles(df, idCol, textCol, n, maxDf)
+    val mh = minhashBandsFromShingles(sh, idCol, bands)
     val l = mh.select($"band", $"sig", col(idCol).as("id_a"))
     val r = mh.select($"band", $"sig", col(idCol).as("id_b"))
     val cands = l.join(r, Seq("band", "sig"))
       .where($"id_a" < $"id_b")
       .select($"id_a", $"id_b").distinct()
-    val verified = ngramJaccardPairs(
-      df.join(cands.select(explode(array($"id_a", $"id_b")).as(idCol)).distinct(), idCol),
-      idCol, textCol, n, minJaccQ)
-    cands.join(verified, Seq("id_a", "id_b"))
+    // verification is constrained to the candidate PAIRS (not all-pairs
+    // among candidate-involved docs): route the shingle-intersection join
+    // through cands, so each candidate doc is only compared against its
+    // bucket-mates — |cands| · avg-set-size work, independent of how many
+    // other candidates exist
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.select(col(idCol).as("id_a"), $"shingle"), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), $"shingle"), Seq("id_b", "shingle"))
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("inter"))
+    jaccardFromInter(inter, sizes, idCol, minJaccQ)
   }
 
   /**
-   * SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) ≤ maxDist.
-   * Bucket by the low 16 bits to avoid the full cross join (near-dups
-   * usually share low bits; for guaranteed recall use 4 rotated prefixes).
+   * SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) ≤ maxDist,
+   * by the block-permuted table scheme (Manku et al., WWW'07 §3): the 64
+   * signature bits split into `nBlocks` equal blocks; a pair within
+   * hamming `k` differs in at most k blocks, so it agrees exactly on at
+   * least one of the C(nBlocks, nBlocks−k) block subsets. One table per
+   * subset, keyed on that subset's concatenated bits — a bucket equi-join,
+   * never a cross join.
+   *
+   * `nBlocks` is the scale knob: key width = 64·(1 − k/nBlocks) bits.
+   *   nBlocks=4, k=3 → 4 tables × 16-bit keys (fine to ~10^7 docs);
+   *   nBlocks=8, k=3 → 56 tables × 40-bit keys (10^9+ docs: expected
+   *   bucket occupancy |docs|/2^40, at the price of 56 probe rows/doc).
+   * Use [[simhashBlocksForCorpus]] to derive it from the corpus size.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, nBlocks: Int = 4): DataFrame = {
+    require(nBlocks > maxDist && nBlocks <= 64 && 64 % nBlocks == 0,
+      s"need 64 % nBlocks == 0 and nBlocks > maxDist; got nBlocks=$nBlocks maxDist=$maxDist")
+    val w = 64 / nBlocks
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val subsets = (0 until nBlocks).combinations(nBlocks - maxDist).toSeq
     val withSig = df.select(col(idCol), TextAnalysis.simhash64(col(textCol)).as("sig"))
-    // 4-block decomposition (Manku et al.): any pair within hamming k=3
-    // agrees exactly on ≥1 of 4 16-bit blocks — bucket join per block.
-    val blocks = withSig.select(col(idCol), $"sig",
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("blk"), shiftrightunsigned($"sig", b * 16)
-          .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
-      .select(col(idCol), $"sig", $"bk.blk".as("blk"), $"bk.key".as("key"))
-    val l = blocks.select($"blk", $"key", col(idCol).as("id_a"), $"sig".as("sig_a"))
-    val r = blocks.select($"blk", $"key", col(idCol).as("id_b"), $"sig".as("sig_b"))
-    l.join(r, Seq("blk", "key"))
+    val keyExprs = subsets.zipWithIndex.map { case (blks, t) =>
+      val key = blks.zipWithIndex
+        .map { case (b, j) =>
+          shiftleft(shiftrightunsigned($"sig", b * w).bitwiseAND(lit(mask)), j * w) }
+        .reduce(_ bitwiseOR _)
+      struct(lit(t).as("tbl"), key.as("key"))
+    }
+    val blocks = withSig
+      .select(col(idCol), $"sig", explode(array(keyExprs: _*)).as("bk"))
+      .select(col(idCol), $"sig", $"bk.tbl".as("tbl"), $"bk.key".as("key"))
+    val l = blocks.select($"tbl", $"key", col(idCol).as("id_a"), $"sig".as("sig_a"))
+    val r = blocks.select($"tbl", $"key", col(idCol).as("id_b"), $"sig".as("sig_b"))
+    l.join(r, Seq("tbl", "key"))
       .where($"id_a" < $"id_b")
       .select($"id_a", $"id_b",
         TextAnalysis.hamming64($"sig_a", $"sig_b").as("dist"))
@@ -143,9 +205,41 @@ object Dedup {
   }
 
   /**
+   * Smallest valid `nBlocks` whose bucket-key width keeps the expected
+   * bucket occupancy ≤ `targetPerBucket` for an `nDocs`-row corpus:
+   * occupancy ≈ nDocs / 2^keyWidth with keyWidth = 64·(1 − k/nBlocks).
+   * Returns a divisor of 64; caps at 16 blocks (beyond that the table
+   * count C(nBlocks, k) dominates the cost instead).
+   */
+  def simhashBlocksForCorpus(nDocs: Long, maxDist: Int = 3,
+      targetPerBucket: Long = 1024L): Int = {
+    val needBits = math.ceil(math.log(math.max(1.0, nDocs.toDouble / targetPerBucket)) /
+      math.log(2.0)).toInt
+    Seq(2, 4, 8, 16).filter(_ > maxDist)
+      .find(b => 64 * (b - maxDist) / b >= needBits)
+      .getOrElse(16)
+  }
+
+  /**
+   * Hyperplane count for [[embeddingNearDupPairs]]/ANN bucketing sized to
+   * the corpus: 2^nPlanes buckets with expected occupancy ≤
+   * `targetPerBucket` (in-bucket verification is quadratic, so occupancy —
+   * not bucket count — is the scale limit). Clamped to [8, 30].
+   */
+  def nPlanesForCorpus(nRows: Long, targetPerBucket: Long = 256L): Int = {
+    val need = math.ceil(math.log(math.max(1.0, nRows.toDouble / targetPerBucket)) /
+      math.log(2.0)).toInt
+    math.max(8, math.min(30, need))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs: quantized cosine ≥ minCosQ/1e6.
    * LSH-bucket prefilter (sign random projections) keeps the join keyed;
    * exact quantized verification inside buckets.
+   *
+   * `nPlanes` must grow with the corpus (fixed plane counts go quadratic:
+   * 2^8 buckets over 10^9 vectors is ~4M/bucket) — derive it with
+   * [[nPlanesForCorpus]].
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosQ: Long = 950000L, nPlanes: Int = 12): DataFrame = {

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** The scale levers of the dedup family: df caps, block-permuted SimHash
+  * width, corpus-derived LSH parameters. */
+class DedupScaleSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(sf("sf0.001/documents.parquet")).cache()
+
+  // long boilerplate (22 hot shingles in EVERY doc) appended to a short
+  // slice of each doc's real text — the classic web footer shape
+  private val boiler = " copyright footer boilerplate all rights reserved " +
+    "terms of service privacy policy cookie notice contact us follow our " +
+    "newsletter subscribe for updates twenty twenty six"
+
+  test("df cap prunes hot-shingle-only pairs but keeps true near-dups") {
+    import spark.implicits._
+    val base = docs.where($"doc_id" < 40)
+      .select($"doc_id", concat(substring($"text", 1, 60), lit(boiler)).as("text"))
+    val twin = base.where($"doc_id" === 0)
+      .select(($"doc_id" + 900).as("doc_id"), concat($"text", lit(" x")).as("text"))
+    val corpus = base.union(twin)
+
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, minJaccQ = 500, maxDf = 5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the planted twin pair survives (its shingles are rare)...
+    assert(capped.contains((0L, 900L)), s"twin lost under cap: $capped")
+    // ...and the all-pairs boilerplate clique (41 docs -> 820 pairs) is
+    // gone: only genuine content overlaps remain
+    assert(capped.size <= 5, s"boilerplate pairs leaked through the cap: $capped")
+
+    // sanity: UNcapped, the boilerplate links every doc to every other doc
+    // at high jaccard — the quadratic blowup the cap exists to prevent
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, minJaccQ = 300, maxDf = 0).count()
+    assert(uncapped > 100, s"hot shingles should link many pairs uncapped: $uncapped")
+  }
+
+  test("minhash LSH with df cap still recalls planted near-dups") {
+    import spark.implicits._
+    val base = docs.where($"doc_id" < 40)
+      .select($"doc_id", concat(substring($"text", 1, 60), lit(boiler)).as("text"))
+    val twins = base.where($"doc_id" < 5)
+      .select(($"doc_id" + 900).as("doc_id"), concat($"text", lit(" x")).as("text"))
+    val pairs = Dedup.minhashLshPairs(base.union(twins), "doc_id", "text",
+      n = 3, bands = 8, minJaccQ = 700, maxDf = 5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 900L)), s"twin $i missing: $pairs")
+    }
+  }
+
+  test("block-permuted simhash: 8-block tables find exactly the 4-block pair set") {
+    import spark.implicits._
+    val corpus = docs.where($"doc_id" < 60).select($"doc_id", $"text")
+      .union(docs.where($"doc_id" < 10)
+        .select(($"doc_id" + 900).as("doc_id"), concat($"text", lit(" zz")).as("text")))
+    def pairSet(nBlocks: Int) =
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3, nBlocks = nBlocks)
+        .select($"id_a", $"id_b", $"dist".cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // both configurations guarantee full recall at hamming <= 3, so the
+    // filtered pair sets are identical — only the bucket-key width (and
+    // thus in-bucket cost) differs
+    val p4 = pairSet(4)
+    val p8 = pairSet(8)
+    assert(p4 == p8, s"4-block=${p4.size} vs 8-block=${p8.size}")
+  }
+
+  test("corpus-derived parameters grow with corpus size") {
+    // SimHash: 16-bit keys fine at 10^6, wider keys demanded at 10^9+
+    assert(Dedup.simhashBlocksForCorpus(1000000L, 3) == 4)
+    assert(Dedup.simhashBlocksForCorpus(2000000000L, 3) == 8)
+    // key width must be monotonically non-decreasing in corpus size
+    val widths = Seq(1e4, 1e6, 1e8, 1e10, 1e12).map(n =>
+      Dedup.simhashBlocksForCorpus(n.toLong, 3))
+    assert(widths == widths.sorted)
+    // embedding LSH planes: 2^planes buckets track corpus / targetPerBucket
+    assert(Dedup.nPlanesForCorpus(1000L) == 8)         // floor
+    assert(Dedup.nPlanesForCorpus(1000000000L) == 22)  // 1e9/256 = 2^22ish
+    assert(Dedup.nPlanesForCorpus(Long.MaxValue / 2) == 30) // ceiling
+    val planes = Seq(1e4, 1e6, 1e8, 1e10).map(n => Dedup.nPlanesForCorpus(n.toLong))
+    assert(planes == planes.sorted)
+  }
+}
