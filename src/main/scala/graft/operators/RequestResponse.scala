@@ -43,10 +43,8 @@ object RequestResponse {
     val scored = hits.join(broadcast(qSize), Seq("request_id"))
       .select(col("request_id"), col("doc_id"),
         floor(lit(1000) * col("inter") / col("q_sz")).cast(LongType).as("score_q"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("request_id"))
-      .orderBy(col("score_q").desc, col("doc_id").asc)
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+    // per-request barrier agg (BatchBolt analog): bounded partial top-k
+    TopK.perKey(scored, "request_id", "doc_id", "score_q", k, "doc_id", "score_q")
   }
 
   /**

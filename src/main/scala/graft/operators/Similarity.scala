@@ -47,8 +47,9 @@ object Similarity {
       .select($"query_id", $"corpus_id",
         floor(VectorOps.cosineScore(VectorOps.dot_q($"qv", $"cv"), $"qn", $"cn") * 1e6)
           .cast(LongType).as("cos_q"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos_q".desc, $"corpus_id".asc)
-    scored.withColumn("rk", row_number().over(w)).where($"rk" <= k)
+    // bounded-heap partial top-k (TopK aggregator): only ≤ k rows per
+    // (partition, query) cross the shuffle — not the |Q|·|C| cross product
+    TopK.perKey(scored, "query_id", "corpus_id", "cos_q", k, "corpus_id", "cos_q")
   }
 
   /**
@@ -79,8 +80,7 @@ object Similarity {
         floor(VectorOps.cosineScore(VectorOps.dot_q($"qv", $"cv"), $"qn", $"cn") * 1e6)
           .cast(LongType).as("cos_q"))
       .groupBy($"query_id", $"corpus_id").agg(max($"cos_q").as("cos_q")) // dedup multi-probe hits
-    val w = Window.partitionBy($"query_id").orderBy($"cos_q".desc, $"corpus_id".asc)
-    scored.withColumn("rk", row_number().over(w)).where($"rk" <= k)
+    TopK.perKey(scored, "query_id", "corpus_id", "cos_q", k, "corpus_id", "cos_q")
   }
 
   /** Per-label quantized centroid sums: (label, pos, sum_q, n). Exact. */

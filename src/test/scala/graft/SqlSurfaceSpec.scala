@@ -24,6 +24,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getString(0) == "a & b")
   }
 
+  test("top_k aggregator registers as a SQL UDAF with partial aggregation") {
+    import spark.implicits._
+    graft.operators.TopK.registerSql(spark, 2)
+    Seq((1L, 10L, 5L), (1L, 11L, 9L), (1L, 12L, 9L), (1L, 13L, 1L), (2L, 20L, 7L))
+      .toDF("k", "id", "score").createOrReplaceTempView("scores")
+    val rows = spark.sql(
+      "SELECT k, top_k_2(id, score) AS top FROM scores GROUP BY k ORDER BY k")
+      .collect()
+    val top1 = rows(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getLong(0), r.getLong(1)))
+    // score DESC, id ASC tie-break: (11,9) before (12,9); (10,5) cut at k=2
+    assert(top1 == Seq((11L, 9L), (12L, 9L)), s"got $top1")
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(20L))
+    // the physical plan must reduce partially before the exchange
+    val plan = spark.sql("SELECT k, top_k_2(id, score) FROM scores GROUP BY k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected object/sort aggregate with partial merge:\n$plan")
+  }
+
   test("simhash64 / min_rolling_hash / dot_q / lsh_bucket callable from SQL") {
     val r = spark.sql(
       """SELECT simhash64('a b c') AS sh,
