@@ -22,6 +22,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // warm-up: session/codegen/scan initialization lands on a throwaway
+    // query so the first timed query isn't charged ~4s of JVM warm-up
+    try Queries.all.head.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
     val results = Queries.all.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -369,15 +369,22 @@ object Queries {
       count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS n_fp,
       count(*) AS docs FROM documents GROUP BY source"""))
 
-  private val q20 = QueryDef("q20_ngram_jaccard_pairs",
-    (s, d) => Dedup.ngramJaccardPairs(rd(s, d, "documents"), "doc_id", "text",
-      n = 3, minJaccQ = 500)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jacc_q")),
-    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+  // the shared shingle pipeline of q20/q21's oracles, WITH the df cap the
+  // operators apply (shingles in > 50 docs dropped before any join)
+  private val cappedShinglesSql =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
         FROM documents),
-      sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+      sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
         generate_series(1, greatest(len(ts)-2, 0)),
         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle FROM toks),
+      keepsh AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 50),
+      sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keepsh USING (shingle))"""
+
+  private val q20 = QueryDef("q20_ngram_jaccard_pairs",
+    (s, d) => Dedup.ngramJaccardPairs(rd(s, d, "documents"), "doc_id", "text",
+      n = 3, minJaccQ = 500, maxDf = 50)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jacc_q")),
+    Some(s"""WITH $cappedShinglesSql,
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -389,13 +396,9 @@ object Queries {
 
   private val q21 = QueryDef("q21_minhash_lsh_pairs",
     (s, d) => Dedup.minhashLshPairs(rd(s, d, "documents"), "doc_id", "text",
-      n = 3, bands = 8, minJaccQ = 500)
+      n = 3, bands = 8, minJaccQ = 500, maxDf = 50)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jacc_q")),
-    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
-        FROM documents),
-      sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
-        generate_series(1, greatest(len(ts)-2, 0)),
-        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle FROM toks),
+    Some(s"""WITH $cappedShinglesSql,
       mh AS (SELECT doc_id, b.band, min(md5(shingle || '|' || b.band)) AS sig
         FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b
         GROUP BY doc_id, b.band),
@@ -746,8 +749,33 @@ object Queries {
           i -> floor(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE * 1000000))) as bigint)
           / sqrt(a.nq::DOUBLE * b.nq::DOUBLE) * 1000000) >= 300000"""))
 
+  // batch mirror of the streaming ingest dedup (StreamDedup.byFingerprint):
+  // same normalized fingerprint, keeper = first by (ts-equivalent) id
+  private val q39 = QueryDef("q39_fingerprint_dedup",
+    (s, d) => rd(s, d, "documents")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies")),
+    Some("""SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+      min(doc_id) AS keeper, count(*) AS n_copies
+      FROM documents GROUP BY 1"""))
+
+  // the TopK Aggregator surfaced directly as a registry query: top-3
+  // events per user by quantized value (UDAF path, not a window) — the
+  // oracle is the equivalent row_number() form
+  private val q40 = QueryDef("q40_topk_aggregator",
+    (s, d) => TopK.perKey(
+      rd(s, d, "events").select(col("user_id"), col("event_id"),
+        floor(col("value") * 100).cast(LongType).as("cents")),
+      "user_id", "event_id", "cents", k = 3, "event_id", "cents"),
+    Some("""SELECT user_id, event_id, cents, rk FROM (
+        SELECT user_id, event_id, cast(floor(value*100) as bigint) AS cents,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY cast(floor(value*100) as bigint) DESC, event_id ASC) AS rk
+        FROM events) WHERE rk <= 3"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
+    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
 }
