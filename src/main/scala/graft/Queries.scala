@@ -774,8 +774,26 @@ object Queries {
             ORDER BY cast(floor(value*100) as bigint) DESC, event_id ASC) AS rk
         FROM events) WHERE rk <= 3"""))
 
+  // CEP sequence pattern (batch mirror of streaming PatternDetect):
+  // view followed by its FIRST purchase within 30 min, per user
+  private val q41 = QueryDef("q41_pattern_first_match",
+    (s, d) => graft.streaming.PatternDetect.sequenceBatch(
+      rd(s, d, "events"), "user_id", "ts", "event_type", "event_id",
+      aKind = "view", bKind = "purchase", withinSec = 1800L)
+      .select(col("key").as("user_id"), col("a_id"), col("a_us"),
+        col("b_id"), col("b_us")),
+    Some("""WITH a AS (SELECT user_id AS key, epoch_us(ts) AS a_us, event_id AS a_id
+        FROM events WHERE event_type = 'view'),
+      b AS (SELECT user_id AS key, epoch_us(ts) AS b_us, event_id AS b_id
+        FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT a.key, a_id, a_us, b_id, b_us, row_number() OVER
+        (PARTITION BY a.key, a_id ORDER BY b_us ASC, b_id ASC) AS rk
+        FROM a JOIN b ON a.key = b.key
+          AND b_us > a_us AND b_us <= a_us + 1800000000)
+      SELECT key AS user_id, a_id, a_us, b_id, b_us FROM j WHERE rk = 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.LongType
+
+import graft.model.TsUtil
+
+/**
+ * CEP sequence-pattern detection: for each key, match `A followed by B
+ * within `withinSec` seconds of event time` and emit one row per A with
+ * its FIRST matching B (MATCH_RECOGNIZE `A B` with skip-past-first
+ * semantics). This is the engine's event-pattern plane — the capability
+ * StormCV users assembled from topology shape (a filter bolt per leg +
+ * `SequenceNrBatcher` fan-in, SURVEY.md §3.2); here it is one stateful
+ * operator.
+ *
+ * State per key = open A's (those not yet matched and not expired) +
+ * a bounded buffer of recent B's for out-of-order arrival; both evicted
+ * by the event-time watermark + `withinSec`, so state is bounded by the
+ * key's event rate inside one horizon — the 100 TB shape (no unbounded
+ * buffering, no per-key scan of history).
+ *
+ * Output is deterministic for a given input set and watermark: matches
+ * are resolved in event-time order (ties by the B's id), and a match is
+ * emitted only once its A can no longer acquire an EARLIER B — i.e. when
+ * the watermark has passed the A's deadline `a_ts + withinSec`.
+ */
+object PatternDetect {
+
+  final case class Ev(key: Long, ts: Timestamp, kind: String, id: Long)
+  final case class Match(key: Long, a_id: Long, a_ts: Timestamp, b_id: Long, b_ts: Timestamp)
+
+  /** Open A's and candidate B's, both within the live horizon (micros). */
+  final case class PatState(openA: List[(Long, Long)], bs: List[(Long, Long)])
+
+  /**
+   * Streaming form. `events` must carry (key, ts, kind, id); rows with
+   * kind == aKind open a pattern, kind == bKind close the earliest
+   * compatible A.
+   */
+  def sequence(spark: SparkSession, events: Dataset[Ev],
+      aKind: String, bKind: String, withinSec: Long,
+      watermarkDelay: String = "1 hour"): Dataset[Match] = {
+    import spark.implicits._
+    val withinUs = withinSec * 1000000L
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (key: Long, rows: Iterator[Ev], state: GroupState[PatState]) => {
+          val st = state.getOption.getOrElse(PatState(Nil, Nil))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (as, bs) = rows.partition(_.kind == aKind)
+          // accumulate new legs (late rows below the watermark are dropped
+          // by the framework before reaching here when possible; drop
+          // defensively anyway for determinism)
+          val openA = (st.openA ++ as.filter(_.kind == aKind)
+            .map(e => (TsUtil.toUs(e.ts), e.id))).distinct.sorted
+          val allB = (st.bs ++ bs.filter(_.kind == bKind)
+            .map(e => (TsUtil.toUs(e.ts), e.id))).distinct.sorted
+
+          // resolve: A's whose deadline the watermark passed can match
+          // FINALLY (no earlier B can still arrive). Match = the first B
+          // strictly after the A within the window (ties by b id); B's
+          // are not consumed — "for each A, its first B" — so the batch
+          // mirror and the SQL oracle reproduce the streaming output
+          // exactly on any input.
+          val ripe = openA.filter { case (aUs, _) => aUs + withinUs < wm }
+          val out = ripe.flatMap { case (aUs, aId) =>
+            allB.find { case (bUs, _) => bUs > aUs && bUs <= aUs + withinUs }
+              .map { case (bUs, bId) =>
+                Match(key, aId, TsUtil.fromUs(aUs), bId, TsUtil.fromUs(bUs)) }
+          }
+          // keep: unripe A's; B's still inside any live A's window or the
+          // watermark horizon (an out-of-order A can still match them)
+          val keepA = openA.filterNot { case (aUs, _) => aUs + withinUs < wm }
+          val keepB = allB.filter { case (bUs, _) => bUs >= wm - withinUs }
+          if (keepA.isEmpty && keepB.isEmpty) state.remove()
+          else {
+            state.update(PatState(keepA, keepB))
+            state.setTimeoutTimestamp((wm / 1000L).max(1L) + withinSec * 1000L)
+          }
+          out.iterator
+        })(Encoders.product[PatState], Encoders.product[Match])
+  }
+
+  /**
+   * Batch mirror (the oracle form): identical semantics over a static
+   * table — for each A, the first B after it within the window
+   * (min by (b_ts, b_id)). Value-identical to the streaming form for
+   * any input/watermark, which is what the registry oracle checks.
+   */
+  def sequenceBatch(events: DataFrame, keyCol: String, tsCol: String,
+      kindCol: String, idCol: String,
+      aKind: String, bKind: String, withinSec: Long): DataFrame = {
+    val a = events.where(col(kindCol) === aKind)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol).cast("timestamp")).as("a_us"),
+        col(idCol).as("a_id"))
+    val b = events.where(col(kindCol) === bKind)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol).cast("timestamp")).as("b_us"),
+        col(idCol).as("b_id"))
+    // first B per A (min by (b_us, b_id)) — the non-contended form
+    a.join(b, Seq("key"))
+      .where(col("b_us") > col("a_us") &&
+        col("b_us") <= col("a_us") + lit(withinSec * 1000000L))
+      .groupBy(col("key"), col("a_us"), col("a_id"))
+      .agg(min(struct(col("b_us"), col("b_id"))).as("first_b"))
+      .select(col("key"), col("a_id"), col("a_us"),
+        col("first_b.b_id").as("b_id"), col("first_b.b_us").as("b_us"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.{ExactlyOnceSink, PatternDetect}
+import graft.streaming.PatternDetect.Ev
+
+/** CEP sequence pattern: streaming == batch mirror, out-of-order safe,
+  * kill/resume safe. */
+class PatternDetectSpec extends SparkSpec {
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+  private val base = 1700000000L
+
+  test("streaming first-match equals batch mirror; survives out-of-order and resume") {
+    import spark.implicits._
+    val cp = Files.createTempDirectory("pdcp").toString
+    val table = Files.createTempDirectory("pdtbl").toString
+    val sink = new ExactlyOnceSink(table)
+    val in = MemoryStream[Ev](Encoders.product[Ev], spark)
+
+    def start() = PatternDetect.sequence(spark, in.toDS(),
+        aKind = "view", bKind = "buy", withinSec = 600L,
+        watermarkDelay = "300 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch((ds: org.apache.spark.sql.Dataset[PatternDetect.Match], id: Long) =>
+        sink.write(ds.toDF(), id))
+      .start()
+
+    val rows = scala.collection.mutable.ArrayBuffer[Ev]()
+    def add(q: org.apache.spark.sql.streaming.StreamingQuery, es: Ev*): Unit = {
+      rows ++= es; in.addData(es: _*); q.processAllAvailable()
+    }
+
+    var q = start()
+    // key 1: A at t0; B arrives in the same batch; a second A arrives in a
+    // LATER batch but out of order (event time before the B already seen)
+    add(q, Ev(1, ts(base), "view", 10), Ev(1, ts(base + 400), "buy", 20))
+    add(q, Ev(1, ts(base + 350), "view", 11)) // above watermark (base+100)
+    // key 2: A with no B inside the window; B far outside
+    add(q, Ev(2, ts(base), "view", 30), Ev(2, ts(base + 700), "buy", 40))
+    q.stop() // kill mid-pattern
+
+    q = start() // resume: open A state must survive
+    // advance the watermark far past every deadline so all matches emit
+    add(q, Ev(1, ts(base + 5000), "view", 99), Ev(2, ts(base + 5000), "view", 98))
+    add(q, Ev(1, ts(base + 9000), "view", 97), Ev(2, ts(base + 9000), "view", 96))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = sink.read(spark)
+      .select($"key", $"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // both key-1 views match buy 20 (first B in window, not consumed);
+    // key-2's buy at +700s is outside the 600s window
+    assert(got == Set((1L, 10L, 20L), (1L, 11L, 20L)), s"got $got")
+
+    // batch mirror agrees on the full input
+    val batch = PatternDetect.sequenceBatch(rows.toSeq.toDF(),
+        "key", "ts", "kind", "id", "view", "buy", 600L)
+      .select($"key", $"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // streaming emitted only patterns whose deadline the final watermark
+    // passed; every emitted match must appear in the batch result
+    assert(got.subsetOf(batch), s"streaming=$got batch=$batch")
+    assert(batch.filterNot(_._2 >= 96) == got, s"ripe matches differ: $batch vs $got")
+  }
+}
