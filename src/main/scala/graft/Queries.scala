@@ -474,7 +474,7 @@ object Queries {
 
   private val q26 = QueryDef("q26_embedding_near_dups",
     (s, d) => Dedup.embeddingNearDupPairs(rd(s, d, "embeddings"), "vec_id",
-      "embedding", minCosQ = 250000L, nPlanes = 8)
+      "embedding", minCosQ = 250000L, nPlanes = 8, probeNeighbors = true)
       .select(col("id_a"), col("id_b"), col("cos_q")),
     None)
 

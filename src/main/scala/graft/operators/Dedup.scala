@@ -240,19 +240,35 @@ object Dedup {
    * `nPlanes` must grow with the corpus (fixed plane counts go quadratic:
    * 2^8 buckets over 10^9 vectors is ~4M/bucket) — derive it with
    * [[nPlanesForCorpus]].
+   *
+   * `probeNeighbors` (multi-probe): one side of the self-join also visits
+   * every bucket at hamming distance 1, recovering near-dup pairs whose
+   * vectors straddle a single hyperplane (the dominant LSH miss mode).
+   * Costs nPlanes+1 probe rows per vector on ONE side — linear, and far
+   * cheaper than the alternative recall fix of multiple independent
+   * tables.
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      minCosQ: Long = 950000L, nPlanes: Int = 12): DataFrame = {
+      minCosQ: Long = 950000L, nPlanes: Int = 12,
+      probeNeighbors: Boolean = false): DataFrame = {
     val withB = df.select(col(idCol), col(vecCol),
-      VectorOps.lsh_bucket(col(vecCol), nPlanes).as("bucket"),
+      VectorOps.lsh_bucket(col(vecCol), nPlanes).as("b0"),
       VectorOps.norm_q(col(vecCol)).as("nq"))
-    val l = withB.select($"bucket", col(idCol).as("id_a"), col(vecCol).as("v_a"), $"nq".as("nq_a"))
-    val r = withB.select($"bucket", col(idCol).as("id_b"), col(vecCol).as("v_b"), $"nq".as("nq_b"))
+    val l0 = withB.select($"b0", col(idCol).as("id_a"), col(vecCol).as("v_a"), $"nq".as("nq_a"))
+    val l =
+      if (!probeNeighbors) l0.withColumnRenamed("b0", "bucket")
+      else l0.select(explode(array((-1 until nPlanes).map {
+          case -1 => $"b0"
+          case p  => $"b0".bitwiseXOR(lit(1L << p))
+        }: _*)).as("bucket"), $"id_a", $"v_a", $"nq_a")
+    val r = withB.select($"b0".as("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"), $"nq".as("nq_b"))
     l.join(r, Seq("bucket"))
       .where($"id_a" < $"id_b")
       .select($"id_a", $"id_b",
         floor(VectorOps.cosineScore(VectorOps.dot_q($"v_a", $"v_b"), $"nq_a", $"nq_b") * 1e6)
           .cast(LongType).as("cos_q"))
+      .distinct() // a pair can surface via its own bucket AND a probe
       .where($"cos_q" >= minCosQ)
   }
 }

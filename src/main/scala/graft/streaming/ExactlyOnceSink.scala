@@ -60,7 +60,10 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
     manifestDir.getFileSystem(conf)
   }
 
-  def committed(batchId: Long): Boolean = fs().exists(epochManifest(batchId))
+  /** Epoch is committed if its manifest exists OR a compacted snapshot
+    * covers it (compaction GCs the per-epoch manifests it supersedes). */
+  def committed(batchId: Long): Boolean =
+    batchId <= compactHi().getOrElse(-1L) || fs().exists(epochManifest(batchId))
 
   def committedEpochs(): Seq[Long] = {
     val f = fs()
@@ -70,6 +73,17 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
       .collect { case s if s.startsWith("epoch-") && s.endsWith(".json") =>
         s.stripPrefix("epoch-").stripSuffix(".json").toLong }
       .sorted
+  }
+
+  /** Highest epoch covered by a compacted snapshot, if any. */
+  def compactHi(): Option[Long] = {
+    val f = fs()
+    if (!f.exists(manifestDir)) None
+    else f.listStatus(manifestDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("compact-") && s.endsWith(".json") =>
+        s.stripPrefix("compact-").stripSuffix(".json").toLong }
+      .sorted.lastOption
   }
 
   /** The foreachBatch function. Safe under re-delivery of any batchId. */
@@ -96,12 +110,57 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
     if (!f.rename(tmp, epochManifest(batchId))) f.delete(tmp, false)
   }
 
-  /** Read back only committed epochs (snapshot over the manifest). */
+  /** Read back only committed data: the newest compacted snapshot (if
+    * any) plus every epoch committed after it. */
   def read(spark: SparkSession): DataFrame = {
-    val epochs = committedEpochs()
-    if (epochs.isEmpty)
+    val hi = compactHi()
+    val epochs = committedEpochs().filter(e => hi.forall(e > _))
+    val paths = hi.map(h => s"$tableDir/data/compact-$h").toSeq ++
+      epochs.map(e => s"$tableDir/data/epoch=$e")
+    if (paths.isEmpty)
       throw new IllegalStateException(s"no committed epochs in $tableDir")
-    val paths = epochs.map(e => s"$tableDir/data/epoch=$e")
     spark.read.parquet(paths: _*)
+  }
+
+  /**
+   * Compact all currently committed data into one snapshot with
+   * `targetPartitions` files — the table-maintenance half of the
+   * "Iceberg subset": a streaming sink accretes one small directory per
+   * micro-batch (at 100 TB/day that is thousands of undersized files a
+   * day), and scan cost is dominated by file count.
+   *
+   * Protocol (same atomic-publish discipline as `write`):
+   *   1. rewrite the current `read()` view to `data/compact-<hi>`;
+   *   2. publish `compact-<hi>.json` atomically (one rename — readers
+   *      see the old epochs or the snapshot, never a mix);
+   *   3. GC the superseded manifests (covered epochs + older compacts).
+   *      Their data dirs are left for in-flight readers; a later
+   *      compaction run or external GC can remove them once no reader
+   *      can hold the old manifest list.
+   *
+   * Safe vs re-delivery: `committed` treats every epoch ≤ the snapshot's
+   * hi as committed, so a replayed old batch is still skipped after its
+   * per-epoch manifest was GC'd.
+   */
+  def compact(spark: SparkSession, targetPartitions: Int = 8): Unit = {
+    val f = fs()
+    val epochs = committedEpochs()
+    val prevHi = compactHi()
+    if (epochs.isEmpty || (epochs.size < 2 && prevHi.isEmpty)) return
+    val hi = epochs.max
+    val dataPath = s"$tableDir/data/compact-$hi"
+    read(spark).coalesce(targetPartitions)
+      .write.mode(SaveMode.Overwrite).parquet(dataPath)
+    val tmp = new Path(manifestDir, s".compact-$hi.json.tmp")
+    val body =
+      s"""{"compact_hi": $hi, "n_epochs": ${epochs.size},
+         | "data_path": "data/compact-$hi"}""".stripMargin
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    val dest = new Path(manifestDir, f"compact-$hi%010d.json")
+    if (!f.rename(tmp, dest)) { f.delete(tmp, false); return }
+    // GC superseded manifests (data dirs retained for in-flight readers)
+    epochs.filter(_ <= hi).foreach(e => f.delete(epochManifest(e), false))
+    prevHi.foreach(h => f.delete(new Path(manifestDir, f"compact-$h%010d.json"), false))
   }
 }

@@ -71,6 +71,27 @@ class DedupScaleSpec extends SparkSpec {
     assert(p4 == p8, s"4-block=${p4.size} vs 8-block=${p8.size}")
   }
 
+  test("embedding near-dup multi-probe recovers single-plane-straddling twins") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    // plant a slightly-perturbed twin of each vector: cosine ~1, but the
+    // LSH bucket can flip on any plane the original sits close to
+    val twins = emb.where($"vec_id" < 40)
+      .select(($"vec_id" + 5000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i % 7 = 0, cast(x * 1.04 as float), x))")
+          .as("embedding"))
+    val corpus = emb.where($"vec_id" < 40).select($"vec_id", $"embedding").union(twins)
+    def recall(probe: Boolean): Int = {
+      val pairs = graft.operators.Dedup.embeddingNearDupPairs(corpus, "vec_id",
+        "embedding", minCosQ = 990000L, nPlanes = 8, probeNeighbors = probe)
+        .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0 until 40).count(i => pairs.contains((i.toLong, i + 5000L)))
+    }
+    val (noProbe, withProbe) = (recall(false), recall(true))
+    assert(withProbe >= noProbe, s"probing lost pairs: $noProbe -> $withProbe")
+    assert(withProbe >= 36, s"multi-probe recall too low: $withProbe/40 (no-probe: $noProbe)")
+  }
+
   test("corpus-derived parameters grow with corpus size") {
     // SimHash: 16-bit keys fine at 10^6, wider keys demanded at 10^9+
     assert(Dedup.simhashBlocksForCorpus(1000000L, 3) == 4)

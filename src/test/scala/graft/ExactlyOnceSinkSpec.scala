@@ -37,6 +37,32 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     assert(back.toSeq == Seq((1, "a"), (2, "b")))
   }
 
+  test("compaction merges epochs into one snapshot; reads and re-delivery stay correct") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eosc").toString
+    val sink = new ExactlyOnceSink(dir)
+    (0L until 5L).foreach(e => sink.write(Seq((e.toInt, s"v$e")).toDF("id", "v"), e))
+    val before = sink.read(spark).collect().map(_.toSeq).toSet
+
+    sink.compact(spark, targetPartitions = 2)
+    assert(sink.compactHi().contains(4L))
+    assert(sink.committedEpochs().isEmpty, "per-epoch manifests GC'd")
+    assert(sink.read(spark).collect().map(_.toSeq).toSet == before)
+
+    // re-delivery of a compacted epoch must STILL be skipped
+    sink.write(Seq((99, "EVIL")).toDF("id", "v"), 2L)
+    assert(sink.read(spark).collect().map(_.toSeq).toSet == before)
+
+    // the stream continues: new epochs append after the snapshot
+    sink.write(Seq((5, "v5")).toDF("id", "v"), 5L)
+    assert(sink.read(spark).count() == 6)
+
+    // a second compaction folds the snapshot + the new epoch
+    sink.compact(spark, targetPartitions = 1)
+    assert(sink.compactHi().contains(5L))
+    assert(sink.read(spark).count() == 6)
+  }
+
   test("uncommitted partial data is invisible and safely overwritten") {
     import spark.implicits._
     val dir = Files.createTempDirectory("eos2").toString

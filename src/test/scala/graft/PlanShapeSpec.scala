@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Physical-plan assertions: the scale-critical plan shapes hold (these
+  * are the shapes a 1000-executor run depends on, checked structurally so
+  * a refactor cannot silently regress them). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("bruteForceTopK: broadcast scoring + partial top-k before the exchange") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val p = plan(Similarity.bruteForceTopK(
+      emb.where($"vec_id" < 5), emb, "vec_id", "vec_id", "embedding", "embedding", 3))
+    // corpus stays partitioned; small query side broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), s"no broadcast NL join:\n$p")
+    // the TopK aggregator must appear as a two-phase object aggregate
+    // (partial before the exchange, final after) — NOT a window over the
+    // whole cross product
+    assert(p.contains("ObjectHashAggregate"), s"no object aggregate:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      s"window over the cross product leaked back in:\n$p")
+    val aggs = p.split("ObjectHashAggregate").length - 1
+    assert(aggs >= 2, s"expected partial+final aggregate pair, found $aggs:\n$p")
+  }
+
+  test("q06 selective filter pushes predicates into the parquet scan") {
+    val df = Queries.all.find(_.name == "q06_selective_filter").get
+      .fn(spark, sf("sf0.001"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [") &&
+      p.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)].*", "$1").nonEmpty,
+      s"no pushed filters in scan:\n$p")
+  }
+
+  test("q02 joins broadcast every dimension table") {
+    val df = Queries.all.find(_.name == "q02_revenue_by_nation").get
+      .fn(spark, sf("sf0.001"))
+    val p = plan(df)
+    val broadcasts = p.split("BroadcastHashJoin").length - 1
+    assert(broadcasts >= 3, s"expected >=3 broadcast dim joins, got $broadcasts:\n$p")
+  }
+
+  test("extraction prunes the html blob before any exchange") {
+    import spark.implicits._
+    val pages = graft.sources.PageGen.rawPages(spark,
+      graft.sources.PageGenConfig(nPages = 100L, nHosts = 5, parallelism = 2)).toDF()
+    val df = pages
+      .withColumn("text", graft.functions.ExtractHtmlText.extract_html_text($"html"))
+      .drop("html")
+      .groupBy($"host").agg(sum(length($"text")).as("chars"))
+    val p = plan(df)
+    // what crosses the shuffle is the OUTPUT of the exchange's child (the
+    // partial aggregate) — it must not carry the binary blob
+    val lines = p.linesIterator.toSeq
+    val exchangeAt = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exchangeAt >= 0, s"expected a shuffle for the aggregation:\n$p")
+    val childOutput = lines.drop(exchangeAt + 1)
+      .find(_.contains("output=[")).getOrElse("")
+    assert(childOutput.contains("output=[") && !childOutput.contains("html"),
+      s"html blob crosses the exchange: $childOutput\n$p")
+    // and the blob IS still present below (i.e. the test would catch it)
+    assert(p.contains("html"), s"fixture lost the blob column:\n$p")
+  }
+}

@@ -74,6 +74,37 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k via the TopK UDAF matches batch ranking") {
+    import spark.implicits._
+    val topk = graft.operators.TopK.topKUdaf(2)
+    val input = MemoryStream[PageLite](Encoders.product[PageLite], spark)
+    // per 1h window: top-2 rows by text_len (custom typed Aggregator
+    // inside a watermarked streaming aggregation — partial top-k buffers
+    // merge across micro-batches and partitions, like the batch plan)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window($"warc_ts", "1 hour"))
+      .agg(topk(hash($"host").cast("long"), $"text_len").as("top"))
+      .select(unix_micros($"window.start".cast("timestamp")).as("w_start"),
+        posexplode($"top"))
+      .select($"w_start", $"pos", $"col.id", $"col.score")
+    val q = shape(input.toDF().withWatermark("warc_ts", "10 minutes"))
+      .writeStream.format("memory").queryName("wtopk_out")
+      .outputMode("append").start()
+    try {
+      // two batches so the per-window buffer MERGES across micro-batches
+      input.addData(rows.take(2)); q.processAllAvailable()
+      input.addData(rows.drop(2)); q.processAllAvailable()
+      input.addData(PageLite("zz.flush", ts(base + 100000), 0)); q.processAllAvailable()
+      input.addData(PageLite("zz.flush", ts(base + 200000), 0)); q.processAllAvailable()
+      val flushIds = Set(spark.range(1)
+        .select(hash(lit("zz.flush")).cast("long")).collect()(0).getLong(0))
+      val got = spark.table("wtopk_out").collect().map(_.toSeq).toSet
+        .filterNot(r => flushIds.contains(r(2).asInstanceOf[Long]))
+      val batch = shape(rows.toDF()).collect().map(_.toSeq).toSet
+      assert(got == batch && got.nonEmpty, s"stream=$got\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("flagship entry returns non-empty per-host rollup") {
     val df = SparkEntry.entry(spark)
     val n = df.count()
