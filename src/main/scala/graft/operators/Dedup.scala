@@ -132,6 +132,13 @@ object Dedup {
         .cast(BinaryType))).as("sig"))
   }
 
+  // NOTE (measured, sf0.1): formulating shingles/min-hashes as per-row
+  // nested higher-order functions (transform→array_min→md5) is 10–20×
+  // slower than the explode+partial-agg form below — nested lambda HOFs
+  // run INTERPRETED (no whole-stage codegen), while exploded md5/min go
+  // through codegen'd projections and map-side partial aggregation. Keep
+  // the exploded shape.
+
   /**
    * MinHash-LSH candidate pairs: docs sharing ≥1 (band, sig) bucket,
    * verified with the exact quantized Jaccard. The classic
