@@ -123,6 +123,27 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
   }
 
   /**
+   * Time travel: the table as of a given epoch (snapshot isolation over
+   * the manifest — Iceberg's `VERSION AS OF`, at commit-epoch
+   * granularity). Per-epoch history survives until a compaction GC's the
+   * manifests it supersedes; asking for an epoch below the newest
+   * snapshot's hi fails loudly rather than returning merged data.
+   */
+  def readAsOf(spark: SparkSession, asOfEpoch: Long): DataFrame = {
+    compactHi().filter(_ > asOfEpoch).foreach { h =>
+      throw new IllegalStateException(
+        s"history up to epoch $h was compacted away; cannot read as-of $asOfEpoch")
+    }
+    val epochs = committedEpochs().filter(_ <= asOfEpoch)
+    val hi = compactHi().filter(_ <= asOfEpoch)
+    val paths = hi.map(h => s"$tableDir/data/compact-$h").toSeq ++
+      epochs.filter(e => hi.forall(e > _)).map(e => s"$tableDir/data/epoch=$e")
+    if (paths.isEmpty)
+      throw new IllegalStateException(s"no epochs committed at or before $asOfEpoch")
+    spark.read.parquet(paths: _*)
+  }
+
+  /**
    * Compact all currently committed data into one snapshot with
    * `targetPartitions` files — the table-maintenance half of the
    * "Iceberg subset": a streaming sink accretes one small directory per
