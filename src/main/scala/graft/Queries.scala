@@ -792,8 +792,23 @@ object Queries {
           AND b_us > a_us AND b_us <= a_us + 1800000000)
       SELECT key AS user_id, a_id, a_us, b_id, b_us FROM j WHERE rk = 1"""))
 
+  // CEP negation pattern (batch mirror of streaming PatternDetect.absence):
+  // views NOT followed by any purchase within 30 min — abandoned sessions
+  private val q42 = QueryDef("q42_pattern_absence",
+    (s, d) => graft.streaming.PatternDetect.absenceBatch(
+      rd(s, d, "events"), "user_id", "ts", "event_type", "event_id",
+      aKind = "view", bKind = "purchase", withinSec = 1800L)
+      .select(col("key").as("user_id"), col("a_id"), col("a_us")),
+    Some("""SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+      FROM events a WHERE event_type = 'view' AND NOT EXISTS (
+        SELECT 1 FROM events b WHERE b.event_type = 'purchase'
+          AND b.user_id = a.user_id
+          AND epoch_us(b.ts) > epoch_us(a.ts)
+          AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000)"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
+    q42)
 }

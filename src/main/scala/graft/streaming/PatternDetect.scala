@@ -89,6 +89,69 @@ object PatternDetect {
         })(Encoders.product[PatState], Encoders.product[Match])
   }
 
+  final case class Absent(key: Long, a_id: Long, a_ts: Timestamp)
+
+  /**
+   * Negation pattern: `A NOT followed by B within withinSec` — the
+   * abandoned-session / missed-followup CEP shape. An A is emitted
+   * exactly once, when the event-time watermark passes its deadline and
+   * no B arrived inside `(a_ts, a_ts + withinSec]`. Absence can only be
+   * decided by time passing, which is why this is a watermark-driven
+   * stateful operator and not a join: the emission point IS the
+   * watermark crossing.
+   *
+   * Same bounded state as [[sequence]] (open A's + in-horizon B's).
+   */
+  def absence(spark: SparkSession, events: Dataset[Ev],
+      aKind: String, bKind: String, withinSec: Long,
+      watermarkDelay: String = "1 hour"): Dataset[Absent] = {
+    import spark.implicits._
+    val withinUs = withinSec * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (key: Long, rows: Iterator[Ev], state: GroupState[PatState]) => {
+          val st = state.getOption.getOrElse(PatState(Nil, Nil))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (as, bs) = rows.partition(_.kind == aKind)
+          val openA = (st.openA ++ as.filter(_.kind == aKind)
+            .map(e => (TsUtil.toUs(e.ts), e.id))).distinct.sorted
+          val allB = (st.bs ++ bs.filter(_.kind == bKind)
+            .map(e => (TsUtil.toUs(e.ts), e.id))).distinct.sorted
+          val ripe = openA.filter { case (aUs, _) => aUs + withinUs < wm }
+          val out = ripe.collect {
+            case (aUs, aId) if !allB.exists { case (bUs, _) =>
+              bUs > aUs && bUs <= aUs + withinUs } =>
+              Absent(key, aId, TsUtil.fromUs(aUs))
+          }
+          val keepA = openA.filterNot { case (aUs, _) => aUs + withinUs < wm }
+          val keepB = allB.filter { case (bUs, _) => bUs >= wm - withinUs }
+          if (keepA.isEmpty && keepB.isEmpty) state.remove()
+          else {
+            state.update(PatState(keepA, keepB))
+            state.setTimeoutTimestamp((wm / 1000L).max(1L) + withinSec * 1000L)
+          }
+          out.iterator
+        })(Encoders.product[PatState], Encoders.product[Absent])
+  }
+
+  /** Batch mirror of [[absence]]: A's with NO B in their window. */
+  def absenceBatch(events: DataFrame, keyCol: String, tsCol: String,
+      kindCol: String, idCol: String,
+      aKind: String, bKind: String, withinSec: Long): DataFrame = {
+    val a = events.where(col(kindCol) === aKind)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol).cast("timestamp")).as("a_us"),
+        col(idCol).as("a_id"))
+    val b = events.where(col(kindCol) === bKind)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol).cast("timestamp")).as("b_us"))
+    a.join(b,
+        a("key") === b("key") && col("b_us") > col("a_us") &&
+          col("b_us") <= col("a_us") + lit(withinSec * 1000000L),
+        "left_anti")
+      .select(col("key"), col("a_id"), col("a_us"))
+  }
+
   /**
    * Batch mirror (the oracle form): identical semantics over a static
    * table — for each A, the first B after it within the window

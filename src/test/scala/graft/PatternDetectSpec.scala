@@ -70,4 +70,56 @@ class PatternDetectSpec extends SparkSpec {
     assert(got.subsetOf(batch), s"streaming=$got batch=$batch")
     assert(batch.filterNot(_._2 >= 96) == got, s"ripe matches differ: $batch vs $got")
   }
+
+  test("absence pattern: A with no B in window emits exactly once, at the watermark") {
+    import spark.implicits._
+    val cp = Files.createTempDirectory("abcp").toString
+    val table = Files.createTempDirectory("abtbl").toString
+    val sink = new ExactlyOnceSink(table)
+    val in = MemoryStream[Ev](Encoders.product[Ev], spark)
+
+    def start() = PatternDetect.absence(spark, in.toDS(),
+        aKind = "view", bKind = "buy", withinSec = 600L,
+        watermarkDelay = "300 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch((ds: org.apache.spark.sql.Dataset[PatternDetect.Absent], id: Long) =>
+        sink.write(ds.toDF(), id))
+      .start()
+
+    val rows = scala.collection.mutable.ArrayBuffer[Ev]()
+    def add(q: org.apache.spark.sql.streaming.StreamingQuery, es: Ev*): Unit = {
+      rows ++= es; in.addData(es: _*); q.processAllAvailable()
+    }
+
+    var q = start()
+    // key 1: view 10 gets a buy inside the window (NOT emitted);
+    // view 11 has no buy (emitted). key 2: buy arrives 700s later,
+    // outside the 600s window -> emitted. All event times stay above the
+    // advancing watermark (maxTs - 300s) so no row is late-dropped.
+    add(q, Ev(1, ts(base), "view", 10), Ev(1, ts(base + 400), "buy", 20))
+    add(q, Ev(1, ts(base + 450), "view", 11))
+    add(q, Ev(2, ts(base + 500), "view", 30), Ev(2, ts(base + 1200), "buy", 40))
+    q.stop() // kill before any deadline passes
+
+    q = start() // resume; advance the watermark past all deadlines
+    add(q, Ev(1, ts(base + 5000), "view", 99), Ev(2, ts(base + 5000), "view", 98))
+    add(q, Ev(1, ts(base + 9000), "view", 97), Ev(2, ts(base + 9000), "view", 96))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = sink.read(spark).select($"key", $"a_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the watermark-advancing views 98/99 are themselves B-less and ripe
+    // by the end — they are genuine absences too
+    assert(got == Set((1L, 11L), (2L, 30L), (1L, 99L), (2L, 98L)), s"got $got")
+
+    // the batch mirror agrees on the ripe subset (96/97 never ripened)
+    val batch = PatternDetect.absenceBatch(rows.toSeq.toDF(),
+        "key", "ts", "kind", "id", "view", "buy", 600L)
+      .select($"key", $"a_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.filterNot(p => p._2 == 96L || p._2 == 97L) == got,
+      s"batch=$batch got=$got")
+  }
 }
