@@ -184,4 +184,26 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
     epochs.filter(_ <= hi).foreach(e => f.delete(epochManifest(e), false))
     prevHi.foreach(h => f.delete(new Path(manifestDir, f"compact-$h%010d.json"), false))
   }
+
+  /**
+   * Delete data directories no longer referenced by any manifest entry
+   * (epoch dirs folded into a snapshot, superseded snapshots). Run this
+   * once no reader can still hold a pre-compaction manifest listing —
+   * the grace period is operational (e.g. max query runtime), which is
+   * why GC is a separate explicit step and not part of [[compact]].
+   * Returns the number of directories removed.
+   */
+  def gcUnreferenced(): Int = {
+    val f = fs()
+    val dataDir = new Path(tableDir, "data")
+    if (!f.exists(dataDir)) return 0
+    val live: Set[String] =
+      committedEpochs().map(e => s"epoch=$e").toSet ++
+        compactHi().map(h => s"compact-$h").toSet
+    val victims = f.listStatus(dataDir).toSeq
+      .map(_.getPath)
+      .filter(p => !live.contains(p.getName))
+    victims.foreach(p => f.delete(p, true))
+    victims.size
+  }
 }

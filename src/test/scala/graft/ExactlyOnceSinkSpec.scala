@@ -61,6 +61,12 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     sink.compact(spark, targetPartitions = 1)
     assert(sink.compactHi().contains(5L))
     assert(sink.read(spark).count() == 6)
+
+    // GC removes the 6 folded epoch dirs + the superseded snapshot,
+    // leaves the live snapshot, and reads are unchanged
+    assert(sink.gcUnreferenced() == 7)
+    assert(sink.gcUnreferenced() == 0, "GC must be idempotent")
+    assert(sink.read(spark).count() == 6)
   }
 
   test("uncommitted partial data is invisible and safely overwritten") {
