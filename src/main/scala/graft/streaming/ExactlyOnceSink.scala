@@ -100,9 +100,14 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
     val f = fs()
     f.mkdirs(manifestDir)
     val tmp = new Path(manifestDir, s".epoch-$batchId.json.tmp")
+    // per-partition lineage: the exact files this epoch committed, so any
+    // epoch is auditable/replayable from its manifest entry alone
+    val files = f.listStatus(new Path(dataPath)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("part-")).sorted
     val body =
       s"""{"epoch": $batchId, "rows": $count, "committed_at_batch": $batchId,
-         | "data_path": "data/epoch=$batchId"}""".stripMargin
+         | "data_path": "data/epoch=$batchId",
+         | "files": [${files.map(n => "\"" + n + "\"").mkString(", ")}]}""".stripMargin
     val out = f.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
     // same-dir rename: atomic on POSIX and HDFS; returns false if the

@@ -25,6 +25,21 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     assert(back.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
   }
 
+  test("manifest records the epoch's exact file lineage") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eosl").toString
+    val sink = new ExactlyOnceSink(dir)
+    sink.write(Seq((1, "a"), (2, "b")).toDF("id", "v").repartition(2), 0L)
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest/epoch-0000000000.json")))
+    val onDisk = new java.io.File(s"$dir/data/epoch=0").list()
+      .filter(_.startsWith("part-")).sorted
+    assert(onDisk.length == 2)
+    onDisk.foreach(f => assert(manifest.contains("\"" + f + "\""),
+      s"file $f missing from lineage: $manifest"))
+    assert(manifest.contains("\"rows\": 2"))
+  }
+
   test("manifest I/O works through an explicit file:// URI (Hadoop FS routing)") {
     import spark.implicits._
     val dir = "file://" + Files.createTempDirectory("eos3").toString
