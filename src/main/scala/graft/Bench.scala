@@ -22,6 +22,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // flush dirty pages before timing: kernel writeback from earlier
+    // phases otherwise steals disk/memory bandwidth mid-measurement
+    try { new ProcessBuilder("sync").start().waitFor() }
+    catch { case _: Throwable => () }
     // warm-up: session/codegen/scan initialization lands on a throwaway
     // query so the first timed query isn't charged ~4s of JVM warm-up
     try Queries.all.head.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

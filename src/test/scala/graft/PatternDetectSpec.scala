@@ -5,6 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.lit
 
 import graft.streaming.{ExactlyOnceSink, PatternDetect}
 import graft.streaming.PatternDetect.Ev
@@ -121,5 +122,30 @@ class PatternDetectSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(batch.filterNot(p => p._2 == 96L || p._2 == 97L) == got,
       s"batch=$batch got=$got")
+  }
+
+  test("patterns compose into longer chains: (A->B) then ->C via two passes") {
+    import spark.implicits._
+    // 3-leg chain A->B->C = sequence(A,B), re-keyed as a synthetic event
+    // at the B's time, then sequence(that, C) — the composition every
+    // longer MATCH_RECOGNIZE chain reduces to (batch form; the streaming
+    // form chains the same two operators)
+    val rows = Seq(
+      Ev(1, ts(base), "a", 1), Ev(1, ts(base + 100), "b", 2), Ev(1, ts(base + 200), "c", 3),
+      Ev(2, ts(base), "a", 4), Ev(2, ts(base + 100), "b", 5), // no c for key 2
+      Ev(3, ts(base), "a", 6), Ev(3, ts(base + 2000), "b", 7), Ev(3, ts(base + 2100), "c", 8)
+    ).toDF() // key 3's b is outside a->b window
+    val ab = PatternDetect.sequenceBatch(rows, "key", "ts", "kind", "id",
+        "a", "b", withinSec = 600L)
+      .select($"key", $"a_id", ($"b_us" / 1000000).cast("timestamp").as("ts"),
+        lit("ab").as("kind"), $"b_id".as("id"))
+    val abc = PatternDetect.sequenceBatch(
+        ab.select($"key", $"ts", $"kind", $"id")
+          .union(rows.where($"kind" === "c").select($"key", $"ts", $"kind", $"id")),
+        "key", "ts", "kind", "id", "ab", "c", withinSec = 600L)
+      .select($"key", $"a_id".as("b_id"), $"b_id".as("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only key 1 completes the full a->b->c chain
+    assert(abc == Set((1L, 2L, 3L)), s"got $abc")
   }
 }
