@@ -100,8 +100,12 @@ object ScalingBench {
          |exactly-once sink and are identical across parallelism levels.
          |""".stripMargin
 
+    // BENCH/BASELINE.md is the hand-maintained headline document (it also
+    // carries the multi-JVM protocol results + analysis); this main only
+    // refreshes the thread-pair appendix so re-running it can never
+    // clobber the curated evidence.
     Files.createDirectories(Paths.get("BENCH"))
-    Files.write(Paths.get("BENCH/BASELINE.md"), md.getBytes(UTF_8))
+    Files.write(Paths.get("BENCH/THREAD_PAIR.md"), md.getBytes(UTF_8))
     println(f"""{"n":$n,"pps_n":${rN.sustainedPps}%.1f,"n4":$n4,"pps_4n":${r4.sustainedPps}%.1f,"efficiency":$eff%.3f,"wall_efficiency":$effWall%.3f}""")
   }
 }
