@@ -418,7 +418,8 @@ object Queries {
 
   // custom 64-bit hashing — engine-native, rows-only check
   private val q22 = QueryDef("q22_simhash_pairs",
-    (s, d) => Dedup.simhashPairs(rd(s, d, "documents"), "doc_id", "text", maxDist = 16)
+    (s, d) => Dedup.simhashPairs(rd(s, d, "documents"), "doc_id", "text",
+      maxDist = 3, nBlocks = 4) // sound Manku config: full recall at hamming <= 3
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dist")),
     None)
 
@@ -806,9 +807,55 @@ object Queries {
           AND epoch_us(b.ts) > epoch_us(a.ts)
           AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000)"""))
 
+  // IVF ANN (Similarity.ivfTopK): deterministic sample centroids make the
+  // whole index-build + probe + search pipeline exact-integer, so unlike
+  // the LSH path (q25) it gets a full DuckDB oracle. dotq/cosq mirror the
+  // engine's QuantizedDot scheme (see q23).
+  private val q43 = QueryDef("q43_ivf_ann",
+    (s, d) => {
+      val emb = rd(s, d, "embeddings")
+      Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "vec_id", "embedding", "embedding", k = 5, seedMod = 16L, nProbe = 4)
+        .select(col("query_id"), col("corpus_id"), col("cos_q"), col("rk"))
+    },
+    Some("""WITH c AS (SELECT vec_id AS corpus_id, embedding AS cv,
+        cast(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1000000))) as bigint) AS cn
+        FROM embeddings WHERE vec_id >= 10),
+      q AS (SELECT vec_id AS query_id, embedding AS qv,
+        cast(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1000000))) as bigint) AS qn
+        FROM embeddings WHERE vec_id < 10),
+      seeds AS (SELECT corpus_id AS seed_id, cv AS sv, cn AS sn
+        FROM c WHERE corpus_id % 16 = 0),
+      asg AS (SELECT corpus_id, cv, cn, seed_id, row_number() OVER
+          (PARTITION BY corpus_id ORDER BY
+            cast(floor(cast(list_sum(list_transform(generate_series(1, len(cv)),
+              i -> floor(cv[i]::DOUBLE * sv[i]::DOUBLE * 1000000))) as bigint)
+              / sqrt(cn::DOUBLE * sn::DOUBLE) * 1000000) as bigint) DESC,
+            seed_id ASC) AS rn
+        FROM c CROSS JOIN seeds),
+      assigned AS (SELECT corpus_id, cv, cn, seed_id AS centroid FROM asg WHERE rn = 1),
+      prb AS (SELECT query_id, qv, qn, seed_id, row_number() OVER
+          (PARTITION BY query_id ORDER BY
+            cast(floor(cast(list_sum(list_transform(generate_series(1, len(qv)),
+              i -> floor(qv[i]::DOUBLE * sv[i]::DOUBLE * 1000000))) as bigint)
+              / sqrt(qn::DOUBLE * sn::DOUBLE) * 1000000) as bigint) DESC,
+            seed_id ASC) AS rn
+        FROM q CROSS JOIN seeds),
+      probes AS (SELECT query_id, qv, qn, seed_id AS centroid FROM prb WHERE rn <= 4),
+      s AS (SELECT p.query_id, a.corpus_id,
+        cast(floor(cast(list_sum(list_transform(generate_series(1, len(p.qv)),
+          i -> floor(p.qv[i]::DOUBLE * a.cv[i]::DOUBLE * 1000000))) as bigint)
+          / sqrt(p.qn::DOUBLE * a.cn::DOUBLE) * 1000000) as bigint) AS cos_q
+        FROM probes p JOIN assigned a ON a.centroid = p.centroid),
+      r AS (SELECT query_id, corpus_id, cos_q, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos_q DESC, corpus_id ASC) AS rk FROM s)
+      SELECT query_id, corpus_id, cos_q, rk FROM r WHERE rk <= 5"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42)
+    q42, q43)
 }

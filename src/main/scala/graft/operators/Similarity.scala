@@ -83,6 +83,66 @@ object Similarity {
     TopK.perKey(scored, "query_id", "corpus_id", "cos_q", k, "corpus_id", "cos_q")
   }
 
+  /** Quantized cosine in e6 units from a quantized dot and two quantized norms. */
+  private def cosQ(dotQ: Column, nA: Column, nB: Column): Column =
+    floor(VectorOps.cosineScore(dotQ, nA, nB) * 1e6).cast(LongType)
+
+  /**
+   * IVF (inverted-file) ANN — the coarse-quantizer scale path, complement
+   * of [[lshTopK]]. Centroids are a deterministic sample of the corpus
+   * itself (every `seedMod`-th id), so the whole operator — build,
+   * probe, search — is exact integer arithmetic reproducible by the
+   * DuckDB oracle (unlike LSH, whose hyperplanes are engine-native).
+   *
+   * Build: every corpus vector joins the broadcast seed table and keeps
+   * its argmax-cosine seed (ties to the lowest seed id). That single
+   * corpus shuffle (groupBy corpus_id with map-side partial agg) IS the
+   * index build — at 100 TB you persist `assigned`, partitioned by
+   * `centroid`, and amortize it across query batches.
+   *
+   * Search: queries rank the same broadcast seed table, keep the top
+   * `nProbe` cells, and score only corpus rows assigned to those cells
+   * via a broadcast hash join — the corpus is never shuffled at query
+   * time. Per-cell work is |corpus|·nProbe/|seeds| instead of |corpus|.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idQ: String, idC: String, vecQ: String, vecC: String,
+      k: Int, seedMod: Long = 16L, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idC).as("corpus_id"), col(vecC).as("cv"),
+      VectorOps.norm_q(col(vecC)).as("cn"))
+    val q = queries.select(col(idQ).as("query_id"), col(vecQ).as("qv"),
+      VectorOps.norm_q(col(vecQ)).as("qn"))
+    val seeds = c.where($"corpus_id" % seedMod === 0)
+      .select($"corpus_id".as("seed_id"), $"cv".as("sv"), $"cn".as("sn"))
+
+    // index build: argmax over the broadcast seeds. The lexicographic max
+    // of struct(score, -seed_id) is the deterministic argmax with ties
+    // broken toward the lowest seed id; any_value is safe because cv/cn
+    // are constant within a corpus_id group.
+    val assigned = c.crossJoin(broadcast(seeds))
+      .select($"corpus_id", $"cv", $"cn",
+        struct(cosQ(VectorOps.dot_q($"cv", $"sv"), $"cn", $"sn").as("sc"),
+          (-$"seed_id").as("neg_seed")).as("cand"))
+      .groupBy($"corpus_id")
+      .agg(max($"cand").as("best"),
+        any_value($"cv").as("cv"), any_value($"cn").as("cn"))
+      .select($"corpus_id", $"cv", $"cn", (-$"best.neg_seed").as("centroid"))
+
+    // probe selection: top-nProbe cells per query (score DESC, seed ASC)
+    val probes = TopK.perKey(
+      q.crossJoin(broadcast(seeds))
+        .select($"query_id", $"seed_id",
+          cosQ(VectorOps.dot_q($"qv", $"sv"), $"qn", $"sn").as("sc")),
+      "query_id", "seed_id", "sc", nProbe, "seed_id", "sc")
+      .join(q, Seq("query_id")) // recover qv/qn; the query set is small
+      .select($"query_id", $"qv", $"qn", $"seed_id".as("centroid"))
+
+    val scored = assigned.join(broadcast(probes), Seq("centroid"))
+      .select($"query_id", $"corpus_id",
+        cosQ(VectorOps.dot_q($"qv", $"cv"), $"qn", $"cn").as("cos_q"))
+    TopK.perKey(scored, "query_id", "corpus_id", "cos_q", k, "corpus_id", "cos_q")
+  }
+
   /** Per-label quantized centroid sums: (label, pos, sum_q, n). Exact. */
   def centroidSums(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))

@@ -87,6 +87,31 @@ class OperatorSpec extends SparkSpec {
     assert(hits >= 16, s"ANN planted-twin recall too low: $hits/20")
   }
 
+  test("ivf ann: probing every cell equals brute force; 4 probes recall twins") {
+    import spark.implicits._
+    val queries = emb.where($"vec_id" < 20)
+    val twins = queries.select(($"vec_id" + 10000).as("vec_id"),
+      expr("transform(embedding, (x, i) -> IF(i = 0, cast(x * 1.05 as float), x))")
+        .as("embedding"))
+    val corpus = emb.where($"vec_id" >= 20).select($"vec_id", $"embedding")
+      .union(twins)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"corpus_id", $"cos_q", $"rk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val bf = Similarity.bruteForceTopK(queries, corpus, "vec_id", "vec_id",
+      "embedding", "embedding", 3)
+    // nProbe >= |cells| degenerates to an exhaustive scan: exact brute-force parity
+    val exhaustive = Similarity.ivfTopK(queries, corpus, "vec_id", "vec_id",
+      "embedding", "embedding", 3, seedMod = 16L, nProbe = 10000)
+    assert(rows(exhaustive) == rows(bf), "all-cells IVF must equal brute force")
+    val ivf = Similarity.ivfTopK(queries, corpus, "vec_id", "vec_id",
+      "embedding", "embedding", 1, seedMod = 16L, nProbe = 4)
+    val top1 = ivf.where($"rk" === 1).select($"query_id", $"corpus_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = top1.count { case (q, c) => c == q + 10000 }
+    assert(hits >= 16, s"IVF planted-twin recall too low: $hits/20")
+  }
+
   test("section fan-out / recombine round-trips text") {
     import spark.implicits._
     val rt = Topology.recombine(

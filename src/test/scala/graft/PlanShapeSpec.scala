@@ -29,6 +29,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggs >= 2, s"expected partial+final aggregate pair, found $aggs:\n$p")
   }
 
+  test("ivfTopK: seed scans broadcast, search is a broadcast equi-join, no cartesian") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val p = plan(Similarity.ivfTopK(emb.where($"vec_id" < 5),
+      emb.where($"vec_id" >= 5), "vec_id", "vec_id", "embedding", "embedding",
+      3, seedMod = 16L, nProbe = 4))
+    // seed scoring passes broadcast the tiny seed table over corpus/queries
+    assert(p.contains("BroadcastNestedLoopJoin"), s"seeds not broadcast:\n$p")
+    // query-time search: probes broadcast into an equi-join on centroid —
+    // the assigned corpus is NEVER shuffled for a query batch
+    assert(p.contains("BroadcastHashJoin"), s"search not a broadcast hash join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked into IVF:\n$p")
+    // bounded top-k stays a two-phase object aggregate
+    assert(p.split("ObjectHashAggregate").length - 1 >= 2, s"no partial top-k:\n$p")
+  }
+
   test("q06 selective filter pushes predicates into the parquet scan") {
     val df = Queries.all.find(_.name == "q06_selective_filter").get
       .fn(spark, sf("sf0.001"))
