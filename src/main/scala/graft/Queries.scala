@@ -853,9 +853,39 @@ object Queries {
         (PARTITION BY query_id ORDER BY cos_q DESC, corpus_id ASC) AS rk FROM s)
       SELECT query_id, corpus_id, cos_q, rk FROM r WHERE rk <= 5"""))
 
+  // batch mirror of the streaming greedy near-dup dedup
+  // (StreamDedup.nearDupVerdicts): a doc is dropped iff an EARLIER doc
+  // (smaller id) shares any minhash band bucket. Runs on the ROWWISE
+  // codegen'd MinHashBandSigs expression, so the streaming signature path
+  // itself is what the DuckDB oracle checks here.
+  private val q44 = QueryDef("q44_near_dup_keepers",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val mh = operators.Dedup.minhashBandsRowwise(docs, "doc_id", "text",
+        n = 3, bands = 8)
+      val stolen = mh.select(col("doc_id"), col("band"), col("sig"))
+        .join(mh.select(col("doc_id").as("prior_id"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .where(col("prior_id") < col("doc_id"))
+        .select(col("doc_id")).distinct()
+      docs.join(stolen, Seq("doc_id"), "left_anti").select(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(ts)-2, 0)),
+        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle FROM toks),
+      mh AS (SELECT doc_id, b.band, min(md5(shingle || '|' || b.band)) AS sig
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b
+        GROUP BY doc_id, b.band),
+      stolen AS (SELECT DISTINCT a.doc_id FROM mh a JOIN mh b
+        ON a.band = b.band AND a.sig = b.sig AND b.doc_id < a.doc_id)
+      SELECT d.doc_id FROM documents d LEFT JOIN stolen s ON d.doc_id = s.doc_id
+      WHERE s.doc_id IS NULL"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43)
+    q42, q43, q44)
 }

@@ -278,4 +278,144 @@ object Dedup {
       .distinct() // a pair can surface via its own bucket AND a probe
       .where($"cos_q" >= minCosQ)
   }
+
+  /** Per-row minhash band signatures (see [[MinHashBandSigs]]). */
+  def minhash_band_sigs(text: Column, n: Int, bands: Int): Column =
+    org.apache.spark.sql.graftshim.Bridge.column(
+      MinHashBandSigs(org.apache.spark.sql.graftshim.Bridge.expression(text), n, bands))
+
+  /**
+   * Row-wise twin of [[minhashBands]]: same (id, band, sig) rows, but the
+   * signatures are computed inside one codegen'd expression per input row
+   * instead of explode→shuffle→min-agg. Value-identical by construction
+   * (spec-asserted); this is the form a STREAM needs, where a per-row
+   * projection is free but a stateful min-aggregation is not.
+   */
+  def minhashBandsRowwise(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8): DataFrame =
+    df.select(col(idCol), posexplode(minhash_band_sigs(col(textCol), n, bands))
+        .as(Seq("band", "sig")))
+      .select(col(idCol), $"band".cast(IntegerType).as("band"), $"sig")
+}
+
+/**
+ * All `bands` minhash band signatures of a text in ONE row-local pass:
+ * `sig(b) = min over word-n-gram shingles of md5hex(shingle || '|' || b)`
+ * — definitionally identical to [[Dedup.minhashBands]]'s explode+min-agg
+ * (same trim/split/shingle/md5 semantics, so the two forms are
+ * interchangeable and both match the DuckDB oracle fragment).
+ *
+ * Why an expression: streaming ingest cannot afford a stateful
+ * min-aggregation just to build signatures — this keeps signature
+ * construction a stateless projection inside whole-stage codegen, leaving
+ * the stream's only stateful operator the dedup decision itself. (Not a
+ * nested HOF chain: those run interpreted — measured 10-20× slower, see
+ * the note above [[Dedup.minhashLshPairs]].)
+ *
+ * Returns `array<string>` of `bands` lowercase-hex digests; empty array
+ * when the doc has no shingles (< n tokens) — mirroring the agg form,
+ * where such docs simply have no band rows.
+ */
+case class MinHashBandSigs(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    n: Int, bands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  require(n > 0 && bands > 0 && bands <= 64, "need n > 0 and bands in [1,64]")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_band_sigs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_band_sigs requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashBandSigs.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.MinHashBandSigs.compute($c, $n, $bands)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): MinHashBandSigs =
+    copy(child = newChild)
+}
+
+object MinHashBandSigs {
+  import java.nio.charset.StandardCharsets
+  import java.security.MessageDigest
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+  private val splitter = java.util.regex.Pattern.compile("\\s+")
+
+  /** Unsigned lexicographic byte-array compare (== hex-string order). */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Static so generated code and interpreted eval share one body. */
+  def compute(text: UTF8String, n: Int, bands: Int): GenericArrayData = {
+    // UTF8String.trim() strips 0x20 only — same as Spark's trim(col);
+    // Pattern.split(s, -1) keeps leading/trailing empties — same as
+    // Spark's split(str, "\\s+") with its default limit of -1
+    val s = text.trim().toString
+    val toks = splitter.split(s, -1)
+    val out = new Array[Array[Byte]](bands)
+    if (toks.length >= n) {
+      val seen = new java.util.HashSet[String]()
+      val md = md5Local.get()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+        val shingle = sb.toString
+        if (seen.add(shingle)) {
+          val shingleBytes = shingle.getBytes(StandardCharsets.UTF_8)
+          var b = 0
+          while (b < bands) {
+            md.reset()
+            md.update(shingleBytes)
+            md.update(("|" + b).getBytes(StandardCharsets.UTF_8))
+            val d = md.digest()
+            if (out(b) == null || less(d, out(b))) out(b) = d
+            b += 1
+          }
+        }
+        i += 1
+      }
+    }
+    if (out(0) == null) return new GenericArrayData(Array.empty[Any])
+    val hex = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val d = out(b)
+      val cs = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        cs(2 * j) = HEX((d(j) >> 4) & 0xf); cs(2 * j + 1) = HEX(d(j) & 0xf)
+        j += 1
+      }
+      hex(b) = UTF8String.fromString(new String(cs))
+      b += 1
+    }
+    new GenericArrayData(hex)
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.ExtractHtmlText
-import graft.operators.{LshBucket, MinRollingHash, QuantizedDot, SimHash64}
+import graft.operators.{LshBucket, MinHashBandSigs, MinRollingHash, QuantizedDot, SimHash64}
 
 /**
  * SQL surface of the engine's custom expressions, injected via
@@ -32,6 +32,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinRollingHash(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("dot_q",
       (args: Seq[Expression]) => QuantizedDot(args.head, args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_band_sigs",
+      (args: Seq[Expression]) => args match {
+        case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(n, _),
+            org.apache.spark.sql.catalyst.expressions.Literal(b, _)) =>
+          MinHashBandSigs(t, n.toString.toInt, b.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(s"minhash_band_sigs(text, n, bands) with literal n/bands; got $other")
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bucket",
       (args: Seq[Expression]) => args(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(n, _) =>
@@ -64,6 +72,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_q"),
       info("dot_q", "dot_q(a, b) - quantized integer dot product of float arrays"),
       (args: Seq[Expression]) => QuantizedDot(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_band_sigs"),
+      info("minhash_band_sigs", "minhash_band_sigs(text, n, bands) - per-row minhash band signatures"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(n, _),
+            org.apache.spark.sql.catalyst.expressions.Literal(b, _)) =>
+          MinHashBandSigs(t, n.toString.toInt, b.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(s"minhash_band_sigs(text, n, bands) with literal n/bands; got $other")
+      }))
     ext.injectFunction((
       FunctionIdentifier("lsh_bucket"),
       info("lsh_bucket", "lsh_bucket(v, nPlanes) - sign-random-projection bucket"),

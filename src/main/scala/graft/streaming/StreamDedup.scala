@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.TextAnalysis
 
@@ -41,4 +42,95 @@ object StreamDedup {
       .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
+
+  // ==========================================================================
+  // Streaming NEAR-dup suppression (greedy minhash-LSH band dedup)
+  // ==========================================================================
+
+  /** One exploded (band, sig) bucket probe for a document. */
+  final case class BandProbe(band: Int, sig: String, id: String, ts: java.sql.Timestamp)
+  /** Bucket state: the event time (µs) at which the bucket was first claimed. */
+  final case class BucketClaim(firstTsUs: Long)
+  /** Per-band verdict: `stolen` = an earlier doc already claimed this bucket. */
+  final case class BandVerdict(id: String, ts: java.sql.Timestamp, band: Int, stolen: Boolean)
+
+  /**
+   * Greedy streaming near-dup detection, the ingest form of
+   * [[graft.operators.Dedup.minhashLshPairs]]'s bucketing: each page's
+   * `bands` minhash band signatures ([[graft.operators.MinHashBandSigs]],
+   * a stateless codegen'd projection — signature construction costs the
+   * stream NO state) probe a global bucket table; a bucket is owned by
+   * the first document that ever presented it (within the watermark
+   * horizon), and a document is a near-dup iff ANY of its buckets was
+   * already owned — `P[caught] = 1 − (1 − J)^bands` for true Jaccard J,
+   * the classic greedy-LSH dedup contract.
+   *
+   * Determinism: bucket groups sort their micro-batch arrivals by
+   * `(ts, id)`, so the globally earliest document claims every contested
+   * bucket consistently — two same-batch near-dups can never steal from
+   * each other symmetrically (no both-dropped anomaly), and the outcome
+   * equals the batch mirror rule "stolen iff an earlier doc shares the
+   * bucket" (q44's oracle-checked SQL).
+   *
+   * State: one `BucketClaim` per distinct bucket in the horizon —
+   * `bands ×` the exact-dedup fingerprint state, horizon-evicted via
+   * event-time timeout (RocksDB-backed like the sessionizer).
+   *
+   * Emits per-band verdicts; [[keptInBatch]] collapses them to surviving
+   * documents INSIDE foreachBatch (every band row of a doc is emitted in
+   * the batch it arrives, so the collapse is batch-local — no second
+   * stateful operator, no added latency).
+   */
+  def nearDupVerdicts(pages: DataFrame, idCol: String, textCol: String,
+      tsCol: String, delay: String, horizonUs: Long,
+      n: Int = 3, bands: Int = 8): Dataset[BandVerdict] = {
+    import pages.sparkSession.implicits._
+    val probes = pages
+      .select(posexplode(graft.operators.Dedup.minhash_band_sigs(col(textCol), n, bands))
+          .as(Seq("band", "sig")),
+        col(idCol).cast("string").as("id"), col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", delay)
+      .as[BandProbe]
+    probes.groupByKey(p => (p.band, p.sig))
+      .flatMapGroupsWithState[BucketClaim, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows: Iterator[BandProbe], state: GroupState[BucketClaim]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs() * 1000L
+            val arrivals = rows.toSeq
+              .map(p => (graft.model.TsUtil.toUs(p.ts), p))
+              .filter(_._1 >= wm) // explicit late-row drop, like Sessionize
+              .sortBy { case (us, p) => (us, p.id) }
+            if (arrivals.isEmpty) Iterator.empty
+            else {
+              val head = arrivals.head
+              val claimed = state.getOption
+              val verdicts = arrivals.map { case (_, p) =>
+                BandVerdict(p.id, p.ts, p.band,
+                  stolen = claimed.isDefined || (p ne head._2))
+              }
+              val firstUs = claimed.map(_.firstTsUs).getOrElse(head._1)
+              val lastUs = arrivals.last._1
+              state.update(BucketClaim(firstUs))
+              // hold the claim for the dedup horizon past the newest arrival
+              state.setTimeoutTimestamp(
+                math.max((lastUs + horizonUs) / 1000L, state.getCurrentWatermarkMs() + 1))
+              verdicts.iterator
+            }
+          }
+      }
+  }
+
+  /**
+   * foreachBatch collapse of [[nearDupVerdicts]] output: the documents of
+   * this micro-batch with zero stolen bands (plus docs with no shingles,
+   * which emit no band rows and are never suppressed — handle upstream if
+   * short docs matter). Batch-local: no streaming state.
+   */
+  def keptInBatch(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("id"))
+      .agg(max(col("stolen")).as("any_stolen"), min(col("ts")).as("ts"))
+      .where(!col("any_stolen"))
+      .select(col("id"), col("ts"))
 }

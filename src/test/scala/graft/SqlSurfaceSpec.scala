@@ -56,4 +56,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getLong(2) == math.floor(3.0 * 1e6).toLong + math.floor(8.0 * 1e6).toLong)
     assert(r.getLong(3) >= 0 && r.getLong(3) < 16)
   }
+
+  test("minhash_band_sigs callable from SQL and equal to the md5 definition") {
+    val r = spark.sql("SELECT minhash_band_sigs('a b c d', 3, 2) AS sigs").collect()(0)
+    val sigs = r.getSeq[String](0)
+    // shingles of 'a b c d' (n=3): {'a b c', 'b c d'}; sig(b) = min md5(shingle || '|' || b)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (0 until 2).map(b => Seq("a b c", "b c d").map(sh => md5hex(s"$sh|$b")).min)
+    assert(sigs == expect, s"got $sigs expected $expect")
+  }
 }

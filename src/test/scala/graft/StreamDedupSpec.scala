@@ -49,6 +49,96 @@ class StreamDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 5L), s"got ${got.toSeq}")
   }
 
+  test("rowwise MinHashBandSigs equals the explode+min-agg minhashBands") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select($"doc_id", $"text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"band".cast("long"), $"sig")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val agg = rows(graft.operators.Dedup.minhashBands(docs, "doc_id", "text", n = 3, bands = 8))
+    val rww = rows(graft.operators.Dedup.minhashBandsRowwise(docs, "doc_id", "text", n = 3, bands = 8))
+    assert(agg == rww, s"rowwise != agg: only-agg=${(agg -- rww).take(3)} only-rowwise=${(rww -- agg).take(3)}")
+    assert(agg.nonEmpty)
+  }
+
+  test("streaming near-dup band dedup: greedy suppression across batches, no mutual theft") {
+    import spark.implicits._
+    val cp = Files.createTempDirectory("ndcp").toString
+    val table = Files.createTempDirectory("ndtbl").toString
+    val sink = new ExactlyOnceSink(table)
+    val in = MemoryStream[DocRow](Encoders.product[DocRow], spark)
+    val baseText = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val editText = baseText.replace("tok20", "EDITED") // near-dup: 1-token edit
+    val otherText = (1 to 40).map(i => s"other$i").mkString(" ")
+
+    def start() = {
+      val verdicts = StreamDedup.nearDupVerdicts(in.toDF(), "doc_id", "text",
+        "event_ts", "10 minutes", horizonUs = 3600L * 1000000L, n = 3, bands = 8)
+      verdicts.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          sink.write(StreamDedup.keptInBatch(df.toDF()), id))
+        .start()
+    }
+
+    var q = start()
+    // batch 1: doc 1 and its SAME-BATCH near-dup doc 2 — deterministic greedy:
+    // doc 1 (earlier ts) claims every contested bucket, doc 2 is suppressed;
+    // they must never steal from each other symmetrically (both-dropped)
+    in.addData(DocRow(1, ts(base), baseText), DocRow(2, ts(base + 5), editText))
+    q.processAllAvailable()
+    // batch 2: a later re-crawl of doc 1's content + a novel doc
+    in.addData(DocRow(3, ts(base + 60), baseText), DocRow(4, ts(base + 70), otherText))
+    q.processAllAvailable()
+    q.stop() // kill
+
+    q = start() // resume: bucket claims survive the restart
+    in.addData(DocRow(5, ts(base + 120), editText), DocRow(6, ts(base + 130), "tiny"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = sink.read(spark).select($"id").as[String].collect().map(_.toLong).sorted.toSeq
+    // 1 claims; 2/3/5 are near-dups of 1; 4 novel; 6 has <3 tokens → no
+    // band rows → no verdict rows at all (documented contract)
+    assert(kept == Seq(1L, 4L), s"kept $kept")
+  }
+
+  test("streaming near-dup verdicts equal the batch mirror rule (q44 semantics)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select($"doc_id", $"text").where($"doc_id" < 120)
+    // batch mirror: stolen iff an earlier (smaller-id) doc shares a bucket
+    val mh = graft.operators.Dedup.minhashBandsRowwise(docs, "doc_id", "text", 3, 8)
+    val stolen = mh.join(
+        mh.select($"doc_id".as("prior_id"), $"band", $"sig"), Seq("band", "sig"))
+      .where($"prior_id" < $"doc_id").select($"doc_id").distinct()
+    val batchKept = docs.join(stolen, Seq("doc_id"), "left_anti")
+      .join(mh.select($"doc_id").distinct(), Seq("doc_id")) // only docs WITH bands
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+
+    // streaming: one doc per second in doc_id order → earlier id == earlier ts
+    val cp = Files.createTempDirectory("nd2cp").toString
+    val in = MemoryStream[DocRow](Encoders.product[DocRow], spark)
+    val rows = docs.orderBy($"doc_id").as[(Long, String)].collect()
+      .map { case (id, text) => DocRow(id, ts(base + id), text) }
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamDedup.nearDupVerdicts(in.toDF(), "doc_id", "text",
+      "event_ts", "10 minutes", horizonUs = 86400L * 1000000L, n = 3, bands = 8)
+      .toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got ++= StreamDedup.keptInBatch(df.toDF())
+          .select($"id").collect().map(_.getString(0).toLong)
+        ()
+      }
+      .start()
+    rows.grouped(40).foreach { g => in.addData(g.toSeq); q.processAllAvailable() }
+    q.stop()
+    assert(got.sorted.toSeq == batchKept,
+      s"stream-only=${(got.toSet -- batchKept).take(5)} batch-only=${(batchKept.toSet -- got).take(5)}")
+  }
+
   test("batch mirror: q39 fingerprint groups match the streaming op's identity") {
     import spark.implicits._
     val rows = Seq(
