@@ -31,7 +31,7 @@ object PagePipelineApp {
   def main(args: Array[String]): Unit = {
     // valueless flags are parsed separately: pairing them positionally
     // would shift every later key/value option
-    val flags = Set("--join-meta")
+    val flags = Set("--join-meta", "--near-dup")
     val a = args.filterNot(flags.contains)
       .sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val nPages = a.getOrElse("--pages", "1000000").toLong
@@ -41,6 +41,7 @@ object PagePipelineApp {
     val table = a.getOrElse("--table", "/tmp/graft-sessions")
     val metricsPath = a.get("--metrics")
     val joinMeta = args.contains("--join-meta")
+    val nearDup = args.contains("--near-dup")
 
     val builder = SparkSession.builder()
       .appName("graft-page-pipeline")
@@ -63,12 +64,21 @@ object PagePipelineApp {
       .withColumn("text", extract_html_text(col("html")))
       .drop("html") // never carry the blob past extraction
 
-    val out =
+    // per-mode: the streaming DataFrame plus the batch-local transform the
+    // sink applies inside foreachBatch (identity except near-dup collapse)
+    val (out, collapse): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
       if (joinMeta) {
         val meta = PageStream.metaFromRate(spark, cfg, rowsPerSecond = rate / 10).toDF()
-        PageStream.joinPagesWithMeta(pages.toDF(), meta)
+        (PageStream.joinPagesWithMeta(pages.toDF(), meta), identity[org.apache.spark.sql.DataFrame] _)
+      } else if (nearDup) {
+        // ingest near-dup suppression: per-band bucket verdicts in the
+        // stream, collapsed to surviving pages batch-locally at the sink
+        (StreamDedup.nearDupVerdicts(pages.toDF(), "url", "text", "warc_ts",
+          delay = "30 minutes", horizonUs = 7200L * 1000000L).toDF(),
+          StreamDedup.keptInBatch _)
       } else {
-        Sessionize.fromPages(spark, pages).toDF()
+        (Sessionize.fromPages(spark, pages).toDF(), identity[org.apache.spark.sql.DataFrame] _)
       }
 
     val sink = new ExactlyOnceSink(table)
@@ -77,7 +87,7 @@ object PagePipelineApp {
       .option("checkpointLocation", cp)
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink.write(df.toDF(), id))
+        sink.write(collapse(df.toDF()), id))
       .start()
     q.awaitTermination()
   }
