@@ -275,8 +275,11 @@ object Dedup {
       .select($"id_a", $"id_b",
         floor(VectorOps.cosineScore(VectorOps.dot_q($"v_a", $"v_b"), $"nq_a", $"nq_b") * 1e6)
           .cast(LongType).as("cos_q"))
-      .distinct() // a pair can surface via its own bucket AND a probe
+      // filter BEFORE distinct: cos_q is deterministic per pair, so the
+      // result is identical but only qualifying pairs cross the
+      // deduplicating exchange (sub-threshold bucket collisions dominate)
       .where($"cos_q" >= minCosQ)
+      .distinct() // a pair can surface via its own bucket AND a probe
   }
 
   /** Per-row minhash band signatures (see [[MinHashBandSigs]]). */

@@ -104,6 +104,11 @@ object Similarity {
    * `nProbe` cells, and score only corpus rows assigned to those cells
    * via a broadcast hash join — the corpus is never shuffled at query
    * time. Per-cell work is |corpus|·nProbe/|seeds| instead of |corpus|.
+   *
+   * Contract: the corpus must contain ids divisible by `seedMod` (the
+   * deterministic centroid sample). An id universe that misses them
+   * entirely yields an empty seed set and therefore an empty result —
+   * pick `seedMod` against the actual id distribution.
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idQ: String, idC: String, vecQ: String, vecC: String,

@@ -60,10 +60,27 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
     manifestDir.getFileSystem(conf)
   }
 
+  // compactHi changes only when compact() publishes a snapshot; caching it
+  // keeps committed() at one O(1) exists() probe per micro-batch instead of
+  // a full _manifest listing (O(epochs) per batch on an object store).
+  // null = never loaded. Single-maintainer assumption: if ANOTHER process
+  // compacts while this writer streams, call refreshCompactHi() (but
+  // concurrent external compaction against a live writer is out of
+  // contract anyway — see compact()).
+  @transient private var hiCache: Option[Long] = _
+
+  private def compactHiCached(): Option[Long] = {
+    if (hiCache == null) hiCache = compactHi()
+    hiCache
+  }
+
+  /** Drop the cached snapshot horizon (e.g. after an external compaction). */
+  def refreshCompactHi(): Unit = hiCache = null
+
   /** Epoch is committed if its manifest exists OR a compacted snapshot
     * covers it (compaction GCs the per-epoch manifests it supersedes). */
   def committed(batchId: Long): Boolean =
-    batchId <= compactHi().getOrElse(-1L) || fs().exists(epochManifest(batchId))
+    batchId <= compactHiCached().getOrElse(-1L) || fs().exists(epochManifest(batchId))
 
   def committedEpochs(): Seq[Long] = {
     val f = fs()
@@ -175,7 +192,13 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
     if (epochs.isEmpty || (epochs.size < 2 && prevHi.isEmpty)) return
     val hi = epochs.max
     val dataPath = s"$tableDir/data/compact-$hi"
-    read(spark).coalesce(targetPartitions)
+    // rewrite EXACTLY the captured epoch set — not read(), which re-lists
+    // the manifest dir and would fold an epoch committed concurrently
+    // (> hi) into the snapshot while its own manifest survives the GC
+    // below, permanently duplicating its rows
+    val srcPaths = prevHi.map(h => s"$tableDir/data/compact-$h").toSeq ++
+      epochs.filter(e => prevHi.forall(e > _)).map(e => s"$tableDir/data/epoch=$e")
+    spark.read.parquet(srcPaths: _*).coalesce(targetPartitions)
       .write.mode(SaveMode.Overwrite).parquet(dataPath)
     val tmp = new Path(manifestDir, s".compact-$hi.json.tmp")
     val body =
@@ -185,6 +208,7 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
     try out.write(body.getBytes(UTF_8)) finally out.close()
     val dest = new Path(manifestDir, f"compact-$hi%010d.json")
     if (!f.rename(tmp, dest)) { f.delete(tmp, false); return }
+    hiCache = Some(hi)
     // GC superseded manifests (data dirs retained for in-flight readers)
     epochs.filter(_ <= hi).foreach(e => f.delete(epochManifest(e), false))
     prevHi.foreach(h => f.delete(new Path(manifestDir, f"compact-$h%010d.json"), false))
@@ -202,12 +226,26 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
     val f = fs()
     val dataDir = new Path(tableDir, "data")
     if (!f.exists(dataDir)) return 0
+    // capture the horizons FIRST: a directory with an id beyond them may
+    // be an IN-FLIGHT write (parquet laid down, manifest not yet
+    // published) — deleting it would let write()/compact() publish a
+    // manifest pointing at deleted files. Anything at or below a captured
+    // horizon that is still unreferenced is genuinely superseded.
+    val epochs = committedEpochs()
+    val maxEpoch = epochs.lastOption.getOrElse(compactHi().getOrElse(-1L))
+    val hi = compactHi()
     val live: Set[String] =
-      committedEpochs().map(e => s"epoch=$e").toSet ++
-        compactHi().map(h => s"compact-$h").toSet
+      epochs.map(e => s"epoch=$e").toSet ++ hi.map(h => s"compact-$h").toSet
+    def superseded(name: String): Boolean = name match {
+      case s if s.startsWith("epoch=") =>
+        s.stripPrefix("epoch=").toLongOption.exists(_ <= maxEpoch)
+      case s if s.startsWith("compact-") =>
+        s.stripPrefix("compact-").toLongOption.exists(c => hi.exists(c < _))
+      case _ => false // unknown layout: never delete
+    }
     val victims = f.listStatus(dataDir).toSeq
       .map(_.getPath)
-      .filter(p => !live.contains(p.getName))
+      .filter(p => !live.contains(p.getName) && superseded(p.getName))
     victims.foreach(p => f.delete(p, true))
     victims.size
   }

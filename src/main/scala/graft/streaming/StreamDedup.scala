@@ -98,10 +98,13 @@ object StreamDedup {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val wm = state.getCurrentWatermarkMs() * 1000L
+            // tie-break at equal event time: shorter-then-lexicographic id —
+            // for decimal-string ids this IS numeric order ("2" before
+            // "10"), matching the batch mirror's smaller-id-wins rule (q44)
             val arrivals = rows.toSeq
               .map(p => (graft.model.TsUtil.toUs(p.ts), p))
               .filter(_._1 >= wm) // explicit late-row drop, like Sessionize
-              .sortBy { case (us, p) => (us, p.id) }
+              .sortBy { case (us, p) => (us, p.id.length, p.id) }
             if (arrivals.isEmpty) Iterator.empty
             else {
               val head = arrivals.head
@@ -127,9 +130,16 @@ object StreamDedup {
    * this micro-batch with zero stolen bands (plus docs with no shingles,
    * which emit no band rows and are never suppressed — handle upstream if
    * short docs matter). Batch-local: no streaming state.
+   *
+   * Same-id copies co-arriving in one batch collapse per band FIRST
+   * (min(stolen): the claiming copy's verdict wins), so a re-crawled url
+   * whose first copy claimed its buckets still survives — only then is
+   * the per-doc any-band-stolen rule applied.
    */
   def keptInBatch(verdicts: DataFrame): DataFrame =
-    verdicts.groupBy(col("id"))
+    verdicts.groupBy(col("id"), col("band"))
+      .agg(min(col("stolen")).as("stolen"), min(col("ts")).as("ts"))
+      .groupBy(col("id"))
       .agg(max(col("stolen")).as("any_stolen"), min(col("ts")).as("ts"))
       .where(!col("any_stolen"))
       .select(col("id"), col("ts"))

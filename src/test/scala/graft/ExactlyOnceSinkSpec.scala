@@ -84,6 +84,49 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     assert(sink.read(spark).count() == 6)
   }
 
+  test("compaction snapshots only the epochs it captured, never a concurrent commit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eost").toString
+    val sink = new ExactlyOnceSink(dir)
+    (0L until 3L).foreach(e => sink.write(Seq((e.toInt, s"v$e")).toDF("id", "v"), e))
+    // simulate the race window: a compactor whose epoch capture is frozen
+    // at {0,1,2}, while epoch 3 commits before the rewrite runs. The
+    // rewrite must fold ONLY the captured epochs — folding the freshly
+    // committed epoch 3 while its manifest survives the GC would
+    // permanently duplicate its rows.
+    val staleCompactor = new ExactlyOnceSink(dir) {
+      override def committedEpochs(): Seq[Long] = Seq(0L, 1L, 2L)
+    }
+    sink.write(Seq((3, "v3")).toDF("id", "v"), 3L) // the racing commit
+    staleCompactor.compact(spark, targetPartitions = 1)
+    val reader = new ExactlyOnceSink(dir)
+    assert(reader.compactHi().contains(2L))
+    assert(reader.committedEpochs() == Seq(3L), "epoch 3's manifest must survive")
+    val back = reader.read(spark).collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(back.sorted == Seq((0, "v0"), (1, "v1"), (2, "v2"), (3, "v3")),
+      s"rows duplicated or lost after racing compaction: $back")
+  }
+
+  test("GC never deletes in-flight (beyond-horizon) data directories") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eosg").toString
+    val sink = new ExactlyOnceSink(dir)
+    (0L until 3L).foreach(e => sink.write(Seq((e.toInt, s"v$e")).toDF("id", "v"), e))
+    sink.compact(spark, targetPartitions = 1)
+    // in-flight epoch 3: parquet written, manifest not yet published
+    Seq((3, "inflight")).toDF("id", "v").write.parquet(s"$dir/data/epoch=3")
+    // in-flight future compaction rewrite
+    Seq((0, "snap")).toDF("id", "v").write.parquet(s"$dir/data/compact-9")
+    // stale folded epoch dirs (0..2) are the only legitimate victims
+    assert(sink.gcUnreferenced() == 3)
+    val left = new java.io.File(s"$dir/data").listFiles().map(_.getName).toSet
+    assert(left.contains("epoch=3"), "in-flight epoch dir deleted")
+    assert(left.contains("compact-9"), "in-flight compaction dir deleted")
+    // the in-flight write can now publish and the table stays consistent
+    sink.write(Seq((3, "v3")).toDF("id", "v"), 3L)
+    assert(sink.read(spark).count() == 4)
+  }
+
   test("uncommitted partial data is invisible and safely overwritten") {
     import spark.implicits._
     val dir = Files.createTempDirectory("eos2").toString

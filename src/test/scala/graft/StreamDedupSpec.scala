@@ -139,6 +139,42 @@ class StreamDedupSpec extends SparkSpec {
       s"stream-only=${(got.toSet -- batchKept).take(5)} batch-only=${(batchKept.toSet -- got).take(5)}")
   }
 
+  test("keptInBatch: same-id copies in one batch keep the id when its first copy claimed") {
+    import spark.implicits._
+    // id A, copy 1 claimed both bands (stolen=false), copy 2 found them
+    // claimed (stolen=true); id B is a genuine near-dup (all stolen)
+    val verdicts = Seq(
+      ("A", ts(base), 0, false), ("A", ts(base), 1, false),
+      ("A", ts(base + 1), 0, true), ("A", ts(base + 1), 1, true),
+      ("B", ts(base + 2), 0, true), ("B", ts(base + 2), 1, true))
+      .toDF("id", "ts", "band", "stolen")
+    val kept = StreamDedup.keptInBatch(verdicts).select($"id").as[String].collect().toSeq
+    assert(kept == Seq("A"), s"kept $kept — a re-crawled id must not erase its own keeper")
+  }
+
+  test("same-timestamp bucket ties resolve numerically for decimal ids (batch-mirror order)") {
+    import spark.implicits._
+    val cp = Files.createTempDirectory("tiecp").toString
+    val in = MemoryStream[DocRow](Encoders.product[DocRow], spark)
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val q = StreamDedup.nearDupVerdicts(in.toDF(), "doc_id", "text",
+      "event_ts", "10 minutes", horizonUs = 3600L * 1000000L)
+      .toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got ++= StreamDedup.keptInBatch(df.toDF()).select($"id").as[String].collect()
+        ()
+      }
+      .start()
+    // ids 10 and 2, IDENTICAL text and ts: lexicographic strings would pick
+    // "10"; the (length, lex) order must pick 2 like the q44 mirror rule
+    in.addData(DocRow(10, ts(base), text), DocRow(2, ts(base), text))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSeq == Seq("2"), s"kept $got — ties must break toward the smaller id")
+  }
+
   test("batch mirror: q39 fingerprint groups match the streaming op's identity") {
     import spark.implicits._
     val rows = Seq(

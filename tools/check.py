@@ -53,6 +53,9 @@ def main():
             print(f"{name}: NO SPARK OUTPUT"); n_fail += 1; continue
         sres = con.execute(f"SELECT * FROM '{qdir}/*.parquet'")
         scols = [d[0] for d in sres.description]
+        # capture NOW: con.execute returns the connection itself, so
+        # .description is overwritten by the next execute (the oracle)
+        sdesc = [d[1] for d in sres.description]
         srows = sres.fetchall()
         if name not in oracle:
             print(f"{name}: rows-only ({len(srows)} rows)"); n_rowsonly += 1
@@ -71,7 +74,7 @@ def main():
             print(f"{name}: SCHEMA MISMATCH spark={sc} duck={dc}"); n_fail += 1; continue
         # driver's hasher is TYPE-sensitive (HUGEINT != BIGINT): compare
         # the DuckDB-visible column types too, sorted by column name
-        stypes = sorted(zip(scols, [d[1] for d in sres.description]))
+        stypes = sorted(zip(scols, sdesc))
         dtypes = sorted(zip(dcols, [d[1] for d in dres.description]))
         if stypes != dtypes:
             print(f"{name}: TYPE MISMATCH spark={stypes} duck={dtypes}"); n_fail += 1; continue
