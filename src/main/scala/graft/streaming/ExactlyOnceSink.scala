@@ -166,6 +166,27 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
   }
 
   /**
+   * Incremental scan: rows committed in epochs `(afterEpoch, untilEpoch]`
+   * — Iceberg's incremental read between two snapshots, at commit-epoch
+   * granularity. The unit a downstream consumer (compactor, index
+   * builder, CDC-style replicator) uses to process ONLY what is new
+   * since its last run instead of rescanning the table. Fails loudly if
+   * compaction already folded part of the requested range (per-epoch
+   * lineage for that range is gone).
+   */
+  def readBetween(spark: SparkSession, afterEpoch: Long,
+      untilEpoch: Long = Long.MaxValue): DataFrame = {
+    compactHi().filter(_ > afterEpoch).foreach { h =>
+      throw new IllegalStateException(
+        s"epochs <= $h were compacted away; incremental read after $afterEpoch is no longer exact")
+    }
+    val epochs = committedEpochs().filter(e => e > afterEpoch && e <= untilEpoch)
+    if (epochs.isEmpty)
+      return spark.emptyDataFrame
+    spark.read.parquet(epochs.map(e => s"$tableDir/data/epoch=$e"): _*)
+  }
+
+  /**
    * Compact all currently committed data into one snapshot with
    * `targetPartitions` files — the table-maintenance half of the
    * "Iceberg subset": a streaming sink accretes one small directory per

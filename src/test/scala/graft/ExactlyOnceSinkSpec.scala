@@ -127,6 +127,25 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     assert(sink.read(spark).count() == 4)
   }
 
+  test("readBetween: incremental scan of (after, until] epochs; loud after compaction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eosi").toString
+    val sink = new ExactlyOnceSink(dir)
+    (0L until 5L).foreach(e => sink.write(Seq((e.toInt, s"v$e")).toDF("id", "v"), e))
+    val inc = sink.readBetween(spark, afterEpoch = 1L, untilEpoch = 3L)
+      .select($"id").as[Int].collect().sorted.toSeq
+    assert(inc == Seq(2, 3), s"got $inc")
+    // consumer caught up through epoch 4: nothing new
+    assert(sink.readBetween(spark, afterEpoch = 4L).isEmpty)
+    // after compaction, per-epoch lineage below hi is gone — must fail loudly
+    sink.compact(spark, targetPartitions = 1)
+    intercept[IllegalStateException](sink.readBetween(spark, afterEpoch = 2L))
+    // but incremental reads from the snapshot boundary onward still work
+    sink.write(Seq((5, "v5")).toDF("id", "v"), 5L)
+    val tail = sink.readBetween(spark, afterEpoch = 4L).select($"id").as[Int].collect().toSeq
+    assert(tail == Seq(5))
+  }
+
   test("uncommitted partial data is invisible and safely overwritten") {
     import spark.implicits._
     val dir = Files.createTempDirectory("eos2").toString
