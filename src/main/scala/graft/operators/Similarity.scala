@@ -119,19 +119,19 @@ object Similarity {
       VectorOps.norm_q(col(vecQ)).as("qn"))
     val seeds = c.where($"corpus_id" % seedMod === 0)
       .select($"corpus_id".as("seed_id"), $"cv".as("sv"), $"cn".as("sn"))
+    ivfTopKWithCentroids(q, c, seeds, k, nProbe)
+  }
 
-    // index build: argmax over the broadcast seeds. The lexicographic max
-    // of struct(score, -seed_id) is the deterministic argmax with ties
-    // broken toward the lowest seed id; any_value is safe because cv/cn
-    // are constant within a corpus_id group.
-    val assigned = c.crossJoin(broadcast(seeds))
-      .select($"corpus_id", $"cv", $"cn",
-        struct(cosQ(VectorOps.dot_q($"cv", $"sv"), $"cn", $"sn").as("sc"),
-          (-$"seed_id").as("neg_seed")).as("cand"))
-      .groupBy($"corpus_id")
-      .agg(max($"cand").as("best"),
-        any_value($"cv").as("cv"), any_value($"cn").as("cn"))
-      .select($"corpus_id", $"cv", $"cn", (-$"best.neg_seed").as("centroid"))
+  /**
+   * IVF search against an explicit centroid table `(seed_id, sv, sn)` —
+   * e.g. the sample seeds of [[ivfTopK]] or [[refineCentroids]]' k-means
+   * output. Inputs must be pre-shaped: queries `(query_id, qv, qn)`,
+   * corpus `(corpus_id, cv, cn)`.
+   */
+  def ivfTopKWithCentroids(q: DataFrame, c: DataFrame, seeds: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    // index build: one corpus shuffle (see assignToCells)
+    val assigned = assignToCells(c, seeds)
 
     // probe selection: top-nProbe cells per query (score DESC, seed ASC)
     val probes = TopK.perKey(
@@ -146,6 +146,64 @@ object Similarity {
       .select($"query_id", $"corpus_id",
         cosQ(VectorOps.dot_q($"qv", $"cv"), $"qn", $"cn").as("cos_q"))
     TopK.perKey(scored, "query_id", "corpus_id", "cos_q", k, "corpus_id", "cos_q")
+  }
+
+  /**
+   * Assign every corpus vector to its argmax-cosine cell. The
+   * lexicographic max of struct(score, -seed_id) is the deterministic
+   * argmax with ties broken toward the lowest seed id; any_value is safe
+   * because cv/cn are constant within a corpus_id group.
+   */
+  private def assignToCells(c: DataFrame, seeds: DataFrame): DataFrame =
+    c.crossJoin(broadcast(seeds))
+      .select($"corpus_id", $"cv", $"cn",
+        struct(cosQ(VectorOps.dot_q($"cv", $"sv"), $"cn", $"sn").as("sc"),
+          (-$"seed_id").as("neg_seed")).as("cand"))
+      .groupBy($"corpus_id")
+      .agg(max($"cand").as("best"),
+        any_value($"cv").as("cv"), any_value($"cn").as("cn"))
+      .select($"corpus_id", $"cv", $"cn", (-$"best.neg_seed").as("centroid"))
+
+  /**
+   * Lloyd refinement of IVF centroids — `iters` k-means steps, each fully
+   * deterministic: cell means are computed from exact integer sums
+   * (per-element `floor(v·1e6)` summed as longs, then one integer
+   * division by the cell size), so the refined centroids are bit-identical
+   * at any partitioning. Cells keep their original seed_id; a cell that
+   * loses all members keeps its previous centroid (classic empty-cluster
+   * guard, here the deterministic choice).
+   *
+   * Cost per iteration: one broadcast argmax pass + one (centroid, pos)
+   * aggregation over |corpus|·dim skinny rows — the standard k-means
+   * shuffle profile. Refinement balances cell populations, which is what
+   * bounds probe-time work on clustered real-world embeddings (a sample
+   * centroid in a dense region otherwise absorbs a huge cell).
+   */
+  def refineCentroids(c: DataFrame, seeds0: DataFrame, iters: Int): DataFrame = {
+    var seeds = seeds0
+    for (_ <- 1 to iters) {
+      val members = assignToCells(c, seeds).select($"centroid", $"cv")
+      val means = members
+        .select($"centroid", posexplode($"cv").as(Seq("pos", "v")))
+        .groupBy($"centroid", $"pos")
+        .agg(sum(floor($"v".cast(DoubleType) * 1e6).cast(LongType)).as("s"),
+          count(lit(1)).as("n"))
+        // exact floor(s/n) in integers: s - pmod(s,n) is an exact multiple
+        // of n, so the division is exact (pmod handles negative sums)
+        .withColumn("mq", (($"s" - pmod($"s", $"n")) / $"n").cast(LongType))
+        .groupBy($"centroid")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"mq"))),
+          e => (e("mq").cast(DoubleType) / 1e6).cast(FloatType)).as("sv"))
+        .select($"centroid".as("seed_id"), $"sv", VectorOps.norm_q($"sv").as("sn"))
+      // empty-cell guard: keep the old centroid where no member remains
+      seeds = seeds.select($"seed_id", $"sv".as("old_sv"), $"sn".as("old_sn"))
+        .join(means.select($"seed_id", $"sv".as("new_sv"), $"sn".as("new_sn")),
+          Seq("seed_id"), "left")
+        .select($"seed_id",
+          coalesce($"new_sv", $"old_sv").as("sv"),
+          coalesce($"new_sn", $"old_sn").as("sn"))
+    }
+    seeds
   }
 
   /** Per-label quantized centroid sums: (label, pos, sum_q, n). Exact. */

@@ -112,6 +112,45 @@ class OperatorSpec extends SparkSpec {
     assert(hits >= 16, s"IVF planted-twin recall too low: $hits/20")
   }
 
+  test("ivf k-means refinement: refined cells stay a correct index and recall twins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    val queries = emb.where($"vec_id" < 20)
+    val twins = queries.select(($"vec_id" + 10000).as("vec_id"),
+      expr("transform(embedding, (x, i) -> IF(i = 0, cast(x * 1.05 as float), x))")
+        .as("embedding"))
+    val corpus = emb.where($"vec_id" >= 20).select($"vec_id", $"embedding")
+      .union(twins)
+    val c = corpus.select($"vec_id".as("corpus_id"), $"embedding".as("cv"),
+      VectorOps.norm_q($"embedding").as("cn"))
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"),
+      VectorOps.norm_q($"embedding").as("qn"))
+    val seeds0 = c.where($"corpus_id" % 16 === 0)
+      .select($"corpus_id".as("seed_id"), $"cv".as("sv"), $"cn".as("sn"))
+    val refined = Similarity.refineCentroids(c, seeds0, iters = 2)
+    assert(refined.count() == seeds0.count(), "refinement must keep every cell")
+    // with every cell probed, ANY centroid table degenerates to brute force
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val bf = rows(Similarity.bruteForceTopK(queries, corpus, "vec_id", "vec_id",
+      "embedding", "embedding", 3))
+    val all = rows(Similarity.ivfTopKWithCentroids(q, c, refined, 3, nProbe = 10000))
+    assert(all == bf, "refined IVF at full probe must equal brute force")
+    // at nProbe=4 the refined index must still recall the planted twins
+    val top1 = Similarity.ivfTopKWithCentroids(q, c, refined, 1, nProbe = 4)
+      .where($"rk" === 1).select($"query_id", $"corpus_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = top1.count { case (qid, cid) => cid == qid + 10000 }
+    assert(hits >= 16, s"refined-IVF twin recall too low: $hits/20")
+    // determinism: a second refinement run yields the identical index
+    val again = Similarity.refineCentroids(c, seeds0, iters = 2)
+    val a = refined.select($"seed_id", $"sv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = again.select($"seed_id", $"sv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b, "refinement must be bit-deterministic")
+  }
+
   test("section fan-out / recombine round-trips text") {
     import spark.implicits._
     val rt = Topology.recombine(
