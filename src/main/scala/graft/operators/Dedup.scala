@@ -282,6 +282,41 @@ object Dedup {
       .distinct() // a pair can surface via its own bucket AND a probe
   }
 
+  /**
+   * Incremental greedy near-dup dedup: process a FRESH increment against
+   * the accumulated historical band index `(doc_id, band, sig)` without
+   * touching historical documents — the pattern that makes near-dedup
+   * affordable at 100 TB, where re-shingling the corpus per daily
+   * increment is off the table. Combine with
+   * [[graft.streaming.ExactlyOnceSink.readBetween]] to feed exactly the
+   * new epochs.
+   *
+   * Rule (same greedy contract as the batch mirror q44 and the streaming
+   * operator): a fresh doc is dropped iff any of its band buckets is
+   * claimed by a historical doc or an earlier (smaller-id) fresh doc;
+   * every fresh doc's buckets enter the index regardless of its own fate.
+   * Chunked application over any id-ordered split therefore reproduces
+   * the single-batch result exactly (spec-asserted).
+   *
+   * Returns (keepers = fresh ids that survive, updated band index).
+   */
+  def incrementalNearDupKeepers(historyBands: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, bands: Int = 8)
+      : (DataFrame, DataFrame) = {
+    val freshBands = minhashBandsRowwise(fresh, idCol, textCol, n, bands)
+    val stolenByHistory = freshBands
+      .join(historyBands.select($"band", $"sig"), Seq("band", "sig"), "left_semi")
+      .select(col(idCol))
+    val stolenByEarlierFresh = freshBands
+      .join(freshBands.select(col(idCol).as("prior_id"), $"band", $"sig"),
+        Seq("band", "sig"))
+      .where($"prior_id" < col(idCol))
+      .select(col(idCol))
+    val stolen = stolenByHistory.union(stolenByEarlierFresh).distinct()
+    val keepers = fresh.select(col(idCol)).join(stolen, Seq(idCol), "left_anti")
+    (keepers, historyBands.unionByName(freshBands))
+  }
+
   /** Per-row minhash band signatures (see [[MinHashBandSigs]]). */
   def minhash_band_sigs(text: Column, n: Int, bands: Int): Column =
     org.apache.spark.sql.graftshim.Bridge.column(

@@ -40,6 +40,34 @@ class DedupScaleSpec extends SparkSpec {
     assert(uncapped > 100, s"hot shingles should link many pairs uncapped: $uncapped")
   }
 
+  test("incremental near-dup dedup over chunks equals the single-batch greedy rule") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select($"doc_id", $"text")
+    // single-batch greedy keepers (the q44 rule)
+    val mh = Dedup.minhashBandsRowwise(docs, "doc_id", "text", 3, 8)
+    val stolen = mh.join(mh.select($"doc_id".as("prior_id"), $"band", $"sig"),
+        Seq("band", "sig"))
+      .where($"prior_id" < $"doc_id").select($"doc_id").distinct()
+    val batchKeepers = docs.join(stolen, Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+
+    // same corpus processed as three id-ordered increments against a
+    // growing band index (empty history to start)
+    var index = Dedup.minhashBandsRowwise(docs.limit(0), "doc_id", "text", 3, 8)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val splits = Seq($"doc_id" < 60, $"doc_id" >= 60 && $"doc_id" < 140, $"doc_id" >= 140)
+    for (cond <- splits) {
+      val (keepers, newIndex) = Dedup.incrementalNearDupKeepers(
+        index, docs.where(cond), "doc_id", "text", 3, 8)
+      got ++= keepers.as[Long].collect()
+      index = newIndex.localCheckpoint() // cut the growing lineage, as a real
+                                         // incremental job persists its index
+    }
+    assert(got.sorted.toSeq == batchKeepers,
+      s"inc-only=${(got.toSet -- batchKeepers).take(5)} batch-only=${(batchKeepers.toSet -- got).take(5)}")
+  }
+
   test("minhash LSH with df cap still recalls planted near-dups") {
     import spark.implicits._
     val base = docs.where($"doc_id" < 40)
