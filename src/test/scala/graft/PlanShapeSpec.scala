@@ -45,6 +45,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.split("ObjectHashAggregate").length - 1 >= 2, s"no partial top-k:\n$p")
   }
 
+  test("q44 near-dup keepers: band equi-join, no cartesian, sigs built without an aggregate") {
+    val df = Queries.all.find(_.name == "q44_near_dup_keepers").get
+      .fn(spark, sf("sf0.001"))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup self-join must stay keyed on (band, sig):\n$p")
+    // rowwise signatures are a stateless projection — the only aggregate
+    // allowed in the plan is the keeper-side distinct
+    val emb = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val sigsPlan = plan(graft.operators.Dedup.minhashBandsRowwise(
+      emb.select(col("doc_id"), col("text")), "doc_id", "text", 3, 8))
+    assert(!sigsPlan.contains("Aggregate") && !sigsPlan.contains("Exchange"),
+      s"rowwise sigs must not shuffle or aggregate:\n$sigsPlan")
+  }
+
   test("q06 selective filter pushes predicates into the parquet scan") {
     val df = Queries.all.find(_.name == "q06_selective_filter").get
       .fn(spark, sf("sf0.001"))
