@@ -299,6 +299,13 @@ object Dedup {
    * the single-batch result exactly (spec-asserted).
    *
    * Returns (keepers = fresh ids that survive, updated band index).
+   *
+   * Cost note: within the keepers action the two (band, sig) joins reuse
+   * one exchange of `freshBands`, so the increment is shingled once per
+   * action — but materializing the RETURNED index is a second action and
+   * re-runs the projection. A real incremental job should write the
+   * returned index to storage and read it back for the next increment
+   * (as the spec does with localCheckpoint), never re-derive it.
    */
   def incrementalNearDupKeepers(historyBands: DataFrame, fresh: DataFrame,
       idCol: String, textCol: String, n: Int = 3, bands: Int = 8)

@@ -182,19 +182,16 @@ object Similarity {
   def refineCentroids(c: DataFrame, seeds0: DataFrame, iters: Int): DataFrame = {
     var seeds = seeds0
     for (_ <- 1 to iters) {
-      val members = assignToCells(c, seeds).select($"centroid", $"cv")
-      val means = members
-        .select($"centroid", posexplode($"cv").as(Seq("pos", "v")))
-        .groupBy($"centroid", $"pos")
-        .agg(sum(floor($"v".cast(DoubleType) * 1e6).cast(LongType)).as("s"),
-          count(lit(1)).as("n"))
-        // exact floor(s/n) in integers: s - pmod(s,n) is an exact multiple
-        // of n, so the division is exact (pmod handles negative sums)
-        .withColumn("mq", (($"s" - pmod($"s", $"n")) / $"n").cast(LongType))
-        .groupBy($"centroid")
+      val members = assignToCells(c, seeds).select($"centroid".as("label"), $"cv")
+      // per-(cell, pos) exact quantized sums — the one shared recipe
+      val means = centroidSums(members, "label", "cv")
+        // exact floor(sum/n): `div` stays in long arithmetic (a double
+        // division would lose bits once |sum| exceeds 2^53 — huge cells)
+        .withColumn("mq", expr("(sum_q - pmod(sum_q, n)) div n"))
+        .groupBy($"label")
         .agg(transform(array_sort(collect_list(struct($"pos", $"mq"))),
           e => (e("mq").cast(DoubleType) / 1e6).cast(FloatType)).as("sv"))
-        .select($"centroid".as("seed_id"), $"sv", VectorOps.norm_q($"sv").as("sn"))
+        .select($"label".as("seed_id"), $"sv", VectorOps.norm_q($"sv").as("sn"))
       // empty-cell guard: keep the old centroid where no member remains
       seeds = seeds.select($"seed_id", $"sv".as("old_sv"), $"sn".as("old_sn"))
         .join(means.select($"seed_id", $"sv".as("new_sv"), $"sn".as("new_sn")),
@@ -202,6 +199,10 @@ object Similarity {
         .select($"seed_id",
           coalesce($"new_sv", $"old_sv").as("sv"),
           coalesce($"new_sn", $"old_sn").as("sn"))
+        // materialize the (tiny) centroid table: `seeds` feeds BOTH the
+        // next assignment and the next empty-cell guard — left lazy, the
+        // plan doubles per iteration (2^iters corpus passes)
+        .localCheckpoint()
     }
     seeds
   }

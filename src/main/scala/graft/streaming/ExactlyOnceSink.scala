@@ -176,13 +176,19 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
    */
   def readBetween(spark: SparkSession, afterEpoch: Long,
       untilEpoch: Long = Long.MaxValue): DataFrame = {
+    // list FIRST, check the compaction horizon AFTER: a concurrent
+    // compaction between the two calls then fails the guard instead of
+    // making the listing silently empty (manifests GC'd) — the loud
+    // failure this method promises. Data dirs survive compaction until
+    // the separate GC step, so a listing that passed the guard reads
+    // consistent data.
+    val epochs = committedEpochs().filter(e => e > afterEpoch && e <= untilEpoch)
     compactHi().filter(_ > afterEpoch).foreach { h =>
       throw new IllegalStateException(
         s"epochs <= $h were compacted away; incremental read after $afterEpoch is no longer exact")
     }
-    val epochs = committedEpochs().filter(e => e > afterEpoch && e <= untilEpoch)
     if (epochs.isEmpty)
-      return spark.emptyDataFrame
+      return read(spark).limit(0) // caught up: zero rows, real table schema
     spark.read.parquet(epochs.map(e => s"$tableDir/data/epoch=$e"): _*)
   }
 

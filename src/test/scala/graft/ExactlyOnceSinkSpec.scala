@@ -135,8 +135,10 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     val inc = sink.readBetween(spark, afterEpoch = 1L, untilEpoch = 3L)
       .select($"id").as[Int].collect().sorted.toSeq
     assert(inc == Seq(2, 3), s"got $inc")
-    // consumer caught up through epoch 4: nothing new
-    assert(sink.readBetween(spark, afterEpoch = 4L).isEmpty)
+    // consumer caught up through epoch 4: zero rows but the REAL table
+    // schema (a zero-column DataFrame would crash the consumer's selects)
+    val caughtUp = sink.readBetween(spark, afterEpoch = 4L)
+    assert(caughtUp.isEmpty && caughtUp.columns.toSeq == Seq("id", "v"))
     // after compaction, per-epoch lineage below hi is gone — must fail loudly
     sink.compact(spark, targetPartitions = 1)
     intercept[IllegalStateException](sink.readBetween(spark, afterEpoch = 2L))
