@@ -85,6 +85,63 @@ object Multimodal {
     }
   }
 
+  final case class ResizedFrame(media_id: Long, frame_idx: Int,
+      width: Int, height: Int, pixels: Array[Byte])
+  final case class MediaFeatures(media_id: Long, frame_idx: Int, feature: Array[Float])
+
+  /**
+   * Frame resize to `w`×`h` — the reference's `ScaleImageOp`
+   * (`operation/ScaleImageOp.java:55-78`). STUB resampler (nearest-byte
+   * index map, deterministic); the Spark shape is the real part: a
+   * stateless per-partition map whose output size is FIXED per row
+   * (w·h bytes), which is what lets downstream stages size partitions —
+   * resize early, before any shuffle, so exchanges carry the small
+   * fixed-size frames rather than originals.
+   */
+  def resizeFrames(frames: Dataset[FrameRow], w: Int, h: Int): Dataset[ResizedFrame] = {
+    import frames.sparkSession.implicits._
+    require(w > 0 && h > 0, "target dims must be positive")
+    frames.mapPartitions { it =>
+      // per-partition scaler init would go here (real image lib handle)
+      it.map { f =>
+        val n = f.frame_bytes.length
+        val out = new Array[Byte](w * h)
+        if (n > 0) {
+          var i = 0
+          while (i < out.length) {
+            out(i) = f.frame_bytes((i.toLong * n / out.length).toInt)
+            i += 1
+          }
+        }
+        ResizedFrame(f.media_id, f.frame_idx, w, h, out)
+      }
+    }
+  }
+
+  /**
+   * Per-frame feature extraction — the reference's `FeatureExtractionOp`
+   * (`operation/FeatureExtractionOp.java:69-112`) shape: frame bytes →
+   * fixed-length `array<float>` descriptor. STUB descriptor = L1-
+   * normalized byte histogram over `bins` buckets, quantized to 1e-6 so
+   * vectors are bit-identical at any partitioning and feed directly into
+   * the [[Similarity]] kNN/ANN operators (the DRPC matcher pipeline,
+   * end to end).
+   */
+  def extractFeatures(frames: Dataset[FrameRow], bins: Int = 16): Dataset[MediaFeatures] = {
+    import frames.sparkSession.implicits._
+    require(bins > 0 && 256 % bins == 0, "bins must divide 256")
+    frames.mapPartitions { it =>
+      it.map { f =>
+        val counts = new Array[Long](bins)
+        for (b <- f.frame_bytes) counts((b & 0xff) * bins / 256) += 1
+        val total = math.max(1L, f.frame_bytes.length.toLong)
+        val feat = counts.map(c =>
+          (math.floor(c.toDouble / total * 1e6) / 1e6).toFloat)
+        MediaFeatures(f.media_id, f.frame_idx, feat)
+      }
+    }
+  }
+
   /**
    * Oracle-checked stats over the stubbed pipeline, driven by the
    * documents table (text bytes as the opaque payload): per source, the

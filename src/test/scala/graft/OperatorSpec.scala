@@ -214,4 +214,27 @@ class OperatorSpec extends SparkSpec {
       assert(java.util.Arrays.equals(all(m.media_id), m.payload), s"roundtrip ${m.media_id}")
     }
   }
+
+  test("multimodal: resize fixes the frame size; features feed the kNN operators") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(spark,
+      docs.where($"doc_id" < 50)
+        .select($"doc_id", $"text".cast("binary").as("payload")),
+      "doc_id", "payload", "fake/video")
+    val frames = Multimodal.sampleFrames(media, every = 5)
+    val resized = Multimodal.resizeFrames(frames, w = 8, h = 4)
+    assert(resized.collect().forall(r => r.pixels.length == 32 && r.width == 8 && r.height == 4))
+    // feature extraction: fixed-length normalized descriptors
+    val feats = Multimodal.extractFeatures(frames, bins = 16).toDF()
+      .select(($"media_id" * 1000 + $"frame_idx").as("vec_id"), $"feature")
+    val fRows = feats.collect()
+    assert(fRows.forall(_.getSeq[Float](1).length == 16))
+    // descriptors are deterministic and plug into the similarity stack:
+    // each frame's nearest neighbor in the full frame set is itself
+    val self = Similarity.bruteForceTopK(
+      feats.limit(10), feats, "vec_id", "vec_id", "feature", "feature", 1)
+      .where($"rk" === 1).select($"query_id", $"cos_q").collect()
+    self.foreach(r => assert(math.abs(r.getLong(1) - 1000000L) <= 3,
+      s"self-similarity not ~1e6: $r"))
+  }
 }
