@@ -883,9 +883,59 @@ object Queries {
       SELECT d.doc_id FROM documents d LEFT JOIN stolen s ON d.doc_id = s.doc_id
       WHERE s.doc_id IS NULL"""))
 
+  // the composed LLM-data-prep pipeline as ONE oracle-exact query:
+  // quality gate -> language gate -> exact dedup (first doc per
+  // fingerprint wins) -> per-language corpus stats. Composition is the
+  // point: chaining the operators keeps results bit-exact end to end.
+  private val q45 = QueryDef("q45_prep_pipeline",
+    (s, d) => {
+      val gated = rd(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.langId(col("text")).as("pred"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .where(col("q") >= 60 && col("pred") =!= "und")
+      val keepers = gated.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      gated.join(keepers, Seq("fp", "doc_id"), "left_semi")
+        .select(col("source"), col("pred").as("lang_pred"), col("q"),
+          TextAnalysis.tokenCount(col("text")).as("toks"))
+        .groupBy(col("source"), col("lang_pred"))
+        .agg(count(lit(1)).as("docs"), sum(col("toks")).as("sum_toks"),
+          sum(col("q")).as("sum_q"))
+    },
+    Some(s"""WITH f AS (SELECT doc_id, source, text,
+        len(regexp_extract_all(text, '\\S+')) AS toks,
+        length(regexp_replace(text, '\\s', '', 'g')) AS chars,
+        len(regexp_extract_all(text, '\\b(the|a|and|of|is|to|in)\\b')) AS stop,
+        len(regexp_extract_all(text, '${TextAnalysis.cjkPattern}')) AS cjk,
+        len(regexp_extract_all(text, '\\b(the|and|of|is|was|this|that|with)\\b')) AS s_en,
+        len(regexp_extract_all(text, '\\b(und|der|die|nicht|werden|eine?)\\b')) AS s_de,
+        len(regexp_extract_all(text, '\\b(vous|dans|pour|faire|avec|les?)\\b')) AS s_fr,
+        len(regexp_extract_all(text, '\\b(como|haber|tener|para|el|una?)\\b')) AS s_es
+      FROM documents),
+      g AS (SELECT doc_id, source, text, toks,
+        (CASE WHEN toks >= 32 THEN 40 ELSE 0 END) +
+        (CASE WHEN chars >= 200 THEN 20 ELSE 0 END) +
+        (CASE WHEN toks > 0 AND floor((chars*10)/toks) BETWEEN 30 AND 90 THEN 20 ELSE 0 END) +
+        (CASE WHEN stop >= 2 THEN 20 ELSE 0 END) AS q,
+        CASE WHEN cjk >= 3 THEN 'zh'
+          WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+          WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+          WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+          WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+          ELSE 'es' END AS pred
+      FROM f),
+      gated AS (SELECT *, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        FROM g WHERE q >= 60 AND pred <> 'und'),
+      keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp),
+      kept AS (SELECT gated.* FROM gated JOIN keep USING (fp, doc_id))
+      SELECT source, pred AS lang_pred, count(*) AS docs,
+        cast(sum(toks) AS BIGINT) AS sum_toks, cast(sum(q) AS BIGINT) AS sum_q
+      FROM kept GROUP BY source, pred"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44)
+    q42, q43, q44, q45)
 }
