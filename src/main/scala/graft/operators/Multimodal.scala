@@ -100,7 +100,8 @@ object Multimodal {
    */
   def resizeFrames(frames: Dataset[FrameRow], w: Int, h: Int): Dataset[ResizedFrame] = {
     import frames.sparkSession.implicits._
-    require(w > 0 && h > 0, "target dims must be positive")
+    require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
+      s"target dims must be positive with w*h <= Int.MaxValue; got ${w}x$h")
     frames.mapPartitions { it =>
       // per-partition scaler init would go here (real image lib handle)
       it.map { f =>
@@ -133,7 +134,11 @@ object Multimodal {
     frames.mapPartitions { it =>
       it.map { f =>
         val counts = new Array[Long](bins)
-        for (b <- f.frame_bytes) counts((b & 0xff) * bins / 256) += 1
+        var i = 0
+        while (i < f.frame_bytes.length) { // per-byte hot loop: no boxing
+          counts((f.frame_bytes(i) & 0xff) * bins / 256) += 1
+          i += 1
+        }
         val total = math.max(1L, f.frame_bytes.length.toLong)
         val feat = counts.map(c =>
           (math.floor(c.toDouble / total * 1e6) / 1e6).toFloat)

@@ -180,8 +180,14 @@ object Similarity {
    * centroid in a dense region otherwise absorbs a huge cell).
    */
   def refineCentroids(c: DataFrame, seeds0: DataFrame, iters: Int): DataFrame = {
+    // The per-iteration centroid table is materialized with
+    // localCheckpoint (executor-local blocks — NOT failure-tolerant: on a
+    // cluster that can lose executors mid-refinement, persist each
+    // iteration to reliable storage instead). The previous iteration's
+    // blocks are released as soon as the next table exists.
     var seeds = seeds0
     for (_ <- 1 to iters) {
+      val prev = seeds
       val members = assignToCells(c, seeds).select($"centroid".as("label"), $"cv")
       // per-(cell, pos) exact quantized sums — the one shared recipe
       val means = centroidSums(members, "label", "cv")
@@ -203,6 +209,7 @@ object Similarity {
         // next assignment and the next empty-cell guard — left lazy, the
         // plan doubles per iteration (2^iters corpus passes)
         .localCheckpoint()
+      if (prev ne seeds0) prev.unpersist() // only the newest table is live
     }
     seeds
   }

@@ -187,8 +187,14 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
       throw new IllegalStateException(
         s"epochs <= $h were compacted away; incremental read after $afterEpoch is no longer exact")
     }
-    if (epochs.isEmpty)
-      return read(spark).limit(0) // caught up: zero rows, real table schema
+    if (epochs.isEmpty) {
+      // caught up: zero rows with the real table schema; a table with no
+      // commits at all has no schema yet — that's "producer not started",
+      // not an error, so hand back an empty frame the poller can retry on
+      return if (committedEpochs().nonEmpty || compactHi().nonEmpty)
+        read(spark).limit(0)
+      else spark.emptyDataFrame
+    }
     spark.read.parquet(epochs.map(e => s"$tableDir/data/epoch=$e"): _*)
   }
 

@@ -53,9 +53,9 @@ class PlanShapeSpec extends SparkSpec {
       s"near-dup self-join must stay keyed on (band, sig):\n$p")
     // rowwise signatures are a stateless projection — the only aggregate
     // allowed in the plan is the keeper-side distinct
-    val emb = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
     val sigsPlan = plan(graft.operators.Dedup.minhashBandsRowwise(
-      emb.select(col("doc_id"), col("text")), "doc_id", "text", 3, 8))
+      docs.select(col("doc_id"), col("text")), "doc_id", "text", 3, 8))
     assert(!sigsPlan.contains("Aggregate") && !sigsPlan.contains("Exchange"),
       s"rowwise sigs must not shuffle or aggregate:\n$sigsPlan")
   }
