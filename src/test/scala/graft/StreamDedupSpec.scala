@@ -62,6 +62,32 @@ class StreamDedupSpec extends SparkSpec {
     assert(agg.nonEmpty)
   }
 
+  test("rowwise sigs equal agg sigs on adversarial whitespace/unicode corpora") {
+    import spark.implicits._
+    // deterministic nasty-fragment pool: the equivalence risk is MY
+    // replication of Spark's trim (0x20 only) + split("\\s+", -1)
+    // semantics inside MinHashBandSigs.compute — exercise every edge:
+    // non-space leading/trailing whitespace (kept by trim, makes empty
+    // tokens), unicode spaces, CJK, combining marks, empty strings
+    val frags = Array("word", "Wort", "été", "中文", "a", "",
+      " ", "\t", "\n", "\r", "", " ", " ", "　",
+      "x́", "end.", "  ", "\t\n", "tok-en", "123")
+    val docs = (0 until 300).map { caseI =>
+      val len = (graft.sources.PageGen.rnd(23L, 0, caseI) >>> 1).toInt % 24
+      val s = (0 until len).map(i =>
+        frags(((graft.sources.PageGen.rnd(23L, 1, caseI, i) >>> 1) % frags.length).toInt))
+        .mkString("")
+      (caseI.toLong, s)
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"band".cast("long"), $"sig")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val agg = rows(graft.operators.Dedup.minhashBands(docs, "doc_id", "text", n = 2, bands = 4))
+    val rww = rows(graft.operators.Dedup.minhashBandsRowwise(docs, "doc_id", "text", n = 2, bands = 4))
+    assert(agg == rww,
+      s"only-agg=${(agg -- rww).take(3)} only-rowwise=${(rww -- agg).take(3)}")
+  }
+
   test("streaming near-dup band dedup: greedy suppression across batches, no mutual theft") {
     import spark.implicits._
     val cp = Files.createTempDirectory("ndcp").toString
