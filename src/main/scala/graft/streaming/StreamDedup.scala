@@ -81,15 +81,27 @@ object StreamDedup {
    * the batch it arrives, so the collapse is batch-local — no second
    * stateful operator, no added latency).
    */
+  /**
+   * @param applyWatermark set false when `pages` ALREADY carries a
+   *        watermark on `tsCol` (e.g. chained after [[byFingerprint]] in
+   *        the same query — Spark 4 supports chained stateful operators
+   *        but disallows redefining the watermark mid-stream)
+   */
   def nearDupVerdicts(pages: DataFrame, idCol: String, textCol: String,
       tsCol: String, delay: String, horizonUs: Long,
-      n: Int = 3, bands: Int = 8): Dataset[BandVerdict] = {
+      n: Int = 3, bands: Int = 8, applyWatermark: Boolean = true): Dataset[BandVerdict] = {
     import pages.sparkSession.implicits._
-    val probes = pages
+    // chained path: a bare alias PROPAGATES the watermark metadata on the
+    // attribute; a cast wraps it and strips the event-time tag — so the
+    // pre-watermarked input must already be a timestamp column
+    val tsProj =
+      if (applyWatermark) col(tsCol).cast("timestamp").as("ts")
+      else col(tsCol).as("ts")
+    val projected = pages
       .select(posexplode(graft.operators.Dedup.minhash_band_sigs(col(textCol), n, bands))
           .as(Seq("band", "sig")),
-        col(idCol).cast("string").as("id"), col(tsCol).cast("timestamp").as("ts"))
-      .withWatermark("ts", delay)
+        col(idCol).cast("string").as("id"), tsProj)
+    val probes = (if (applyWatermark) projected.withWatermark("ts", delay) else projected)
       .as[BandProbe]
     probes.groupByKey(p => (p.band, p.sig))
       .flatMapGroupsWithState[BucketClaim, BandVerdict](

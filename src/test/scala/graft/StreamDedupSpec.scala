@@ -201,6 +201,37 @@ class StreamDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq("2"), s"kept $got — ties must break toward the smaller id")
   }
 
+  test("exact dedup chains into near-dup dedup in ONE streaming query") {
+    import spark.implicits._
+    // Spark 4 multiple-stateful-operator support: dropDuplicatesWithin-
+    // Watermark -> flatMapGroupsWithState in a single query (the full
+    // ingest-dedup pipeline with one checkpoint); the second stage must
+    // NOT redefine the watermark (applyWatermark = false)
+    val cp = Files.createTempDirectory("chaincp").toString
+    val in = MemoryStream[DocRow](Encoders.product[DocRow], spark)
+    val exact = StreamDedup.byFingerprint(in.toDF(), "text", "event_ts", "10 minutes")
+    val verdicts = StreamDedup.nearDupVerdicts(exact, "doc_id", "text",
+      "event_ts", "10 minutes", horizonUs = 3600L * 1000000L,
+      applyWatermark = false)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = verdicts.toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got ++= StreamDedup.keptInBatch(df.toDF()).select($"id").as[String].collect().map(_.toLong)
+        ()
+      }
+      .start()
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    in.addData(DocRow(1, ts(base), text),
+      DocRow(2, ts(base + 5), text.toUpperCase)) // exact dup modulo case: stage-1 drop
+    q.processAllAvailable()
+    in.addData(DocRow(3, ts(base + 60), text.replace("w9", "EDIT")), // near-dup: stage-2 drop
+      DocRow(4, ts(base + 70), (1 to 30).map(i => s"z$i").mkString(" "))) // novel
+    q.processAllAvailable()
+    q.stop()
+    assert(got.sorted.toSeq == Seq(1L, 4L), s"kept $got")
+  }
+
   test("batch mirror: q39 fingerprint groups match the streaming op's identity") {
     import spark.implicits._
     val rows = Seq(
