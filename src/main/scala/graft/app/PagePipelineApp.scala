@@ -72,10 +72,15 @@ object PagePipelineApp {
         val meta = PageStream.metaFromRate(spark, cfg, rowsPerSecond = rate / 10).toDF()
         (PageStream.joinPagesWithMeta(pages.toDF(), meta), identity[org.apache.spark.sql.DataFrame] _)
       } else if (nearDup) {
-        // ingest near-dup suppression: per-band bucket verdicts in the
-        // stream, collapsed to surviving pages batch-locally at the sink
-        (StreamDedup.nearDupVerdicts(pages.toDF(), "url", "text", "warc_ts",
-          delay = "30 minutes", horizonUs = 7200L * 1000000L).toDF(),
+        // the full ingest-dedup pipeline in ONE query (chained stateful
+        // operators): exact fingerprint dedup first (cheap, catches
+        // re-crawls), then greedy minhash band suppression for near-dups;
+        // per-band verdicts collapse to surviving pages at the sink
+        val exact = StreamDedup.byFingerprint(pages.toDF(), "text", "warc_ts",
+          delay = "30 minutes")
+        (StreamDedup.nearDupVerdicts(exact, "url", "text", "warc_ts",
+          delay = "30 minutes", horizonUs = 7200L * 1000000L,
+          applyWatermark = false).toDF(),
           StreamDedup.keptInBatch _)
       } else {
         (Sessionize.fromPages(spark, pages).toDF(), identity[org.apache.spark.sql.DataFrame] _)
