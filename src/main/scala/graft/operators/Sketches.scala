@@ -42,4 +42,20 @@ object Sketches {
       .groupBy(col(groupCol))
       .agg(percentile_approx(col("toks"),
         array(probabilities.map(lit): _*), lit(accuracy)).as("tok_quantiles"))
+
+  /**
+   * Approximate frequent terms — the sketch twin of the exact term
+   * histogram (q37). `DataFrameStatFunctions.freqItems` (Karp-
+   * Papadimitriou-Shenker): single pass, bounded memory, and the
+   * documented one-sided guarantee that EVERY term with frequency
+   * > 1/`support` of rows is returned (false positives possible, false
+   * negatives not) — at 100 TB this replaces the exact histogram's full
+   * (term → count) shuffle with a fixed-size summary per partition.
+   * Result order is partitioning-dependent (unlike everything else in
+   * this engine); treat the output as a SET — spec-asserted superset
+   * property, deliberately no oracle.
+   */
+  def frequentTerms(df: DataFrame, textCol: String, support: Double): DataFrame =
+    df.select(explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .stat.freqItems(Seq("term"), support)
 }

@@ -45,6 +45,21 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("frequent-terms sketch returns every truly frequent term (one-sided guarantee)") {
+    import spark.implicits._
+    val support = 0.01
+    val terms = docs.select(explode(split(trim($"text"), "\\s+")).as("term"))
+    val total = terms.count()
+    val trulyFrequent = terms.groupBy($"term").count()
+      .where($"count" > (total * support).toLong).select($"term")
+      .as[String].collect().toSet
+    val sketched = Sketches.frequentTerms(docs.toDF(), "text", support)
+      .collect()(0).getSeq[String](0).toSet
+    assert(trulyFrequent.nonEmpty, "corpus should have frequent terms at 1%")
+    val missed = trulyFrequent -- sketched
+    assert(missed.isEmpty, s"false negatives violate the KPS guarantee: ${missed.take(5)}")
+  }
+
   test("sink time travel: readAsOf returns the table at an earlier epoch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tt").toString
