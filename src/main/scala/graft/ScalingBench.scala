@@ -72,7 +72,7 @@ object ScalingBench {
     val effWall = (r4.rowsPerSec / rN.rowsPerSec) / (n4.toDouble / n)
 
     val md =
-      f"""# BENCH/BASELINE — streaming pipeline scaling evidence
+      f"""# BENCH/THREAD_PAIR — thread-based scaling pair (same JVM; headline evidence is BENCH/BASELINE.md's multi-JVM table)
          |
          |Pipeline: deterministic page stream (time-ordered Parquet,
          |pre-generated once, seed 42, ~${1 + 3 * paraMult} KB HTML/page, 2000 Zipf hosts)

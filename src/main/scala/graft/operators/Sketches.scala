@@ -47,9 +47,9 @@ object Sketches {
    * Approximate frequent terms — the sketch twin of the exact term
    * histogram (q37). `DataFrameStatFunctions.freqItems` (Karp-
    * Papadimitriou-Shenker): single pass, bounded memory, and the
-   * documented one-sided guarantee that EVERY term with frequency
-   * > 1/`support` of rows is returned (false positives possible, false
-   * negatives not) — at 100 TB this replaces the exact histogram's full
+   * documented one-sided guarantee that EVERY term whose count exceeds
+   * a `support` FRACTION of all rows (count > support·N) is returned
+   * (false positives possible, false negatives not) — at 100 TB this replaces the exact histogram's full
    * (term → count) shuffle with a fixed-size summary per partition.
    * Result order is partitioning-dependent (unlike everything else in
    * this engine); treat the output as a SET — spec-asserted superset

@@ -85,7 +85,14 @@ object StreamDedup {
    * @param applyWatermark set false when `pages` ALREADY carries a
    *        watermark on `tsCol` (e.g. chained after [[byFingerprint]] in
    *        the same query — Spark 4 supports chained stateful operators
-   *        but disallows redefining the watermark mid-stream)
+   *        but disallows redefining the watermark mid-stream). On that
+   *        path `delay` is UNUSED: the upstream watermark is the
+   *        effective late-row horizon — pass the same value upstream.
+   *        Chained caveat: for SAME-batch exact-dup groups the upstream
+   *        dropDuplicates keeps an arbitrary (processing-order) copy, so
+   *        which url claims the buckets — not whether the content
+   *        survives — can vary run to run; the unchained operator's
+   *        (ts, id) claiming order is fully deterministic.
    */
   def nearDupVerdicts(pages: DataFrame, idCol: String, textCol: String,
       tsCol: String, delay: String, horizonUs: Long,

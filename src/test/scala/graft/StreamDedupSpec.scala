@@ -73,7 +73,9 @@ class StreamDedupSpec extends SparkSpec {
       " ", "\t", "\n", "\r", "", " ", " ", "　",
       "x́", "end.", "  ", "\t\n", "tok-en", "123")
     val docs = (0 until 300).map { caseI =>
-      val len = (graft.sources.PageGen.rnd(23L, 0, caseI) >>> 1).toInt % 24
+      // Long-mod BEFORE toInt: truncating first goes negative ~50% of the
+      // time and a negative length silently empties the doc
+      val len = ((graft.sources.PageGen.rnd(23L, 0, caseI) >>> 1) % 24).toInt
       val s = (0 until len).map(i =>
         frags(((graft.sources.PageGen.rnd(23L, 1, caseI, i) >>> 1) % frags.length).toInt))
         .mkString("")
