@@ -23,17 +23,25 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// the driver's benchmark invocation (marked by SPARK_GRAFT_SF_DIR) gets
+// throughput-run JVM defaults unless explicitly overridden: a 32-thread
+// streaming run on an 8 GB G1 heap measures GC, not the engine (see
+// BENCH/BASELINE.md "environment hazards")
+val benchRun = sys.env.contains("SPARK_GRAFT_SF_DIR")
+val defaultHeap = if (benchRun) "32g" else "8g"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
   // pre-size (and optionally pre-touch) the heap: on this VM, concurrent
   // first-touch page faults from 32 allocating threads put the kernel at
   // 90% sys time for minutes while the heap grows (see BENCH notes)
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN",
-    sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
-) ++ (if (sys.env.contains("SPARK_PRETOUCH")) Seq("-XX:+AlwaysPreTouch") else Seq()) ++
+    sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap))}",
+) ++ (if (sys.env.contains("SPARK_PRETOUCH") || benchRun)
+        Seq("-XX:+AlwaysPreTouch") else Seq()) ++
   (sys.env.get("SPARK_GC") match { // e.g. SPARK_GC=parallel for throughput runs
     case Some("parallel") => Seq("-XX:+UseParallelGC")
+    case None if benchRun => Seq("-XX:+UseParallelGC", "-Xmn16g")
     case _ => Seq()
   }) ++ sys.env.get("SPARK_XOPTS").map(_.split(" ").toSeq).getOrElse(Seq())

@@ -40,16 +40,25 @@ object Bench {
       q.name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // streaming page pipeline throughput (gen -> extract -> sessionize -> sink)
+    // streaming page pipeline throughput (gen -> extract -> sessionize ->
+    // sink), reported as the SUSTAINED rate (BENCH/BASELINE.md's
+    // definition). Batch geometry matters: per-batch fixed cost (state
+    // commit, planning, sink publish) is ~1-2 s, so 150k-page batches
+    // measure overhead (~80k pps) while 1.2M-page batches measure the
+    // engine (~475k pps, consistent with ScalingBench at this core count).
     val stream = StreamPipelineBench.run(spark,
-      nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toLong,
-      cpus = cpus, filesPerTrigger = 32, nFiles = 64)
+      nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "4800000").toLong,
+      cpus = cpus, filesPerTrigger = 24, nFiles = 96)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
-    val pps = f"${stream.rowsPerSec}%.1f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","stream_pages_per_sec":$pps,"stream_p99_batch_ms":${stream.p99Ms},"stream_pages":${stream.rows},"cpus":$cpus}""")
+    // sustained (rows per second of trigger execution over non-empty
+    // batches) — the steady-state rate a deployment sees; wall-based
+    // rate still derivable from stream_pages and the wall field below
+    val pps = f"${stream.sustainedPps}%.1f"
+    val streamWall = f"${stream.wallSec}%.1f"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","stream_pages_per_sec":$pps,"stream_p99_batch_ms":${stream.p99Ms},"stream_pages":${stream.rows},"stream_wall_s":$streamWall,"cpus":$cpus}""")
     spark.stop()
   }
 }
