@@ -7,12 +7,12 @@ import org.apache.spark.sql.types._
 
 import graft.functions.ExtractHtmlText.extract_html_text
 import graft.operators._
-import graft.sources.{PageGen, PageGenConfig}
 
 /**
  * Query registry: every operator of the engine exercised as a named query
  * over the driver test tables, each with an equivalent DuckDB oracle SQL
- * (or marked engine-native ⇒ rows-only check).
+ * — every query, including the sketch family, whose md5-derived hashing
+ * exists precisely so SQL can reproduce it.
  *
  * Determinism rules shared by Spark impl and oracle (so value hashes
  * match bit-for-bit):
@@ -416,12 +416,34 @@ object Queries {
         JOIN sizes sb ON inter.ib = sb.doc_id
       WHERE floor(1000 * i / (sa.sz + sb.sz - i)) >= 500"""))
 
-  // custom 64-bit hashing — engine-native, rows-only check
+  // SimHash signatures are md5-derived (Md5Hash.hash64 per token), so the
+  // oracle rebuilds them digit-by-digit from DuckDB's md5 and checks the
+  // pair set EXACTLY: nBlocks=4 > maxDist=3 is a sound Manku config (full
+  // recall), so the engine's block-join output must equal the all-pairs
+  // hamming filter the oracle computes. Tokens are taken with multiplicity
+  // (each occurrence votes). Zero-token docs are excluded on both sides
+  // (an all-zero signature carries no content signal).
   private val q22 = QueryDef("q22_simhash_pairs",
-    (s, d) => Dedup.simhashPairs(rd(s, d, "documents"), "doc_id", "text",
-      maxDist = 3, nBlocks = 4) // sound Manku config: full recall at hamming <= 3
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dist")),
-    None)
+    (s, d) => Dedup.simhashPairs(
+      rd(s, d, "documents").where(TextAnalysis.tokenCount(col("text")) > 0),
+      "doc_id", "text", maxDist = 3, nBlocks = 4)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("dist").cast(LongType).as("dist")),
+    Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+      th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+      bits AS (SELECT doc_id, tb.b AS b,
+          sum(2 * (((strpos('0123456789abcdef', substr(h, 16 - (tb.b // 4), 1)) - 1)
+            >> (tb.b % 4)) & 1) - 1) AS votes
+        FROM th, generate_series(0, 63) tb(b) GROUP BY 1, 2),
+      sig AS (SELECT doc_id,
+          cast(sum(CASE WHEN b < 32 AND votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lo,
+          cast(sum(CASE WHEN b >= 32 AND votes > 0 THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY 1)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        cast(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS dist
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""))
 
   // ==========================================================================
   // Embedding similarity
@@ -462,7 +484,33 @@ object Queries {
       FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
       GROUP BY 1, 2"""))
 
-  // LSH bucketing uses the engine's splitmix-derived hyperplanes — rows-only
+  /** DuckDB mirror of the engine's 8-plane LSH bucketing over the
+    * `embeddings` table: hyperplane weights are md5-derived
+    * ([[graft.operators.Md5Hash.weight48]]: top 48 md5 bits % 2001 − 1000,
+    * rebuilt here digit-by-digit in exact BIGINT arithmetic), the vector
+    * quantization is the engine's floor(x·1e6), and bucket bit p =
+    * sign(Σ_d w(p,d)·q_d) — so `bkt.bucket` equals `lsh_bucket(embedding, 8)`
+    * bit-for-bit. Multi-probe (single-bit flips, one side) ⇔
+    * hamming(bucket_a, bucket_b) ≤ 1, which is how the pair/candidate
+    * predicates below express it. */
+  private val lshBucketSql =
+    """qdim AS (SELECT vec_id, u.i - 1 AS d,
+          cast(floor(embedding[u.i]::DOUBLE * 1000000) AS BIGINT) AS qq
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+      pw AS (SELECT tp.p AS p, td.d AS d,
+        (list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(tp.p AS VARCHAR) || ':' || cast(td.d AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j]))
+         % 2001) - 1000 AS w
+      FROM generate_series(0, 7) tp(p), (SELECT DISTINCT d FROM qdim) td),
+      psum AS (SELECT vec_id, p, sum(w * qq) AS s
+        FROM qdim JOIN pw USING (d) GROUP BY 1, 2),
+      bkt AS (SELECT vec_id,
+          cast(sum(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM psum GROUP BY 1)"""
+
   private val q25 = QueryDef("q25_ann_lsh",
     (s, d) => {
       val emb = rd(s, d, "embeddings")
@@ -471,13 +519,49 @@ object Queries {
         .select(col("query_id"), col("corpus_id"), col("cos_q"),
           col("rk").cast(LongType).as("rk"))
     },
-    None)
+    // q23's exact-scoring SQL, restricted to the LSH candidate set
+    // (bucket hamming ≤ 1 = own bucket + the single-bit probes)
+    Some(s"""WITH $lshBucketSql,
+      q AS (SELECT vec_id AS query_id, embedding AS qv,
+        cast(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1000000))) as bigint) AS qn
+        FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS corpus_id, embedding AS cv,
+        cast(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1000000))) as bigint) AS cn
+        FROM embeddings WHERE vec_id >= 10),
+      sc AS (SELECT query_id, corpus_id,
+        cast(floor(cast(list_sum(list_transform(generate_series(1, len(qv)),
+          i -> floor(qv[i]::DOUBLE * cv[i]::DOUBLE * 1000000))) as bigint)
+          / sqrt(qn::DOUBLE * cn::DOUBLE) * 1000000) as bigint) AS cos_q
+        FROM q JOIN bkt qb ON qb.vec_id = q.query_id
+        CROSS JOIN c JOIN bkt cb ON cb.vec_id = c.corpus_id
+        WHERE bit_count(xor(qb.bucket, cb.bucket)) <= 1),
+      r AS (SELECT query_id, corpus_id, cos_q, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos_q DESC, corpus_id ASC) AS rk FROM sc)
+      SELECT query_id, corpus_id, cos_q, rk FROM r WHERE rk <= 5"""))
 
   private val q26 = QueryDef("q26_embedding_near_dups",
     (s, d) => Dedup.embeddingNearDupPairs(rd(s, d, "embeddings"), "vec_id",
       "embedding", minCosQ = 250000L, nPlanes = 8, probeNeighbors = true)
       .select(col("id_a"), col("id_b"), col("cos_q")),
-    None)
+    // candidate pairs = bucket hamming ≤ 1 (self-join + single-bit probes,
+    // symmetric); verification = the exact quantized cosine ≥ threshold
+    Some(s"""WITH $lshBucketSql,
+      n AS (SELECT vec_id, embedding AS v,
+        cast(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1000000))) as bigint) AS nq
+        FROM embeddings),
+      cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id
+        WHERE bit_count(xor(a.bucket, b.bucket)) <= 1),
+      sc AS (SELECT id_a, id_b,
+        cast(floor(cast(list_sum(list_transform(generate_series(1, len(na.v)),
+          i -> floor(na.v[i]::DOUBLE * nb.v[i]::DOUBLE * 1000000))) as bigint)
+          / sqrt(na.nq::DOUBLE * nb.nq::DOUBLE) * 1000000) as bigint) AS cos_q
+        FROM cand JOIN n na ON na.vec_id = cand.id_a
+        JOIN n nb ON nb.vec_id = cand.id_b)
+      SELECT id_a, id_b, cos_q FROM sc WHERE cos_q >= 250000"""))
 
   // ==========================================================================
   // Multimodal plumbing: binary column + typed metadata + frame sampling
@@ -498,8 +582,6 @@ object Queries {
   // extract_html_text Catalyst expression included — is DuckDB-oracle
   // checkable: the oracle mirrors the extraction's output text exactly.
   // ==========================================================================
-
-  private def pageCfg = PageGenConfig(nPages = 20000L, nHosts = 50, parallelism = 16)
 
   /** events → synthetic pages through the REAL extraction expression.
     * Template exercises tag-collapse, &nbsp;/&amp; entities and script
@@ -553,19 +635,58 @@ object Queries {
         cast(sum(length(text)) AS BIGINT) AS text_chars
       FROM pg GROUP BY host"""))
 
-  // generator-native corpus (PageGen language texts have no driver-table
-  // mirror) — rows-only here; langId itself is fully oracle-checked by
-  // q18 over documents, and accuracy ≥99% is asserted by PageGenSpec
+  // Truth-labeled multilingual pages synthesized from the events table
+  // (same scheme as q28/q29/q31): lang by user_id, marker text by lang,
+  // with a deterministic 1-in-11 slice of ambiguous (marker-free) pages
+  // so the accuracy arithmetic is non-trivial. The whole pipeline —
+  // extraction expression, langId scoring, accuracy agg — is mirrored in
+  // DuckDB. (PageGen-corpus accuracy ≥99% stays asserted in PageGenSpec.)
+  private val langNames = Seq("en", "de", "fr", "es", "zh")
+  private val langMarkerTexts = Seq(
+    "the cat and the dog was this that with gusto",
+    "und der die nicht werden eine",
+    "vous dans pour faire avec les",
+    "como haber tener para el una",
+    "汉字文本页") // 5 CJK codepoints => zh fast path
+  private val neutralText = "lorem ipsum dolor sit amet"
+
   private val q30 = QueryDef("q30_page_lang_accuracy",
-    (s, _) => {
-      val pages = PageGen.genPages(s, pageCfg).toDF()
+    (s, d) => {
+      val idx = (col("user_id") % 5 + 1).cast(IntegerType)
+      val truth = element_at(array(langNames.map(lit): _*), idx)
+      val marker = when(col("event_id") % 11 === 0, lit(neutralText))
+        .otherwise(element_at(array(langMarkerTexts.map(lit): _*), idx))
+      val pages = rd(s, d, "events").select(truth.as("lang"),
+        encode(concat(lit("<html><body><p>"), marker, lit(" user&nbsp;"),
+          col("user_id").cast(StringType), lit("</p></body></html>")), "UTF-8").as("html"))
         .withColumn("text", extract_html_text(col("html")))
       pages.select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("pred") === col("lang"), 1).otherwise(0)).as("n_correct"))
     },
-    None)
+    Some(s"""WITH pg AS (SELECT
+        (['${langNames.mkString("','")}'])[(user_id % 5) + 1] AS lang,
+        (CASE WHEN event_id % 11 = 0 THEN '$neutralText'
+          ELSE (['${langMarkerTexts.mkString("','")}'])[(user_id % 5) + 1] END)
+          || ' user ' || user_id AS text
+        FROM events),
+      sc AS (SELECT lang,
+        len(regexp_extract_all(text, '${TextAnalysis.cjkPattern}')) AS cjk,
+        len(regexp_extract_all(text, '\\b(the|and|of|is|was|this|that|with)\\b')) AS s_en,
+        len(regexp_extract_all(text, '\\b(und|der|die|nicht|werden|eine?)\\b')) AS s_de,
+        len(regexp_extract_all(text, '\\b(vous|dans|pour|faire|avec|les?)\\b')) AS s_fr,
+        len(regexp_extract_all(text, '\\b(como|haber|tener|para|el|una?)\\b')) AS s_es
+      FROM pg),
+      p AS (SELECT lang, CASE WHEN cjk >= 3 THEN 'zh'
+        WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+        WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+        WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+        WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+        ELSE 'es' END AS pred FROM sc)
+      SELECT lang, count(*) AS n,
+        cast(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM p GROUP BY lang"""))
 
   private val q31 = QueryDef("q31_page_meta_join",
     (s, d) => {

@@ -38,7 +38,7 @@ object SparkEntry {
     Queries.all.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for engine-native ops (rows-only). */
+    * the same parquet tables. Every registry query carries one (none omitted). */
   def oracleSql: Map[String, String] =
     Queries.all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 }

@@ -92,7 +92,7 @@ object Similarity {
    * of [[lshTopK]]. Centroids are a deterministic sample of the corpus
    * itself (every `seedMod`-th id), so the whole operator — build,
    * probe, search — is exact integer arithmetic reproducible by the
-   * DuckDB oracle (unlike LSH, whose hyperplanes are engine-native).
+   * DuckDB oracle (like LSH, whose md5-derived hyperplanes the oracle also rebuilds).
    *
    * Build: every corpus vector joins the broadcast seed table and keeps
    * its argmax-cosine seed (ties to the lowest seed id). That single

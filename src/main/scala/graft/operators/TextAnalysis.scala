@@ -93,9 +93,44 @@ object TextAnalysis {
 }
 
 /**
- * 64-bit SimHash: per whitespace-token 64-bit mix hash; bit b of the
- * result = sign of Σ_tokens (±1 by token-hash bit b). The standard
- * near-dup sketch (Charikar); hamming distance ≤ k ⇒ near-duplicate.
+ * Engine-portable 64-bit hashing: md5 truncations, chosen (like the
+ * MinHash signatures in [[MinHashBandSigs]]) because md5 is the one hash
+ * both this engine and the DuckDB oracle share — a 64-bit mix hash would
+ * need wrapping multiplies that SQL cannot express, leaving SimHash
+ * forever rows-only-checked. md5 costs ~3× an FNV mix per token, a price
+ * paid only inside the sketch operators (never the page hot path), and
+ * buys end-to-end value verification of the near-dup family.
+ */
+object Md5Hash {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 digest bytes big-endian — the long whose hex form is the
+    * first 16 chars of the md5 hex string (what SQL parses digit-wise). */
+  def hash64(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** Uniform weight in [-1000, 1000] from the top 48 hash bits (48 so the
+    * oracle's digit-expansion arithmetic stays inside exact BIGINTs). */
+  def weight48(s: String): Long = ((hash64(s) >>> 16) % 2001L) - 1000L
+}
+
+/**
+ * 64-bit SimHash: per whitespace-token md5-derived 64-bit hash
+ * ([[Md5Hash.hash64]]); bit b of the result = sign of Σ_token-occurrences
+ * (±1 by token-hash bit b). The standard near-dup sketch (Charikar);
+ * hamming distance ≤ k ⇒ near-duplicate. Every ingredient (md5, bit
+ * votes, sign) is SQL-expressible, so the DuckDB oracle reproduces
+ * signatures exactly (q22).
  */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -117,7 +152,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
-  /** FNV-1a 64 over UTF-8 bytes, finished with splitmix64. */
+  /** FNV-1a 64 over chars, finished with splitmix64 — kept for
+    * [[MinRollingHash]]'s short-string path (rolling hashes are
+    * inherently engine-native; SimHash itself uses [[Md5Hash]]). */
   def tokenHash(s: String, from: Int, to: Int): Long = {
     var h = 0xCBF29CE484222325L
     var i = from
@@ -139,7 +176,7 @@ object SimHash64 {
       val start = i
       while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
       if (i > start) {
-        val h = tokenHash(s, start, i)
+        val h = Md5Hash.hash64(s.substring(start, i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

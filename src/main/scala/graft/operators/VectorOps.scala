@@ -42,9 +42,31 @@ object VectorOps {
   def lsh_bucket(a: Column, nPlanes: Int): Column =
     Bridge.column(LshBucket(Bridge.expression(a), nPlanes))
 
-  // deterministic hyperplane weights in [-1000, 1000]
-  def planeWeight(plane: Int, dim: Int): Long =
-    (graft.sources.PageGen.mix64(plane.toLong * 8191L + dim.toLong) >>> 1) % 2001L - 1000L
+  /** Deterministic hyperplane weight in [-1000, 1000]:
+    * `(md5("plane:dim") top-48-bits % 2001) - 1000` ([[Md5Hash.weight48]]).
+    * md5-derived (not a mix hash) so the DuckDB oracle can rebuild the
+    * exact plane matrix and verify LSH bucket assignment end-to-end
+    * (q25/q26). Rows are JVM-cached — md5 runs once per (plane, dim). */
+  def planeWeight(plane: Int, dim: Int): Long = PlaneWeights.row(plane, dim + 1)(dim)
+}
+
+/** Per-plane weight-row cache: hash once per (plane, dim) per JVM, not
+  * once per vector element. */
+object PlaneWeights {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+
+  /** Weight row for `plane`, at least `minLen` long. */
+  def row(plane: Int, minLen: Int): Array[Long] = {
+    val cur = cache.get(plane)
+    if (cur != null && cur.length >= minLen) cur
+    else cache.compute(plane, (_, old) => {
+      if (old != null && old.length >= minLen) old
+      else {
+        val n = math.max(minLen, if (old == null) 64 else old.length * 2)
+        Array.tabulate(n)(d => Md5Hash.weight48(s"$plane:$d"))
+      }
+    })
+  }
 }
 
 /**
@@ -148,10 +170,11 @@ object LshBucket {
     var bits = 0L
     var j = 0
     while (j < nPlanes) {
+      val w = PlaneWeights.row(j, n)
       var s = 0L
       d = 0
       while (d < n) {
-        s += VectorOps.planeWeight(j, d) * q(d)
+        s += w(d) * q(d)
         d += 1
       }
       if (s >= 0) bits |= (1L << j)
