@@ -166,15 +166,25 @@ object SimHash64 {
     graft.sources.PageGen.mix64(h)
   }
 
+  /** Java-regex `\s` (ASCII): the same class `tokenCount`'s `\S+` uses,
+    * so the zero-token prefilter and the tokenizer agree exactly.
+    * (Character.isWhitespace would also take U+001C–1F and Unicode
+    * spaces — a silent third whitespace definition.) RE2 (the oracle)
+    * additionally excludes \x0B from `\s`; that residual divergence is
+    * shared with every regexp-tokenizing green query and is absent from
+    * the test corpora. */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   def compute(text: UTF8String): Long = {
     val s = text.toString
     val n = s.length
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isWs(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isWs(s.charAt(i))) i += 1
       if (i > start) {
         val h = Md5Hash.hash64(s.substring(start, i))
         var b = 0

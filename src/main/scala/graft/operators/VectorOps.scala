@@ -42,16 +42,14 @@ object VectorOps {
   def lsh_bucket(a: Column, nPlanes: Int): Column =
     Bridge.column(LshBucket(Bridge.expression(a), nPlanes))
 
-  /** Deterministic hyperplane weight in [-1000, 1000]:
-    * `(md5("plane:dim") top-48-bits % 2001) - 1000` ([[Md5Hash.weight48]]).
-    * md5-derived (not a mix hash) so the DuckDB oracle can rebuild the
-    * exact plane matrix and verify LSH bucket assignment end-to-end
-    * (q25/q26). Rows are JVM-cached — md5 runs once per (plane, dim). */
-  def planeWeight(plane: Int, dim: Int): Long = PlaneWeights.row(plane, dim + 1)(dim)
 }
 
-/** Per-plane weight-row cache: hash once per (plane, dim) per JVM, not
-  * once per vector element. */
+/** Deterministic hyperplane weights in [-1000, 1000]:
+  * `(md5("plane:dim") top-48-bits % 2001) - 1000` ([[Md5Hash.weight48]]).
+  * md5-derived (not a mix hash) so the DuckDB oracle can rebuild the
+  * exact plane matrix and verify LSH bucket assignment end-to-end
+  * (q25/q26). Rows are JVM-cached — md5 runs once per (plane, dim),
+  * not once per vector element. */
 object PlaneWeights {
   private val cache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
 

@@ -55,6 +55,22 @@ class PageGenSpec extends SparkSpec {
     }
   }
 
+  test("langId accuracy on the generated corpus stays high") {
+    // q30 oracle-checks langId exactly on events-synthesized pages; this
+    // covers the realistic generated corpus (mixed fillers, entities,
+    // varying lengths) that has no driver-table mirror
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pages = PageGen.genPages(spark, cfg).toDF()
+      .withColumn("text", extract_html_text(col("html")))
+    val Seq(n, ok) = pages
+      .select(count(lit(1)), sum(when(
+        operators.TextAnalysis.langId(col("text")) === col("lang"), 1).otherwise(0)))
+      .as[(Long, Long)].collect().toSeq.flatMap(t => Seq(t._1, t._2))
+    assert(n == cfg.nPages)
+    assert(ok.toDouble / n >= 0.95, s"langId accuracy ${ok.toDouble / n} < 0.95 on $n pages")
+  }
+
   test("host meta stream aligns with hosts") {
     import spark.implicits._
     val meta = PageGen.hostMeta(spark, cfg).collect()
