@@ -16,6 +16,8 @@ class DeterminismSpec extends SparkSpec {
     "q08_running_total",       // ordered window
     "q12_session_windows",     // gaps-and-islands sessions
     "q21_minhash_lsh_pairs",   // shingle joins + df cap + verify
+    "q22_simhash_pairs",       // md5 signature votes + block join
+    "q25_ann_lsh",             // md5 hyperplanes + multi-probe + top-k
     "q43_ivf_ann",             // argmax assignment + top-k
     "q44_near_dup_keepers",    // band self-join greedy rule
     "q45_prep_pipeline")       // composed pipeline
