@@ -405,6 +405,13 @@ object MinHashBandSigs {
   private val HEX = "0123456789abcdef".toCharArray
   private val splitter = java.util.regex.Pattern.compile("\\s+")
 
+  // "|<band>" suffix bytes, computed once per band count per JVM (not per
+  // shingle x band: that was one tiny allocation per digest update)
+  private val sepCache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Byte]]]()
+  private def seps(bands: Int): Array[Array[Byte]] =
+    sepCache.computeIfAbsent(bands,
+      _ => Array.tabulate(bands)(b => ("|" + b).getBytes(StandardCharsets.UTF_8)))
+
   /** Unsigned lexicographic byte-array compare (== hex-string order). */
   private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
@@ -436,11 +443,12 @@ object MinHashBandSigs {
         val shingle = sb.toString
         if (seen.add(shingle)) {
           val shingleBytes = shingle.getBytes(StandardCharsets.UTF_8)
+          val sep = seps(bands)
           var b = 0
           while (b < bands) {
             md.reset()
             md.update(shingleBytes)
-            md.update(("|" + b).getBytes(StandardCharsets.UTF_8))
+            md.update(sep(b))
             val d = md.digest()
             if (out(b) == null || less(d, out(b))) out(b) = d
             b += 1

@@ -109,10 +109,16 @@ object Md5Hash {
 
   /** First 8 digest bytes big-endian — the long whose hex form is the
     * first 16 chars of the md5 hex string (what SQL parses digit-wise). */
-  def hash64(s: String): Long = {
+  def hash64(s: String): Long =
+    hash64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0, -1)
+
+  /** [[hash64]] over a UTF-8 byte range (len < 0 ⇒ to end) — the
+    * allocation-free form the tokenizer hot path uses. */
+  def hash64(utf8: Array[Byte], off: Int, len: Int): Long = {
     val md = md5Local.get()
     md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(utf8, off, if (len < 0) utf8.length - off else len)
+    val d = md.digest()
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
@@ -172,21 +178,26 @@ object SimHash64 {
     * spaces — a silent third whitespace definition.) RE2 (the oracle)
     * additionally excludes \x0B from `\s`; that residual divergence is
     * shared with every regexp-tokenizing green query and is absent from
-    * the test corpora. */
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    * the test corpora.
+    *
+    * Byte-level on purpose: every byte of a multibyte UTF-8 sequence is
+    * >= 0x80, so ASCII-whitespace segmentation over the raw UTF-8 bytes
+    * is exactly the char-level segmentation - and the token's byte range
+    * feeds md5 directly, with no per-token String/array allocation. */
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D) // space \t \n \x0B \f \r
 
   def compute(text: UTF8String): Long = {
-    val s = text.toString
-    val n = s.length
+    val bytes = text.getBytes
+    val n = bytes.length
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      while (i < n && isWs(s.charAt(i))) i += 1
+      while (i < n && isWs(bytes(i))) i += 1
       val start = i
-      while (i < n && !isWs(s.charAt(i))) i += 1
+      while (i < n && !isWs(bytes(i))) i += 1
       if (i > start) {
-        val h = Md5Hash.hash64(s.substring(start, i))
+        val h = Md5Hash.hash64(bytes, start, i - start)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
