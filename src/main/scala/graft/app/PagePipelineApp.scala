@@ -20,7 +20,7 @@ import graft.streaming._
  *   spark-submit --class graft.app.PagePipelineApp app.jar \
  *     --pages 1000000 --hosts 10000 --rate 50000 --checkpoint /cp \
  *     --table /out/pages_sessions --metrics /out/progress.jsonl \
- *     [--join-meta]
+ *     [--join-meta | --near-dup | --prep]
  *
  * Kill it at any point and resubmit with the same --checkpoint/--table:
  * processing resumes from the last committed offsets and the sink skips
@@ -31,7 +31,7 @@ object PagePipelineApp {
   def main(args: Array[String]): Unit = {
     // valueless flags are parsed separately: pairing them positionally
     // would shift every later key/value option
-    val flags = Set("--join-meta", "--near-dup")
+    val flags = Set("--join-meta", "--near-dup", "--prep")
     val a = args.filterNot(flags.contains)
       .sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val nPages = a.getOrElse("--pages", "1000000").toLong
@@ -42,6 +42,7 @@ object PagePipelineApp {
     val metricsPath = a.get("--metrics")
     val joinMeta = args.contains("--join-meta")
     val nearDup = args.contains("--near-dup")
+    val prep = args.contains("--prep")
 
     val builder = SparkSession.builder()
       .appName("graft-page-pipeline")
@@ -68,7 +69,14 @@ object PagePipelineApp {
     // sink applies inside foreachBatch (identity except near-dup collapse)
     val (out, collapse): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
-      if (joinMeta) {
+      if (prep) {
+        // the complete ingest prep chain (quality gate -> lang gate ->
+        // exact dedup -> near-dup suppression) as ONE query; the gates
+        // are stateless and run before any state is paid for
+        (StreamDedup.prepPipeline(pages.toDF(), "url", "text", "warc_ts",
+          delay = "30 minutes", horizonUs = 7200L * 1000000L),
+          StreamDedup.keptInBatch _)
+      } else if (joinMeta) {
         val meta = PageStream.metaFromRate(spark, cfg, rowsPerSecond = rate / 10).toDF()
         (PageStream.joinPagesWithMeta(pages.toDF(), meta), identity[org.apache.spark.sql.DataFrame] _)
       } else if (nearDup) {

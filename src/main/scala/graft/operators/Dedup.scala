@@ -103,7 +103,11 @@ object Dedup {
       n: Int = 3, minJaccQ: Int = 500, maxDf: Int = 0): DataFrame = {
     // no .cache() here: a library operator must not pin executor memory
     // behind the caller's back; the shuffle files of the shingle exchange
-    // are reused by Spark for the two consumers (sizes + inter)
+    // are reused by Spark for the two consumers (sizes + inter) —
+    // verified on the q21 plan: with exchange reuse the corpus parquet is
+    // scanned 3x total and the shingle exchange feeds 5 consumers via
+    // ReusedExchange (AQE reuses the same stages at runtime; its plan
+    // STRING shows the pre-reuse tree, so don't audit reuse by grepping it)
     val sh = cappedShingles(df, idCol, textCol, n, maxDf)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), $"shingle")

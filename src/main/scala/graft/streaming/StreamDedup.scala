@@ -162,4 +162,33 @@ object StreamDedup {
       .agg(max(col("stolen")).as("any_stolen"), min(col("ts")).as("ts"))
       .where(!col("any_stolen"))
       .select(col("id"), col("ts"))
+
+  /**
+   * The full ingest-time training-data prep pipeline in ONE streaming
+   * query — the streaming twin of the batch prep query (q45): quality
+   * gate → language whitelist → exact fingerprint dedup → greedy
+   * near-dup suppression. Collapse each micro-batch with [[keptInBatch]].
+   *
+   * Order matters at 100 TB: the two gates are STATELESS projections
+   * (codegen'd regexp scoring, no state, no shuffle) and run first, so a
+   * rejected page costs one scan and nothing downstream — no fingerprint
+   * state entry, no band claims, no shuffled bytes. Only gated survivors
+   * reach the two chained stateful operators (one checkpoint for both —
+   * Spark 4 multi-stateful-operator support; see [[nearDupVerdicts]]'s
+   * chaining contract).
+   *
+   * Note the gate is on PREDICTED language ([[TextAnalysis.langId]]),
+   * as a real pipeline must — ground-truth labels don't exist at ingest.
+   */
+  def prepPipeline(pages: DataFrame, idCol: String, textCol: String,
+      tsCol: String, delay: String, horizonUs: Long,
+      minQuality: Int = 40, langs: Seq[String] = Seq("en", "de", "fr", "es", "zh"),
+      n: Int = 3, bands: Int = 8): DataFrame = {
+    val gated = pages.where(
+      TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+        TextAnalysis.langId(col(textCol)).isin(langs: _*))
+    val exact = byFingerprint(gated, textCol, tsCol, delay)
+    nearDupVerdicts(exact, idCol, textCol, tsCol, delay, horizonUs,
+      n = n, bands = bands, applyWatermark = false).toDF()
+  }
 }

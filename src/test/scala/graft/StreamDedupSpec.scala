@@ -167,6 +167,56 @@ class StreamDedupSpec extends SparkSpec {
       s"stream-only=${(got.toSet -- batchKept).take(5)} batch-only=${(batchKept.toSet -- got).take(5)}")
   }
 
+  test("prepPipeline: full streaming prep equals the batch mirror over real docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val minQ = 40
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select($"doc_id", $"text").where($"doc_id" < 120)
+
+    // batch mirror, stage by stage: gates -> min-id keeper per fingerprint
+    // -> greedy earlier-id band rule over the exact survivors only
+    val gated = docs.where(TextAnalysis.qualityScore($"text") >= minQ &&
+      TextAnalysis.langId($"text").isin(langs: _*))
+    val keepers = gated
+      .withColumn("fp", TextAnalysis.fingerprint($"text"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fp").orderBy($"doc_id")))
+      .where($"rk" === 1).select($"doc_id", $"text")
+    val mh = graft.operators.Dedup.minhashBandsRowwise(keepers, "doc_id", "text", 3, 8)
+    val stolen = mh.join(
+        mh.select($"doc_id".as("prior_id"), $"band", $"sig"), Seq("band", "sig"))
+      .where($"prior_id" < $"doc_id").select($"doc_id").distinct()
+    val batchKept = keepers.join(stolen, Seq("doc_id"), "left_anti")
+      .join(mh.select($"doc_id").distinct(), Seq("doc_id"))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(gated.count() < docs.count(), "gates must reject something")
+    assert(batchKept.nonEmpty)
+
+    // streaming: one doc per second in doc_id order => earlier id == earlier ts
+    val cp = Files.createTempDirectory("prepcp").toString
+    val in = MemoryStream[DocRow](Encoders.product[DocRow], spark)
+    val rows = docs.orderBy($"doc_id").as[(Long, String)].collect()
+      .map { case (id, text) => DocRow(id, ts(base + id), text) }
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamDedup.prepPipeline(in.toDF(), "doc_id", "text", "event_ts",
+      "10 minutes", horizonUs = 86400L * 1000000L, minQuality = minQ, langs = langs)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got ++= StreamDedup.keptInBatch(df.toDF())
+          .select($"id").collect().map(_.getString(0).toLong)
+        ()
+      }
+      .start()
+    rows.grouped(40).foreach { g => in.addData(g.toSeq); q.processAllAvailable() }
+    q.stop()
+    assert(got.sorted.toSeq == batchKept,
+      s"stream-only=${(got.toSet -- batchKept).take(5)} batch-only=${(batchKept.toSet -- got).take(5)}")
+  }
+
   test("keptInBatch: same-id copies in one batch keep the id when its first copy claimed") {
     import spark.implicits._
     // id A, copy 1 claimed both bands (stolen=false), copy 2 found them
