@@ -1054,9 +1054,29 @@ object Queries {
         cast(sum(toks) AS BIGINT) AS sum_toks, cast(sum(q) AS BIGINT) AS sum_q
       FROM kept GROUP BY source, pred"""))
 
+  // BPE-ish token budgeting: the subword-boundary count a tokenizer-cost
+  // estimate needs (whitespace counting undercounts punctuation-heavy
+  // text), next to the whitespace count for the ratio. Same RE2-safe
+  // pattern on both sides — no lookahead, \p classes only.
+  private val q46 = QueryDef("q46_bpe_token_stats",
+    (s, d) => rd(s, d, "documents")
+      .select(col("source"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe"),
+        TextAnalysis.tokenCount(col("text")).as("ws"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("bpe")).as("sum_bpe"),
+        sum(col("ws")).as("sum_ws"),
+        max(col("bpe")).cast(LongType).as("max_bpe")),
+    Some(s"""SELECT source, count(*) AS docs,
+      cast(sum(len(regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}'))) AS BIGINT) AS sum_bpe,
+      cast(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_ws,
+      max(len(regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}'))) AS max_bpe
+      FROM documents GROUP BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45)
+    q42, q43, q44, q45, q46)
 }

@@ -31,6 +31,21 @@ object TextAnalysis {
   def charCount(text: Column): Column =
     length(regexp_replace(text, "\\s", ""))
 
+  /** GPT-2-style pre-tokenizer pattern, minus the trailing-space negative
+    * lookahead (RE2 has no lookahead, and the oracle runs on RE2; the
+    * lookahead only changes how trailing spaces group, not counts of the
+    * text tokens this counts): contractions, space-prefixed letter runs,
+    * digit runs, punctuation runs. Java regex and RE2 agree on \p{L}/\p{N}
+    * classes and leftmost-first alternation, so the count is
+    * engine-portable. */
+  val bpePattern = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish subword-boundary token count — the tokenizer-budget estimate
+    * a training pipeline bins documents by (whitespace tokens undercount
+    * punctuation-heavy text badly). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpePattern))
+
   /**
    * Integer quality score 0..100 from length/punctuation/stopword signals
    * (analog of a CC quality filter; all-integer for determinism):
