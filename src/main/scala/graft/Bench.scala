@@ -38,15 +38,21 @@ object Bench {
     // changed. The best-of-2 is the steady-state latency a warm deployment
     // sees; the one-offs are session warm-up, not query cost.
     val results = Queries.all.map { q =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            false
+          }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      q.name -> times.min
+      // min over SUCCESSFUL runs only: a fast failure must not report as a
+      // fast query (it would invert the regression signal); all-failed
+      // reports the slowest attempt so the breakage still reads as cost
+      val succ = runs.collect { case (true, t) => t }
+      q.name -> (if (succ.nonEmpty) succ.min else runs.map(_._2).max)
     }
 
     // streaming page pipeline throughput (gen -> extract -> sessionize ->

@@ -398,14 +398,9 @@ case class MinHashBandSigs(child: org.apache.spark.sql.catalyst.expressions.Expr
 
 object MinHashBandSigs {
   import java.nio.charset.StandardCharsets
-  import java.security.MessageDigest
-
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.unsafe.types.UTF8String
 
-  private val md5Local = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
   private val HEX = "0123456789abcdef".toCharArray
   private val splitter = java.util.regex.Pattern.compile("\\s+")
 
@@ -437,7 +432,8 @@ object MinHashBandSigs {
     val out = new Array[Array[Byte]](bands)
     if (toks.length >= n) {
       val seen = new java.util.HashSet[String]()
-      val md = md5Local.get()
+      val sep = seps(bands)
+      val md = Md5Hash.local()
       val sb = new java.lang.StringBuilder()
       var i = 0
       while (i <= toks.length - n) {
@@ -447,7 +443,6 @@ object MinHashBandSigs {
         val shingle = sb.toString
         if (seen.add(shingle)) {
           val shingleBytes = shingle.getBytes(StandardCharsets.UTF_8)
-          val sep = seps(bands)
           var b = 0
           while (b < bands) {
             md.reset()

@@ -122,6 +122,14 @@ object Md5Hash {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** The thread's reset MD5 digest — shared by every md5-based operator
+    * (one instance per executor thread, not one per call site). */
+  def local(): java.security.MessageDigest = {
+    val md = md5Local.get()
+    md.reset()
+    md
+  }
+
   /** First 8 digest bytes big-endian — the long whose hex form is the
     * first 16 chars of the md5 hex string (what SQL parses digit-wise). */
   def hash64(s: String): Long =

@@ -177,12 +177,13 @@ object StreamDedup {
    * Spark 4 multi-stateful-operator support; see [[nearDupVerdicts]]'s
    * chaining contract).
    *
-   * Note the gate is on PREDICTED language ([[TextAnalysis.langId]]),
+   * Defaults mirror the batch twin's gates (q45: quality >= 60, any
+   * identified language). Note the gate is on PREDICTED language ([[TextAnalysis.langId]]),
    * as a real pipeline must — ground-truth labels don't exist at ingest.
    */
   def prepPipeline(pages: DataFrame, idCol: String, textCol: String,
       tsCol: String, delay: String, horizonUs: Long,
-      minQuality: Int = 40, langs: Seq[String] = Seq("en", "de", "fr", "es", "zh"),
+      minQuality: Int = 60, langs: Seq[String] = Seq("en", "de", "fr", "es", "zh"),
       n: Int = 3, bands: Int = 8): DataFrame = {
     val gated = pages.where(
       TextAnalysis.qualityScore(col(textCol)) >= minQuality &&

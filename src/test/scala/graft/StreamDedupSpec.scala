@@ -173,8 +173,19 @@ class StreamDedupSpec extends SparkSpec {
     import graft.operators.TextAnalysis
     val minQ = 40
     val langs = Seq("en", "de", "fr", "es", "zh")
-    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val docs0 = spark.read.parquet(sf("sf0.001/documents.parquet"))
       .select($"doc_id", $"text").where($"doc_id" < 120)
+    // append a re-crawl of a gated doc (layout change only — same
+    // fingerprint) so the exact-dedup link of the chain is exercised by a
+    // REAL duplicate, not just pass-through rows
+    val recrawlSrc = docs0
+      .where(TextAnalysis.qualityScore($"text") >= minQ &&
+        TextAnalysis.langId($"text").isin(langs: _*))
+      .orderBy($"doc_id").select($"text").as[String].head()
+    // punctuation-only delta: fingerprint (lowercase + strip non-alnum)
+    // is identical, while the case-sensitive quality/lang gates still pass
+    val docs = docs0.unionByName(
+      Seq((1000L, recrawlSrc + ".")).toDF("doc_id", "text"))
 
     // batch mirror, stage by stage: gates -> min-id keeper per fingerprint
     // -> greedy earlier-id band rule over the exact survivors only
@@ -193,6 +204,9 @@ class StreamDedupSpec extends SparkSpec {
       .join(mh.select($"doc_id").distinct(), Seq("doc_id"))
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(gated.count() < docs.count(), "gates must reject something")
+    assert(gated.where($"doc_id" === 1000L).count() == 1,
+      "the re-crawl must pass the gates so the dedup stage sees it")
+    assert(!batchKept.contains(1000L), "the re-crawl must lose to its original")
     assert(batchKept.nonEmpty)
 
     // streaming: one doc per second in doc_id order => earlier id == earlier ts
