@@ -157,10 +157,40 @@ object HtmlTextBytes {
     java.util.Arrays.copyOf(out, o)
   }
 
+  /** Mirror of the char reference's `!Character.isLetterOrDigit(charAt)`:
+    * `<scripté>` is a tag NAMED "scripté", not a script element, so the
+    * byte at the name boundary must be classified like the UTF-16 unit
+    * the char-level path sees there — a valid 2-/3-byte UTF-8 sequence
+    * decodes to its BMP char; a 4-byte sequence puts a (never
+    * letter-or-digit) surrogate at that position; malformed bytes decode
+    * to U+FFFD (also not letter-or-digit). Found by fuzzing: the previous
+    * ASCII-only test silently swallowed the rest of the document after
+    * `<scripté>`. */
   private def isNameEnd(in: Array[Byte], at: Int): Boolean = {
     if (at >= in.length) return true
     val b = in(at)
-    !((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9'))
+    if (b >= 0) // ASCII fast path
+      !((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9'))
+    else {
+      val b0 = b & 0xff
+      def cnt(k: Int): Int =
+        if (at + k < in.length) in(at + k) & 0xff else -1
+      def isCont(v: Int): Boolean = v >= 0x80 && v <= 0xbf
+      // strict UTF-8 validity (incl. overlong + surrogate-range guards) so
+      // malformed input classifies exactly like String's U+FFFD decoding
+      val cp =
+        if (b0 >= 0xc2 && b0 <= 0xdf && isCont(cnt(1)))
+          ((b0 & 0x1f) << 6) | (cnt(1) & 0x3f)
+        else if (b0 == 0xe0 && cnt(1) >= 0xa0 && cnt(1) <= 0xbf && isCont(cnt(2)))
+          ((b0 & 0x0f) << 12) | ((cnt(1) & 0x3f) << 6) | (cnt(2) & 0x3f)
+        else if (((b0 >= 0xe1 && b0 <= 0xec) || b0 == 0xee || b0 == 0xef) &&
+            isCont(cnt(1)) && isCont(cnt(2)))
+          ((b0 & 0x0f) << 12) | ((cnt(1) & 0x3f) << 6) | (cnt(2) & 0x3f)
+        else if (b0 == 0xed && cnt(1) >= 0x80 && cnt(1) <= 0x9f && isCont(cnt(2)))
+          ((b0 & 0x0f) << 12) | ((cnt(1) & 0x3f) << 6) | (cnt(2) & 0x3f)
+        else -1 // 4-byte (surrogate at this UTF-16 position) or malformed
+      !(cp >= 0 && Character.isLetterOrDigit(cp.toChar))
+    }
   }
 
   private final class Decoded(val bytes: Array[Byte], val next: Int)

@@ -55,7 +55,10 @@ class ExtractTextSpec extends AnyFunSuite {
       "<b>x</b>", "<!--c-->", "<script>s</script>", "<", ">", "&", "\n", "\t",
       "&nbsp;", "&#x1F600;", "&#xD800;", "&bogus;", "&#;", "<style>p{}</style>",
       "<NOSCRIPT>n</noscript>", "<div class=x>", "—", "&#8212;", "  ",
-      "&#9;", "&#10;", "&#160;", "&#xA0;", "&#8232;", " ")
+      "&#9;", "&#10;", "&#160;", "&#xA0;", "&#8232;", " ",
+      "<scripté>", "<styleé>", "</SCRIPT>", "<script><script>",
+      "</script >", "<\tp>", "< p>", "&#x110000;", "&#1114112;", "\u000b",
+      "\r", "\f", "<![CDATA[", "]]>", "&#38;#38;", "　")
     var caseI = 0
     while (caseI < 5000) {
       val len = (graft.sources.PageGen.rnd(11L, 0, caseI) >>> 1).toInt % 40
