@@ -35,6 +35,46 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("simhash byte-level tokenizer equals a char-level reference on unicode soup") {
+    // the byte-level scan must segment exactly like scanning chars with
+    // the ASCII \s class (multibyte UTF-8 bytes are all >= 0x80, so they
+    // can never be taken for whitespace) — property-checked over strings
+    // mixing multibyte letters, CJK, emoji, NBSP, and every ASCII ws
+    def charRef(s: String): Long = {
+      def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\u000b' ||
+        c == '\f' || c == '\r'
+      val votes = new Array[Int](64)
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        while (i < n && isWs(s.charAt(i))) i += 1
+        val st = i
+        while (i < n && !isWs(s.charAt(i))) i += 1
+        if (i > st) {
+          val h = operators.Md5Hash.hash64(s.substring(st, i))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1
+          }
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val frags = Array("a", "é", "汉", "😀", " ", " ", "\t", "\n", "\u000b",
+      "\f", "\r", "wörd", "　", "x y", "", "—", "ß", " ")
+    var caseI = 0
+    while (caseI < 3000) {
+      val len = (graft.sources.PageGen.rnd(97L, 0, caseI) >>> 1).toInt % 24
+      val s = (0 until len).map { i =>
+        frags(((graft.sources.PageGen.rnd(97L, 1, caseI, i) >>> 1) % frags.length).toInt)
+      }.mkString
+      val got = operators.SimHash64.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(got == charRef(s), s"simhash byte/char divergence on [${s.take(60)}]")
+      caseI += 1
+    }
+  }
+
   test("simhash: exact dups at distance 0; near-dups have smaller distance than random") {
     import spark.implicits._
     // exact duplicates: distance 0, always recalled by the 4-block join
