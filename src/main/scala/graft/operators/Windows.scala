@@ -45,14 +45,36 @@ object Windows {
       .withColumn("w_end", unix_micros(col("window.end").cast(TimestampType)))
       .drop("window")
 
-  /** Session window (gap-merged) aggregation; end = last event + gap. */
+  /**
+   * Session window (gap-merged) aggregation; end = last event + gap.
+   *
+   * Boundary convention: a gap of EXACTLY `gap` starts a NEW session —
+   * the same `diff >= gap` rule the streaming sessionizers
+   * ([[graft.streaming.Sessionize.assemble]],
+   * [[graft.streaming.SessionizeTwoPhase.mergeFrags]]) and every DuckDB
+   * oracle use. Spark's built-in `session_window` merges at the exact
+   * boundary (probed: two events precisely `gap` apart land in ONE
+   * window), so the window is built with `gap − 1 µs` and the reported
+   * end gets the microsecond back — at µs timestamp granularity this is
+   * exactly the `>=`-split rule. Found by the randomized stream≡batch
+   * torture (SessionizeSpec); boundary gaps never occur in the driver
+   * corpora, which is why every oracle was green under either convention.
+   */
   def session(df: DataFrame, tsCol: String, gap: String,
-      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
-    df.groupBy((session_window(col(tsCol), gap) +: keys): _*)
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0, s"calendar-month session gaps are ambiguous: $gap")
+    val gapUs = iv.days * 86400000000L + iv.microseconds
+    require(gapUs > 1, s"session gap must exceed 1 microsecond: $gap")
+    // string form: parses to CalendarIntervalType (the ANSI INTERVAL
+    // literal is DayTimeIntervalType, which session_window rejects)
+    df.groupBy((session_window(col(tsCol), s"${gapUs - 1} microseconds") +: keys): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("s_start", unix_micros(col("session_window.start").cast(TimestampType)))
-      .withColumn("s_end", unix_micros(col("session_window.end").cast(TimestampType)))
+      .withColumn("s_end", unix_micros(col("session_window.end").cast(TimestampType)) + 1)
       .drop("session_window")
+  }
 }
 
 /**

@@ -75,6 +75,63 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("randomized torture: stream sessions equal batch session_window across seeded trials") {
+    import spark.implicits._
+    val base = 1700000000L
+    // gap choices deliberately straddle the 1800 s threshold (0 = duplicate
+    // timestamp, 1799/1800/1801 = boundary semantics, 3600 = clear split)
+    val gapChoices = Array(0L, 1L, 60L, 1799L, 1800L, 1801L, 3600L, 120L)
+    for (trial <- 0 until 6) {
+      def rnd(k: Int, i: Int): Long = graft.sources.PageGen.rnd(131L + trial, k, i) >>> 1
+      val nHosts = 2 + (rnd(0, 0) % 3).toInt
+      val nEv = 24 + (rnd(0, 1) % 25).toInt
+      val perHostClock = scala.collection.mutable.Map[String, Long]()
+      val rows = (0 until nEv).map { i =>
+        val h = "h" + (rnd(1, i) % nHosts)
+        val prev = perHostClock.getOrElse(h, base)
+        val t = prev + gapChoices((rnd(2, i) % gapChoices.length).toInt)
+        perHostClock(h) = t
+        PageLite(h, ts(t), (rnd(3, i) % 100).toInt)
+      }
+      // deterministic shuffle (delivery order != event-time order), random
+      // batch boundaries
+      val shuffled = rows.sortBy(r => rnd(4, r.hashCode.abs % 1000000))
+      val nBatches = 2 + (rnd(0, 2) % 3).toInt
+      val batches = shuffled.grouped(math.max(1, shuffled.size / nBatches)).toSeq
+
+      val input = MemoryStream[PageLite](Encoders.product[PageLite], spark)
+      // delay longer than any trial's span: no row is ever late, so the
+      // stream must reproduce the batch result EXACTLY
+      val sessions = Sessionize.sessions(
+        input.toDS().withWatermark("warc_ts", "200 hours"))
+      val q = sessions.writeStream.format("memory")
+        .queryName(s"sess_tort_$trial").outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        val flushT = perHostClock.values.max + 800L * 3600L
+        input.addData(PageLite("zz.flush", ts(flushT), 0))
+        q.processAllAvailable()
+        input.addData(PageLite("zz.flush", ts(flushT + 800L * 3600L), 0))
+        q.processAllAvailable()
+
+        val got = spark.table(s"sess_tort_$trial")
+          .select($"host", unix_micros($"session_start").as("s_start"),
+            unix_micros($"session_end").as("s_end"), $"n_pages", $"text_bytes")
+          .where($"host" =!= "zz.flush")
+          .collect().map(_.toSeq).toSet
+        val batch = Windows.session(
+          rows.toDF(), "warc_ts", "30 minutes",
+          Seq(col("host")),
+          Seq(count(lit(1)).as("n_pages"), sum($"text_len").as("text_bytes")))
+          .select($"host", $"s_start", $"s_end", $"n_pages", $"text_bytes")
+          .collect().map(_.toSeq).toSet
+        assert(got == batch,
+          s"trial $trial (hosts=$nHosts ev=$nEv batches=${batches.size}):\n" +
+            s" stream-only=${(got -- batch).take(3)}\n batch-only=${(batch -- got).take(3)}")
+      } finally q.stop()
+    }
+  }
+
   test("late rows beyond the watermark are dropped deterministically") {
     import spark.implicits._
     val input = MemoryStream[PageLite](Encoders.product[PageLite], spark)
