@@ -68,6 +68,38 @@ class DedupScaleSpec extends SparkSpec {
       s"inc-only=${(got.toSet -- batchKeepers).take(5)} batch-only=${(batchKeepers.toSet -- got).take(5)}")
   }
 
+  test("incremental near-dup: ANY random id-ordered split reproduces single-batch") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select($"doc_id", $"text").where($"doc_id" < 150)
+    val mh = Dedup.minhashBandsRowwise(docs, "doc_id", "text", 3, 8)
+    val stolen = mh.join(mh.select($"doc_id".as("prior_id"), $"band", $"sig"),
+        Seq("band", "sig"))
+      .where($"prior_id" < $"doc_id").select($"doc_id").distinct()
+    val batchKeepers = docs.join(stolen, Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val maxId = 150L
+    for (trial <- 0 until 3) {
+      def rnd(i: Int): Long = graft.sources.PageGen.rnd(211L + trial, 0, i) >>> 1
+      // 2..5 random cut points over the id range
+      val cuts = (0L +: (0 until (2 + (rnd(0) % 4).toInt)).map(i => rnd(i + 1) % maxId)
+        :+ maxId).distinct.sorted
+      var index = Dedup.minhashBandsRowwise(docs.limit(0), "doc_id", "text", 3, 8)
+      val got = scala.collection.mutable.ArrayBuffer[Long]()
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        if (hi > lo) {
+          val (keepers, newIndex) = Dedup.incrementalNearDupKeepers(
+            index, docs.where($"doc_id" >= lo && $"doc_id" < hi), "doc_id", "text", 3, 8)
+          got ++= keepers.as[Long].collect()
+          index = newIndex.localCheckpoint()
+        }
+      }
+      assert(got.sorted.toSeq == batchKeepers,
+        s"trial $trial cuts=$cuts: inc-only=${(got.toSet -- batchKeepers).take(5)} " +
+          s"batch-only=${(batchKeepers.toSet -- got).take(5)}")
+    }
+  }
+
   test("minhash LSH with df cap still recalls planted near-dups") {
     import spark.implicits._
     val base = docs.where($"doc_id" < 40)
