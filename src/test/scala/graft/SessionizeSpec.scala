@@ -100,25 +100,35 @@ class SessionizeSpec extends SparkSpec {
       val batches = shuffled.grouped(math.max(1, shuffled.size / nBatches)).toSeq
 
       val input = MemoryStream[PageLite](Encoders.product[PageLite], spark)
-      // delay longer than any trial's span: no row is ever late, so the
-      // stream must reproduce the batch result EXACTLY
+      val input2 = MemoryStream[PageLite](Encoders.product[PageLite], spark)
+      // delay longer than any trial's span: no row is ever late, so both
+      // streaming sessionizers must reproduce the batch result EXACTLY
       val sessions = Sessionize.sessions(
         input.toDS().withWatermark("warc_ts", "200 hours"))
       val q = sessions.writeStream.format("memory")
         .queryName(s"sess_tort_$trial").outputMode("append").start()
+      val q2 = graft.streaming.SessionizeTwoPhase.sessions(
+        input2.toDS(), watermarkDelaySec = 720000L)
+        .writeStream.format("memory")
+        .queryName(s"sess_tort2_$trial").outputMode("append").start()
       try {
-        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        batches.foreach { b =>
+          input.addData(b); q.processAllAvailable()
+          input2.addData(b); q2.processAllAvailable()
+        }
         val flushT = perHostClock.values.max + 800L * 3600L
-        input.addData(PageLite("zz.flush", ts(flushT), 0))
-        q.processAllAvailable()
-        input.addData(PageLite("zz.flush", ts(flushT + 800L * 3600L), 0))
-        q.processAllAvailable()
+        for (ft <- Seq(flushT, flushT + 800L * 3600L)) {
+          input.addData(PageLite("zz.flush", ts(ft), 0)); q.processAllAvailable()
+          input2.addData(PageLite("zz.flush", ts(ft), 0)); q2.processAllAvailable()
+        }
 
-        val got = spark.table(s"sess_tort_$trial")
+        def grab(t: String) = spark.table(t)
           .select($"host", unix_micros($"session_start").as("s_start"),
             unix_micros($"session_end").as("s_end"), $"n_pages", $"text_bytes")
           .where($"host" =!= "zz.flush")
           .collect().map(_.toSeq).toSet
+        val got = grab(s"sess_tort_$trial")
+        val got2 = grab(s"sess_tort2_$trial")
         val batch = Windows.session(
           rows.toDF(), "warc_ts", "30 minutes",
           Seq(col("host")),
@@ -128,7 +138,10 @@ class SessionizeSpec extends SparkSpec {
         assert(got == batch,
           s"trial $trial (hosts=$nHosts ev=$nEv batches=${batches.size}):\n" +
             s" stream-only=${(got -- batch).take(3)}\n batch-only=${(batch -- got).take(3)}")
-      } finally q.stop()
+        assert(got2 == batch,
+          s"trial $trial two-phase:\n" +
+            s" stream-only=${(got2 -- batch).take(3)}\n batch-only=${(batch -- got2).take(3)}")
+      } finally { q.stop(); q2.stop() }
     }
   }
 
