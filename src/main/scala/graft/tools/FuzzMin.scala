@@ -1,23 +1,7 @@
 package graft.tools
 import graft.functions.HtmlText
 object FuzzMin {
-  val frags = Array("<p>", "</p>", "word", "&amp;", " ", "&#65;", "x", "é",
-      "<b>x</b>", "<!--c-->", "<script>s</script>", "<", ">", "&", "\n", "\t",
-      "&nbsp;", "&#x1F600;", "&#xD800;", "&bogus;", "&#;", "<style>p{}</style>",
-      "<NOSCRIPT>n</noscript>", "<div class=x>", "—", "&#8212;", "  ",
-      "&#9;", "&#10;", "&#160;", "&#xA0;", "&#8232;", " ",
-      "<![CDATA[", "]]>", "</", "<>", "=\"", "&#x", "&am", "&#1114112;", "&#x110000;",
-      "\r", "\u000b", "\f", "<script><script>", "</script >", "</SCRIPT>",
-      "<a href=\"x>y\">", "<br/>", "&AMP;", "&#X41;", "&#0;", "&#x0;", "<!---->",
-      "<!--", "-->", "<!", "<?php ?>", "<?", "?>", "<style", "<script",
-      "&quot", ";", "&;", "&#xfffd;", "�", "　", "a=b", "'",
-      "<p/>", "< p>", "<\tp>", "<p\n>", "&lt;script&gt;", "&#60;", "&#38;#38;")
-  def gen(caseI: Int): String = {
-    val len = (graft.sources.PageGen.rnd(311L, 0, caseI) >>> 1).toInt % 60
-    (0 until len).map { i =>
-      frags(((graft.sources.PageGen.rnd(311L, 1, caseI, i) >>> 1) % frags.length).toInt)
-    }.mkString
-  }
+  def gen(caseI: Int): String = FuzzX.gen(caseI)
   def diff(s: String): Boolean = HtmlText.extractString(s) != HtmlText.extractStringReference(s)
   def esc(s: String): String = s.flatMap {
     case c if c >= ' ' && c < 127 => c.toString

@@ -65,9 +65,11 @@ class StreamJoinSpec extends SparkSpec {
       val metas = (0 until (10 + (rnd(0, 2) % 8).toInt)).map { i =>
         val anchor = pages(((rnd(3, i) % pages.length)).toInt)
         val d = deltas((rnd(4, i) % deltas.length).toInt)
-        // distinct meta_ts per row (i-offset in µs) keeps join rows unique
+        // the per-row-unique category is what keeps joined rows distinct
+        // (two metas can share (host, meta_ts) when they draw the same
+        // anchor and delta)
         HostMeta(anchor.host,
-          new Timestamp(anchor.warc_ts.getTime + d * 1000L + 0), // second-granular
+          new Timestamp(anchor.warc_ts.getTime + d * 1000L),
           i.toDouble, s"cat$i")
       }
       val pIn = MemoryStream[PageRow](Encoders.product[PageRow], spark)
