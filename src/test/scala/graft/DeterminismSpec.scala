@@ -11,21 +11,9 @@ package graft
  */
 class DeterminismSpec extends SparkSpec {
 
-  private val names = Seq(
-    "q01_pricing_summary",     // two-phase hash agg
-    "q08_running_total",       // ordered window
-    "q12_session_windows",     // gaps-and-islands sessions
-    "q21_minhash_lsh_pairs",   // shingle joins + df cap + verify
-    "q22_simhash_pairs",       // md5 signature votes + block join
-    "q25_ann_lsh",             // md5 hyperplanes + multi-probe + top-k
-    "q43_ivf_ann",             // argmax assignment + top-k
-    "q44_near_dup_keepers",    // band self-join greedy rule
-    "q45_prep_pipeline")       // composed pipeline
-
-  test("representative queries are bit-identical across shuffle-partition counts") {
+  test("EVERY registry query is bit-identical across shuffle-partition counts") {
     val dir = sf("sf0.001")
-    for (name <- names) {
-      val q = Queries.all.find(_.name == name).get
+    for (q <- Queries.all) {
       def run(parts: Int): Seq[String] = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try q.fn(spark, dir).collect().map(_.toString).sorted.toSeq
@@ -33,9 +21,9 @@ class DeterminismSpec extends SparkSpec {
       }
       val a = run(3)
       val b = run(29)
-      assert(a == b, s"$name diverges across partition counts: " +
+      assert(a == b, s"${q.name} diverges across partition counts: " +
         s"only-3=${(a.toSet -- b).take(2)} only-29=${(b.toSet -- a).take(2)}")
-      assert(a.nonEmpty, s"$name returned no rows")
+      assert(a.nonEmpty, s"${q.name} returned no rows")
     }
   }
 }
