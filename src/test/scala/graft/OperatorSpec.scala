@@ -94,6 +94,32 @@ class OperatorSpec extends SparkSpec {
     assert(selfAvg < 16, s"near-dup hamming too large: $selfAvg")
   }
 
+  test("TopK aggregator: random reduce/merge shapes equal the sort reference") {
+    // the bounded-buffer Aggregator must be associative and buffer-size
+    // independent: any partition split and merge tree yields the exact
+    // sort-based top-k (score DESC, id ASC) — including duplicate scores,
+    // duplicate ids, negative scores, and n < k inputs
+    import graft.operators.TopK
+    import graft.operators.TopK.Scored
+    for (trial <- 0 until 200) {
+      def rnd(k: Int, i: Int): Long = graft.sources.PageGen.rnd(67L + trial, k, i) >>> 1
+      val n = (rnd(0, 0) % 40).toInt // includes n = 0 and n < k
+      val k = 1 + (rnd(0, 1) % 7).toInt
+      val items = (0 until n).map(i =>
+        Scored(rnd(1, i) % 12, (rnd(2, i) % 9) - 4)) // dup ids, dup + negative scores
+      val ref = items.sortBy(s => (-s.score, s.id)).take(k)
+      val agg = new TopK.TopKAgg(k)
+      // random partition split, then a random merge order over the parts
+      val nParts = 1 + (rnd(0, 2) % 4).toInt
+      val parts = items.grouped(math.max(1, math.max(1, n) / nParts)).toIndexedSeq
+      val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = bufs.sortBy(b => rnd(3, b.hashCode.abs % 100000))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == ref,
+        s"trial $trial n=$n k=$k parts=$nParts: got=${agg.finish(merged)} ref=$ref")
+    }
+  }
+
   test("brute-force topk: self is nearest when query is in corpus") {
     import spark.implicits._
     val res = Similarity.bruteForceTopK(
