@@ -60,6 +60,26 @@ class PlanShapeSpec extends SparkSpec {
       s"rowwise sigs must not shuffle or aggregate:\n$sigsPlan")
   }
 
+  test("q21 reuses the shingle exchange: corpus scanned at most 3x") {
+    // the minhash pipeline consumes the shingle set from several branches
+    // (bands, sizes, both intersection sides, the df-cap); without
+    // exchange reuse each branch would re-scan + re-shingle the corpus —
+    // at 100 TB that is the difference between one pass and five. Checked
+    // with AQE off because the AQE plan STRING shows the pre-reuse tree
+    // (runtime stage reuse is invisible to a grep); the static reuse
+    // condition (canonically identical subtrees) is the same one AQE uses.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.all.find(_.name == "q21_minhash_lsh_pairs").get
+        .fn(spark, sf("sf0.001"))
+      val p = plan(df)
+      val scans = p.split("Scan parquet").length - 1
+      val reuses = p.split("ReusedExchange").length - 1
+      assert(scans <= 3, s"corpus scanned $scans times — shingle reuse lost:\n$p")
+      assert(reuses >= 4, s"only $reuses reused exchanges — branches re-derive:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q06 selective filter pushes predicates into the parquet scan") {
     val df = Queries.all.find(_.name == "q06_selective_filter").get
       .fn(spark, sf("sf0.001"))
