@@ -1074,9 +1074,49 @@ object Queries {
       max(len(regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}'))) AS max_bpe
       FROM documents GROUP BY source"""))
 
+  // Deterministic sampling (eval-set construction): a stratified
+  // 10-docs-per-source hash-order sample + a 20% Bernoulli sample, both
+  // md5-derived so the oracle rebuilds the exact same picks. The
+  // stratified branch rides the TopK bounded-heap aggregator (≤ n rows
+  // per partition·stratum cross the shuffle).
+  private val q47 = QueryDef("q47_deterministic_sample",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val h = docs.select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("toks"),
+        Sampling.hashUniform48(col("doc_id")).as("hu"))
+      val strat = Sampling.stratifiedTopN(docs, "source", "doc_id", 10)
+        .join(h.select(col("doc_id"), col("toks")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("strat_docs"), sum(col("toks")).as("strat_tok_sum"))
+      val bern = Sampling.bernoulli(docs, "doc_id", 200)
+        .groupBy(col("source")).agg(count(lit(1)).as("bern_docs"))
+      strat.join(bern, Seq("source"), "left")
+        .select(col("source"), col("strat_docs"), col("strat_tok_sum"),
+          coalesce(col("bern_docs"), lit(0L)).as("bern_docs"))
+    },
+    Some("""WITH h AS (SELECT source, doc_id,
+        len(regexp_extract_all(text, '\S+')) AS toks,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) AS hu
+        FROM documents),
+      strat AS (SELECT source, doc_id, toks FROM (SELECT source, doc_id, toks,
+          row_number() OVER (PARTITION BY source ORDER BY hu ASC, doc_id ASC) AS rk
+        FROM h) WHERE rk <= 10),
+      sa AS (SELECT source, count(*) AS strat_docs,
+        cast(sum(toks) AS BIGINT) AS strat_tok_sum FROM strat GROUP BY source),
+      bern AS (SELECT source, count(*) AS bern_docs FROM h
+        WHERE hu % 1000 < 200 GROUP BY source)
+      SELECT sa.source AS source, strat_docs, strat_tok_sum,
+        cast(coalesce(bern.bern_docs, 0) AS BIGINT) AS bern_docs
+      FROM sa LEFT JOIN bern ON sa.source = bern.source"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46)
+    q42, q43, q44, q45, q46, q47)
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Deterministic sampling for training-data pipelines: eval/held-out set
+ * construction must be reproducible across reruns, engines, and cluster
+ * sizes — so both primitives here derive their randomness from md5 of the
+ * row id (built-in, codegen'd, and rebuilt digit-wise by the DuckDB
+ * oracle), never from `rand()`.
+ *
+ * Reference analog: StormCV has no sampling plane (`ModGrouping` routes by
+ * sequence-nr modulo, `util/RandomChannelSelector.java` load-balances);
+ * these are the data-side sampling verbs a 100 TB corpus needs.
+ *
+ *  - [[bernoulli]]: keep a fixed fraction, independent per row — one
+ *    stateless predicate, no shuffle, safe to push into the scan stage.
+ *  - [[stratifiedTopN]]: exactly ≤ n rows per stratum, chosen by hash
+ *    order — the deterministic "reservoir sample per key". Uses the
+ *    bounded-heap [[TopK]] aggregator, so only ≤ n rows per (partition,
+ *    stratum) cross the shuffle, not the corpus.
+ */
+object Sampling {
+
+  /** 48-bit uniform hash of the id: first 12 hex digits of
+    * `md5(utf8(id as string))` as a long — the same md5-truncation scheme
+    * as [[Md5Hash]], expressed entirely in built-ins so it pipelines in
+    * whole-stage codegen (`conv` parses the hex; 48 bits fit a long
+    * exactly, which also keeps the oracle's digit expansion in exact
+    * BIGINT arithmetic). */
+  def hashUniform48(id: Column): Column =
+    conv(substring(md5(id.cast(StringType).cast(BinaryType)), 1, 12), 16, 10)
+      .cast(LongType)
+
+  /** Deterministic Bernoulli sample: keeps rows with
+    * `hash48(id) mod 1000 < keepPerMille` — a stable ~keepPerMille/1000
+    * fraction, reproducible anywhere md5 exists. */
+  def bernoulli(df: DataFrame, idCol: String, keepPerMille: Int): DataFrame = {
+    require(keepPerMille >= 0 && keepPerMille <= 1000, "keepPerMille in [0,1000]")
+    df.where(hashUniform48(col(idCol)) % 1000 < keepPerMille)
+  }
+
+  /**
+   * Deterministic stratified sample: the ≤ `n` rows per `stratumCol`
+   * value with the smallest `(hash48(id), id)` — every rerun and every
+   * partitioning picks the same rows. Returns (stratum, id, rk) with
+   * rk = 1..n in hash order.
+   */
+  def stratifiedTopN(df: DataFrame, stratumCol: String, idCol: String,
+      n: Int): DataFrame =
+    TopK.perKey(
+      df.select(col(stratumCol), col(idCol),
+        (-hashUniform48(col(idCol))).as("neg_hu")), // TopK ranks score DESC ⇒ hash ASC
+      stratumCol, idCol, "neg_hu", n, idCol, "neg_hu")
+      .drop("neg_hu")
+}
