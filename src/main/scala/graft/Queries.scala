@@ -1082,11 +1082,9 @@ object Queries {
   private val q47 = QueryDef("q47_deterministic_sample",
     (s, d) => {
       val docs = rd(s, d, "documents")
-      val h = docs.select(col("source"), col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("toks"),
-        Sampling.hashUniform48(col("doc_id")).as("hu"))
+      val h = docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("toks"))
       val strat = Sampling.stratifiedTopN(docs, "source", "doc_id", 10)
-        .join(h.select(col("doc_id"), col("toks")), "doc_id")
+        .join(h, "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("strat_docs"), sum(col("toks")).as("strat_tok_sum"))
       val bern = Sampling.bernoulli(docs, "doc_id", 200)

@@ -47,6 +47,11 @@ object Sampling {
    * value with the smallest `(hash48(id), id)` — every rerun and every
    * partitioning picks the same rows. Returns (stratum, id, rk) with
    * rk = 1..n in hash order.
+   *
+   * Contract (narrower than [[bernoulli]]): `idCol` must be a non-null
+   * LONG — the bounded-heap [[TopK]] aggregator is typed on long ids (the
+   * 100 TB-shape choice: an 8-byte id in the shuffle, not a string).
+   * Hash a string key to a long id first if needed.
    */
   def stratifiedTopN(df: DataFrame, stratumCol: String, idCol: String,
       n: Int): DataFrame =

@@ -111,7 +111,7 @@ class OperatorSpec extends SparkSpec {
       val agg = new TopK.TopKAgg(k)
       // random partition split, then a random merge order over the parts
       val nParts = 1 + (rnd(0, 2) % 4).toInt
-      val parts = items.grouped(math.max(1, math.max(1, n) / nParts)).toIndexedSeq
+      val parts = items.grouped(math.max(1, n / nParts)).toIndexedSeq
       val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
       val merged = bufs.sortBy(b => rnd(3, b.hashCode.abs % 100000))
         .foldLeft(agg.zero)(agg.merge)
