@@ -42,6 +42,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
         Seq("-XX:+AlwaysPreTouch") else Seq()) ++
   (sys.env.get("SPARK_GC") match { // e.g. SPARK_GC=parallel for throughput runs
     case Some("parallel") => Seq("-XX:+UseParallelGC")
-    case None if benchRun => Seq("-XX:+UseParallelGC", "-Xmn16g")
+    case None if benchRun =>
+      // young gen scaled to the RESOLVED heap (a fixed -Xmn16g would
+      // refuse to start if SPARK_DRIVER_MEM is set below 16g): half the
+      // heap when the size is parseable in g/m, else let the GC pick
+      val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap).toLowerCase
+      def num(s: String): Option[Int] = scala.util.Try(s.toInt).toOption
+      val halfMb = heap match {
+        case s if s.endsWith("g") => num(s.dropRight(1)).map(_ * 1024 / 2)
+        case s if s.endsWith("m") => num(s.dropRight(1)).map(_ / 2)
+        case _ => None
+      }
+      Seq("-XX:+UseParallelGC") ++ halfMb.map(mb => s"-Xmn${mb}m")
     case _ => Seq()
   }) ++ sys.env.get("SPARK_XOPTS").map(_.split(" ").toSeq).getOrElse(Seq())

@@ -1016,8 +1016,14 @@ object Queries {
           TextAnalysis.langId(col("text")).as("pred"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .where(col("q") >= 60 && col("pred") =!= "und")
-      val keepers = gated.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      gated.join(keepers, Seq("fp", "doc_id"), "left_semi")
+      // first-doc-per-fingerprint via row_number, not groupBy+self-join:
+      // one shuffle on fp and the gated subtree is evaluated ONCE (the
+      // semi-join form re-evaluated the whole gate chain on the agg build
+      // side — round-2 verdict #1)
+      val keepers = gated
+        .withColumn("rn", row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+      keepers
         .select(col("source"), col("pred").as("lang_pred"), col("q"),
           TextAnalysis.tokenCount(col("text")).as("toks"))
         .groupBy(col("source"), col("lang_pred"))

@@ -32,8 +32,18 @@ object PagePipelineApp {
     // valueless flags are parsed separately: pairing them positionally
     // would shift every later key/value option
     val flags = Set("--join-meta", "--near-dup", "--prep")
+    val valueOpts = Set("--pages", "--hosts", "--rate", "--checkpoint", "--table", "--metrics")
     val a = args.filterNot(flags.contains)
       .sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    // fail loudly on anything unrecognized: a typo'd flag would otherwise
+    // silently shift every later key/value pair onto the wrong option
+    a.keys.find(k => !valueOpts.contains(k)).foreach { k =>
+      sys.error(s"unknown option '$k' (flags: ${flags.mkString(", ")}; " +
+        s"options: ${valueOpts.mkString(", ")})")
+    }
+    a.values.find(_.startsWith("--")).foreach { v =>
+      sys.error(s"option value looks like a flag: '$v' — check for a missing value")
+    }
     val nPages = a.getOrElse("--pages", "1000000").toLong
     val nHosts = a.getOrElse("--hosts", "1000").toInt
     val rate = a.getOrElse("--rate", "20000").toLong

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.ExtractHtmlText
-import graft.operators.{LshBucket, MinHashBandSigs, MinRollingHash, QuantizedDot, SimHash64}
+import graft.operators.{LangId, LshBucket, MinHashBandSigs, MinRollingHash, QualityScore, QuantizedDot, SimHash64}
 
 /**
  * SQL surface of the engine's custom expressions, injected via
@@ -30,6 +30,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash64(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("min_rolling_hash",
       (args: Seq[Expression]) => MinRollingHash(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("quality_score",
+      (args: Seq[Expression]) => QualityScore(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("lang_id",
+      (args: Seq[Expression]) => LangId(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("dot_q",
       (args: Seq[Expression]) => QuantizedDot(args.head, args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_band_sigs",
@@ -68,6 +72,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("min_rolling_hash"),
       info("min_rolling_hash", "min_rolling_hash(text) - winnowing fingerprint"),
       (args: Seq[Expression]) => MinRollingHash(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("quality_score"),
+      info("quality_score", "quality_score(text) - integer 0..100 ingest quality gate"),
+      (args: Seq[Expression]) => QualityScore(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("lang_id"),
+      info("lang_id", "lang_id(text) - stopword/CJK language heuristic"),
+      (args: Seq[Expression]) => LangId(args.head)))
     ext.injectFunction((
       FunctionIdentifier("dot_q"),
       info("dot_q", "dot_q(a, b) - quantized integer dot product of float arrays"),

@@ -34,8 +34,31 @@ object PatternDetect {
   final case class Ev(key: Long, ts: Timestamp, kind: String, id: Long)
   final case class Match(key: Long, a_id: Long, a_ts: Timestamp, b_id: Long, b_ts: Timestamp)
 
-  /** Open A's and candidate B's, both within the live horizon (micros). */
+  /** Open A's and candidate B's, both within the live horizon (micros).
+    * INVARIANT: both lists are sorted ascending and distinct — new
+    * arrivals are merge-unioned in ([[mergeSorted]]), so an idle hot key
+    * pays O(state) per batch, not O(state log state). */
   final case class PatState(openA: List[(Long, Long)], bs: List[(Long, Long)])
+
+  /** Union of already-sorted-distinct `state` with a batch of new
+    * arrivals: sort only the (small) fresh set and merge. */
+  private[streaming] def mergeSorted(state: List[(Long, Long)],
+      freshRaw: Seq[(Long, Long)]): List[(Long, Long)] = {
+    if (freshRaw.isEmpty) return state
+    val fresh = freshRaw.distinct.sorted
+    val ord = Ordering[(Long, Long)]
+    val out = List.newBuilder[(Long, Long)]
+    var last: (Long, Long) = null
+    def push(x: (Long, Long)): Unit = if (x != last) { out += x; last = x }
+    val a = state.iterator.buffered
+    val b = fresh.iterator.buffered
+    while (a.hasNext && b.hasNext) {
+      if (ord.lteq(a.head, b.head)) push(a.next()) else push(b.next())
+    }
+    while (a.hasNext) push(a.next())
+    while (b.hasNext) push(b.next())
+    out.result()
+  }
 
   /**
    * Streaming form. `events` must carry (key, ts, kind, id); rows with
@@ -56,13 +79,17 @@ object PatternDetect {
           val st = state.getOption.getOrElse(PatState(Nil, Nil))
           val wm = state.getCurrentWatermarkMs() * 1000L
           val (as, bs) = rows.partition(_.kind == aKind)
-          // accumulate new legs (late rows below the watermark are dropped
-          // by the framework before reaching here when possible; drop
-          // defensively anyway for determinism)
-          val openA = (st.openA ++ as.filter(_.kind == aKind)
-            .map(e => (TsUtil.toUs(e.ts), e.id))).distinct.sorted
-          val allB = (st.bs ++ bs.filter(_.kind == bKind)
-            .map(e => (TsUtil.toUs(e.ts), e.id))).distinct.sorted
+          // accumulate new legs; rows below the watermark are dropped
+          // EXPLICITLY (same policy as StreamDedup.nearDupVerdicts and
+          // Sessionize): the framework usually pre-filters them, but a
+          // below-watermark A reaching here would be instantly ripe and
+          // could match against a B-buffer already evicted at this wm
+          val openA = mergeSorted(st.openA, as
+            .filter(e => TsUtil.toUs(e.ts) >= wm)
+            .map(e => (TsUtil.toUs(e.ts), e.id)).toSeq)
+          val allB = mergeSorted(st.bs, bs
+            .filter(e => e.kind == bKind && TsUtil.toUs(e.ts) >= wm)
+            .map(e => (TsUtil.toUs(e.ts), e.id)).toSeq)
 
           // resolve: A's whose deadline the watermark passed can match
           // FINALLY (no earlier B can still arrive). Match = the first B
@@ -115,10 +142,15 @@ object PatternDetect {
           val st = state.getOption.getOrElse(PatState(Nil, Nil))
           val wm = state.getCurrentWatermarkMs() * 1000L
           val (as, bs) = rows.partition(_.kind == aKind)
-          val openA = (st.openA ++ as.filter(_.kind == aKind)
-            .map(e => (TsUtil.toUs(e.ts), e.id))).distinct.sorted
-          val allB = (st.bs ++ bs.filter(_.kind == bKind)
-            .map(e => (TsUtil.toUs(e.ts), e.id))).distinct.sorted
+          // below-watermark arrivals dropped explicitly: a late A would be
+          // instantly ripe and could emit a false "absent" against an
+          // already-evicted B buffer
+          val openA = mergeSorted(st.openA, as
+            .filter(e => TsUtil.toUs(e.ts) >= wm)
+            .map(e => (TsUtil.toUs(e.ts), e.id)).toSeq)
+          val allB = mergeSorted(st.bs, bs
+            .filter(e => e.kind == bKind && TsUtil.toUs(e.ts) >= wm)
+            .map(e => (TsUtil.toUs(e.ts), e.id)).toSeq)
           val ripe = openA.filter { case (aUs, _) => aUs + withinUs < wm }
           val out = ripe.collect {
             case (aUs, aId) if !allB.exists { case (bUs, _) =>

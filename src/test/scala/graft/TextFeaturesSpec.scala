@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{LangId, QualityScore, TextAnalysis}
+
+/**
+ * The single-pass [[QualityScore]]/[[LangId]] expressions must be
+ * value-identical to the original regexp_count Column trees
+ * ([[TextAnalysis.qualityScoreRef]]/[[TextAnalysis.langIdRef]]) — the
+ * DuckDB oracles mirror the regex form, so equality here is what keeps
+ * q17/q18/q30/q45 oracle-green after the plan-duplication fix.
+ */
+class TextFeaturesSpec extends SparkSpec {
+
+  private def q(s: String): Int = QualityScore.compute(UTF8String.fromString(s))
+  private def l(s: String): String = LangId.compute(UTF8String.fromString(s)).toString
+
+  test("langId basics and tie order") {
+    assert(l("") == "und")
+    assert(l("xyzzy plugh") == "und")
+    assert(l("the cat and the hat") == "en")
+    assert(l("und der die nicht") == "de")
+    assert(l("vous dans pour") == "fr")
+    assert(l("como haber tener") == "es")
+    // equal scores: fixed marker order en > de > fr > es
+    assert(l("the und") == "en")
+    assert(l("und vous") == "de")
+    assert(l("vous como") == "fr")
+    // optional-suffix alternatives expand both ways
+    assert(l("ein ein") == "de")
+    assert(l("eine eine") == "de")
+    assert(l("le le") == "fr")
+    assert(l("les les") == "fr")
+    assert(l("un un") == "es")
+    assert(l("una una") == "es")
+    // "einer" is neither ein nor eine (regex \b after 'e?' fails)
+    assert(l("einer einer einer") == "und")
+  }
+
+  test("langId word boundaries match Java \\b (Unicode letters block)") {
+    // ASCII word chars extend the run: no match
+    assert(l("the1 the_ thes _the 1the") == "und")
+    // Java \b counts ANY Unicode letter as word-side: adjacency blocks
+    assert(l("theé theé") == "und")
+    assert(l("éthe") == "und")
+    assert(l("the一the") == "und") // CJK ideograph is a letter too
+    assert(l("ßcomo ßcomo") == "und") // blocked on the left by ß
+    assert(l("ßcomo como") == "es")   // the bare second "como" still counts
+    // a combining mark after the word blocks (it has a base char);
+    // one before the word (no base) does not
+    assert(l("the\u0301 the\u0301") == "und")
+    assert(l("\u0301the \u0301the") == "en")
+    assert(l("x\u0301the x\u0301the") == "und") // mark with base 'x' blocks
+    // OpenJDK quirk: the base-char scan steps by UTF-16 units, so a
+    // supplementary base reads as an unpaired surrogate => no base
+    assert(l("\ud801\udc00\u0301the \ud801\udc00\u0301the") == "en")
+    // supplementary-plane letter blocks; emoji (not a letter) does not
+    assert(l("the𐐀 the𐐀") == "und") // U+10400 blocks on the right
+    assert(l("😀the😀 the") == "en")
+    // plain punctuation delimits fine
+    assert(l("the,the.the") == "en")
+    // case-sensitive
+    assert(l("The THE tHe") == "und")
+  }
+
+  test("langId CJK fast path") {
+    assert(l("一丁") == "und")          // 2 < 3
+    assert(l("一丁丂") == "zh")     // exactly 3
+    assert(l("the and of is 一丁鿿") == "zh") // cjk wins over markers
+    assert(l("䷿䷿䷿") == "und")    // just below the range
+    assert(l("ꀀꀀꀀ") == "und")    // just above the range
+    // 4-byte supplementary chars are not CJK-range and not word chars
+    assert(l("😀the😀 the") == "en")
+  }
+
+  test("qualityScore basics") {
+    assert(q("") == 0)
+    // stopword counting matches \b semantics ("a" is a stopword)
+    assert(q("a b") == 0)            // stop=2? "a" once -> stop=1; toks=2; chars=2
+    assert(q("a of") == 20)          // two stopword hits
+    assert(q("aof a_of ofa") == 20)  // merged runs match no stopword; mean-len bucket only
+    val good = (1 to 40).map(i => s"word${i % 7}xx").mkString(" ") + " the of"
+    assert(q(good) == 100) // toks>=32, chars>=200, mean in range, stop=2
+  }
+
+  test("fuzz: expressions ≡ regex reference trees over adversarial corpus") {
+    val rnd = new scala.util.Random(20260817L)
+    val markers = Seq("the", "and", "of", "is", "was", "this", "that", "with",
+      "und", "der", "die", "nicht", "werden", "ein", "eine",
+      "vous", "dans", "pour", "faire", "avec", "le", "les",
+      "como", "haber", "tener", "para", "el", "un", "una",
+      "a", "to", "in")
+    val tricky = Seq("the1", "_the", "the_", "thee", "andand", "The", "UND", "einer",
+      "lesx", "unax", "théo", "øf", "ís", "一", "丁丂", "鿿",
+      "䷿", "ꀀ", "😀", "é", "ß", "ñ", "0", "42", "_", "x_y",
+      "á", "́", "x́", "𐐀", " ", " ")
+    val seps = Seq(" ", "  ", "\t", "\n", "", "\f", "\r", ".", ",", "-", "", "", " ")
+    val frags = markers ++ tricky
+    val cases = (0 until 4000).map { _ =>
+      val k = rnd.nextInt(40)
+      val sb = new StringBuilder
+      (0 until k).foreach { _ =>
+        sb.append(frags(rnd.nextInt(frags.length)))
+        sb.append(seps(rnd.nextInt(seps.length)))
+      }
+      sb.toString
+    } ++ Seq("", " ", "", "the", (1 to 300).map(_ => "the").mkString(" "))
+
+    import spark.implicits._
+    val df = cases.toDF("text").select(
+      col("text"),
+      TextAnalysis.qualityScore(col("text")).as("q_new"),
+      TextAnalysis.qualityScoreRef(col("text")).as("q_ref"),
+      TextAnalysis.langId(col("text")).as("l_new"),
+      TextAnalysis.langIdRef(col("text")).as("l_ref"))
+    val bad = df.where(col("q_new") =!= col("q_ref") || col("l_new") =!= col("l_ref"))
+      .limit(5).collect()
+    assert(bad.isEmpty, s"divergence: ${bad.mkString("; ")}")
+  }
+}
