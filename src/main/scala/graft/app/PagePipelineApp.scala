@@ -20,7 +20,7 @@ import graft.streaming._
  *   spark-submit --class graft.app.PagePipelineApp app.jar \
  *     --pages 1000000 --hosts 10000 --rate 50000 --checkpoint /cp \
  *     --table /out/pages_sessions --metrics /out/progress.jsonl \
- *     [--join-meta | --near-dup | --prep]
+ *     [--join-meta | --near-dup | --prep] [--buckets 64]
  *
  * Kill it at any point and resubmit with the same --checkpoint/--table:
  * processing resumes from the last committed offsets and the sink skips
@@ -32,7 +32,8 @@ object PagePipelineApp {
     // valueless flags are parsed separately: pairing them positionally
     // would shift every later key/value option
     val flags = Set("--join-meta", "--near-dup", "--prep")
-    val valueOpts = Set("--pages", "--hosts", "--rate", "--checkpoint", "--table", "--metrics")
+    val valueOpts = Set("--pages", "--hosts", "--rate", "--checkpoint", "--table", "--metrics",
+      "--buckets")
     val a = args.filterNot(flags.contains)
       .sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     // fail loudly on anything unrecognized: a typo'd flag would otherwise
@@ -104,13 +105,24 @@ object PagePipelineApp {
         (Sessionize.fromPages(spark, pages).toDF(), identity[org.apache.spark.sql.DataFrame] _)
       }
 
-    val sink = new ExactlyOnceSink(table)
+    // --buckets N writes the host-bucket-partitioned table layout (pruned
+    // per-host reads at the cost of write fan-out); 0 = flat layout
+    val nBuckets = a.getOrElse("--buckets", "0").toInt
+    val sink = new ExactlyOnceSink(table,
+      if (nBuckets > 0) Some("host_bucket") else None)
+    def withBucket(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (nBuckets <= 0) d
+      else {
+        val route = Seq("host", "url").find(d.columns.contains).getOrElse(
+          sys.error("--buckets needs a host or url column in the sink output"))
+        d.withColumn("host_bucket", ExactlyOnceSink.bucket(col(route), nBuckets))
+      }
     val q = out.writeStream
       .outputMode("append")
       .option("checkpointLocation", cp)
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink.write(collapse(df.toDF()), id))
+        sink.write(withBucket(collapse(df.toDF())), id))
       .start()
     q.awaitTermination()
   }

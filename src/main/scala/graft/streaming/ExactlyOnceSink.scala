@@ -36,16 +36,46 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  * epoch protocol itself is unchanged — only the single "publish manifest
  * entry" primitive needs to be atomic.
  *
- * Layout:
+ * Layout (unbucketed / bucketed):
  *   table/
- *     data/epoch=<batchId>/part-*.parquet   (per-epoch lineage)
- *     _manifest/epoch-<batchId>.json        (commit record, atomic)
+ *     data/epoch=<batchId>/part-*.parquet                  (per-epoch lineage)
+ *     data/epoch=<batchId>/<bucketCol>=<n>/part-*.parquet  (bucketed sink)
+ *     _manifest/epoch-<batchId>.json                       (commit record, atomic)
  *
- * Per-partition lineage: the manifest records the epoch's row count; data
- * files are grouped per epoch directory, so any epoch can be audited or
- * replayed independently.
+ * Per-partition lineage: the manifest records the epoch's row count, its
+ * file list, a schema fingerprint, and (bucketed) per-bucket row counts,
+ * so any epoch can be audited or replayed independently.
+ *
+ * **Bucketed layout** (`bucketCol = Some("host_bucket")`): each epoch is
+ * written partitioned by a SHADOW copy of the bucket column
+ * (`__<bucketCol>=<n>/` directories) while the real column stays in the
+ * data files — the SURVEY §7.1 module-3 layout and the transposition of
+ * `StreamWriter`'s per-stream file routing
+ * (`util/StreamWriter.java:142-170`). The shadow-dir design sidesteps
+ * Spark partition discovery entirely (the `epoch=<id>` roots are
+ * themselves partition-style names, which discovery refuses to mix with
+ * nested partition dirs) and keeps the bucket column's exact type in the
+ * data. At 100 TB this is what makes a per-host or per-shard query
+ * prunable: [[read]] with `bucket=Some(n)` consults the manifests'
+ * per-bucket counts and lists ONLY the matching `__<bucketCol>=<n>/`
+ * directories — epochs with zero rows for the bucket are skipped without
+ * touching the filesystem. The bucket column must be integral-valued
+ * (directory-name round-trip) and the bucketing choice is fixed at table
+ * creation. Bucketing trades write fan-out (one file per task × bucket
+ * per epoch) for read pruning — turn it on when the table is read
+ * selectively, leave it off for fire-hose tables that are only scanned
+ * whole; compaction re-coalesces either way.
+ *
+ * **Schema evolution**: every commit records `schema_md5` (order-
+ * insensitive fingerprint over (name, type) pairs). Readers compare the
+ * fingerprints of the epochs they are about to union: all-equal → plain
+ * read; mixed → Parquet `mergeSchema` read, which unions by name with
+ * missing-as-null (the documented choice; incompatible TYPE changes for
+ * a same-named column still fail loudly inside Parquet schema merging,
+ * which is the right outcome).
  */
-class ExactlyOnceSink(tableDir: String) extends Serializable {
+class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
+    extends Serializable {
 
   private def manifestDir: Path = new Path(tableDir, "_manifest")
   private def epochManifest(batchId: Long): Path =
@@ -110,20 +140,39 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
     // persist so the count and the write share one computation of the
     // micro-batch plan (foreachBatch re-executes the plan per action)
     df.persist()
-    val count = df.count()
-    // overwrite handles a partially-written, uncommitted previous attempt
-    df.write.mode(SaveMode.Overwrite).parquet(dataPath)
-    df.unpersist()
+    val (count, bucketRows) =
+      try {
+        val c = df.count()
+        // per-bucket row counts: what makes a pruned read skip whole
+        // epochs without listing them
+        val bc: Seq[(Long, Long)] = bucketCol.toSeq.flatMap { b =>
+          df.groupBy(org.apache.spark.sql.functions.col(b)).count().collect()
+            .map(r => (r.get(0).toString.toLong, r.getLong(1))).sortBy(_._1).toSeq
+        }
+        // overwrite handles a partially-written, uncommitted previous
+        // attempt; the shadow column routes directories, the real bucket
+        // column stays in the data files
+        bucketCol match {
+          case Some(b) =>
+            df.withColumn(shadowCol(b), org.apache.spark.sql.functions.col(b))
+              .write.mode(SaveMode.Overwrite).partitionBy(shadowCol(b)).parquet(dataPath)
+          case None =>
+            df.write.mode(SaveMode.Overwrite).parquet(dataPath)
+        }
+        (c, bc)
+      } finally df.unpersist() // never pin the micro-batch across a retry
     val f = fs()
     f.mkdirs(manifestDir)
     val tmp = new Path(manifestDir, s".epoch-$batchId.json.tmp")
-    // per-partition lineage: the exact files this epoch committed, so any
-    // epoch is auditable/replayable from its manifest entry alone
-    val files = f.listStatus(new Path(dataPath)).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("part-")).sorted
+    // per-partition lineage: the exact files this epoch committed (relative
+    // paths, so bucket subdirs are covered), so any epoch is auditable/
+    // replayable from its manifest entry alone
+    val files = listPartFiles(f, new Path(dataPath))
     val body =
       s"""{"epoch": $batchId, "rows": $count, "committed_at_batch": $batchId,
          | "data_path": "data/epoch=$batchId",
+         | "schema_md5": "${ExactlyOnceSink.schemaMd5(df.schema)}",
+         | ${bucketsJson(bucketRows)}
          | "files": [${files.map(n => "\"" + n + "\"").mkString(", ")}]}""".stripMargin
     val out = f.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
@@ -132,16 +181,123 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
     if (!f.rename(tmp, epochManifest(batchId))) f.delete(tmp, false)
   }
 
-  /** Read back only committed data: the newest compacted snapshot (if
-    * any) plus every epoch committed after it. */
-  def read(spark: SparkSession): DataFrame = {
+  private def bucketsJson(bucketRows: Seq[(Long, Long)]): String =
+    if (bucketCol.isEmpty) ""
+    else s""""buckets": {${bucketRows.map { case (b, n) => s""""$b": $n""" }.mkString(", ")}},"""
+
+  /** Relative part-file paths under `dir` (one level of bucket subdirs). */
+  private def listPartFiles(f: FileSystem, dir: Path): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val it = f.listFiles(dir, true)
+    val base = dir.toUri.getPath
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.startsWith("part-")) {
+        val rel = p.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        out += rel
+      }
+    }
+    out.result().sorted
+  }
+
+  private def compactManifest(h: Long): Path =
+    new Path(manifestDir, f"compact-$h%010d.json")
+
+  private def readManifestJson(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, UTF_8)
+    } finally in.close()
+  }
+
+  private def schemaMd5Of(json: String): Option[String] =
+    """"schema_md5":\s*"([0-9a-f]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+
+  private def bucketRowsOf(json: String): Map[Long, Long] =
+    """"buckets":\s*\{([^}]*)\}""".r.findFirstMatchIn(json).map { m =>
+      """"(-?\d+)":\s*(\d+)""".r.findAllMatchIn(m.group(1))
+        .map(x => x.group(1).toLong -> x.group(2).toLong).toMap
+    }.getOrElse(Map.empty)
+
+  /** (dataPath, manifestPath) for the current committed view. */
+  private def currentSrcs(): Seq[(String, Path)] = {
     val hi = compactHi()
     val epochs = committedEpochs().filter(e => hi.forall(e > _))
-    val paths = hi.map(h => s"$tableDir/data/compact-$h").toSeq ++
-      epochs.map(e => s"$tableDir/data/epoch=$e")
+    hi.map(h => (s"$tableDir/data/compact-$h", compactManifest(h))).toSeq ++
+      epochs.map(e => (s"$tableDir/data/epoch=$e", epochManifest(e)))
+  }
+
+  private def shadowCol(b: String): String = s"__$b"
+
+  /** All shadow bucket subdirectories of a source root (bucketed sinks;
+    * a zero-row epoch simply has none). */
+  private def bucketDirs(f: FileSystem, root: String, b: String): Seq[String] = {
+    val p = new Path(root)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(shadowCol(b) + "="))
+      .map(_.toString).sorted
+  }
+
+  /**
+   * Read a set of committed sources. Schema-evolution policy: if every
+   * manifest carries the same schema fingerprint, plain read; otherwise
+   * Parquet `mergeSchema` unions by name with missing-as-null (legacy
+   * manifests without a fingerprint take the merge path too — correct,
+   * just not the fast one). Bucketed sinks are read at their leaf bucket
+   * directories (the shadow column never appears in the result).
+   */
+  private def readSrcs(spark: SparkSession, srcs: Seq[(String, Path)],
+      jsons: Seq[String]): DataFrame = {
+    val md5s = jsons.map(schemaMd5Of)
+    val uniform = md5s.forall(_.isDefined) && md5s.flatten.distinct.size <= 1
+    val paths = bucketCol match {
+      case Some(b) =>
+        val f = fs()
+        srcs.flatMap { case (dp, _) => bucketDirs(f, dp, b) }
+      case None => srcs.map(_._1)
+    }
     if (paths.isEmpty)
+      throw new IllegalStateException(
+        s"no data files under committed sources in $tableDir (all epochs empty?)")
+    if (uniform) spark.read.parquet(paths: _*)
+    else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
+
+  /**
+   * Read back only committed data: the newest compacted snapshot (if
+   * any) plus every epoch committed after it.
+   *
+   * `bucket = Some(n)` (bucketed sinks only) is the pruned-read path: the
+   * manifests' per-bucket counts select only sources that HAVE rows for
+   * the bucket, and only their `<bucketCol>=<n>/` subdirectories are
+   * listed — a per-host query over a 100 TB table touches 1/nBuckets of
+   * the files and skips silent epochs entirely.
+   */
+  def read(spark: SparkSession, bucket: Option[Long] = None): DataFrame = {
+    val srcs = currentSrcs()
+    if (srcs.isEmpty)
       throw new IllegalStateException(s"no committed epochs in $tableDir")
-    spark.read.parquet(paths: _*)
+    val f = fs()
+    val jsons = srcs.map { case (_, m) => readManifestJson(f, m) }
+    bucket match {
+      case None => readSrcs(spark, srcs, jsons)
+      case Some(b) =>
+        val bname = bucketCol.getOrElse(throw new IllegalArgumentException(
+          s"bucket read requires a bucketed sink (bucketCol=None in $tableDir)"))
+        val sel = srcs.zip(jsons).filter { case (_, js) => bucketRowsOf(js).getOrElse(b, 0L) > 0L }
+        if (sel.isEmpty) return readSrcs(spark, srcs, jsons).limit(0) // schema-preserving empty
+        val paths = sel.map { case ((dp, _), _) => s"$dp/${shadowCol(bname)}=$b" }
+        val md5s = sel.map { case (_, js) => schemaMd5Of(js) }
+        val uniform = md5s.forall(_.isDefined) && md5s.flatten.distinct.size <= 1
+        // the real bucket column is in the data files — no restoration
+        if (uniform) spark.read.parquet(paths: _*)
+        else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
   }
 
   /**
@@ -158,11 +314,12 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
     }
     val epochs = committedEpochs().filter(_ <= asOfEpoch)
     val hi = compactHi().filter(_ <= asOfEpoch)
-    val paths = hi.map(h => s"$tableDir/data/compact-$h").toSeq ++
-      epochs.filter(e => hi.forall(e > _)).map(e => s"$tableDir/data/epoch=$e")
-    if (paths.isEmpty)
+    val srcs = hi.map(h => (s"$tableDir/data/compact-$h", compactManifest(h))).toSeq ++
+      epochs.filter(e => hi.forall(e > _)).map(e => (s"$tableDir/data/epoch=$e", epochManifest(e)))
+    if (srcs.isEmpty)
       throw new IllegalStateException(s"no epochs committed at or before $asOfEpoch")
-    spark.read.parquet(paths: _*)
+    val f = fs()
+    readSrcs(spark, srcs, srcs.map { case (_, m) => readManifestJson(f, m) })
   }
 
   /**
@@ -195,7 +352,9 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
         read(spark).limit(0)
       else spark.emptyDataFrame
     }
-    spark.read.parquet(epochs.map(e => s"$tableDir/data/epoch=$e"): _*)
+    val srcs = epochs.map(e => (s"$tableDir/data/epoch=$e", epochManifest(e)))
+    val f = fs()
+    readSrcs(spark, srcs, srcs.map { case (_, m) => readManifestJson(f, m) })
   }
 
   /**
@@ -229,17 +388,34 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
     // the manifest dir and would fold an epoch committed concurrently
     // (> hi) into the snapshot while its own manifest survives the GC
     // below, permanently duplicating its rows
-    val srcPaths = prevHi.map(h => s"$tableDir/data/compact-$h").toSeq ++
-      epochs.filter(e => prevHi.forall(e > _)).map(e => s"$tableDir/data/epoch=$e")
-    spark.read.parquet(srcPaths: _*).coalesce(targetPartitions)
-      .write.mode(SaveMode.Overwrite).parquet(dataPath)
+    val srcs = prevHi.map(h => (s"$tableDir/data/compact-$h", compactManifest(h))).toSeq ++
+      epochs.filter(e => prevHi.forall(e > _)).map(e => (s"$tableDir/data/epoch=$e", epochManifest(e)))
+    val jsons = srcs.map { case (_, m) => readManifestJson(f, m) }
+    val src = readSrcs(spark, srcs, jsons)
+    bucketCol match {
+      case Some(b) =>
+        // keep the pruned layout: cluster by bucket so each bucket's rows
+        // land in few files, then the shadow column routes them to dirs
+        src.repartition(targetPartitions, org.apache.spark.sql.functions.col(b))
+          .withColumn(shadowCol(b), org.apache.spark.sql.functions.col(b))
+          .write.partitionBy(shadowCol(b)).mode(SaveMode.Overwrite).parquet(dataPath)
+      case None =>
+        src.coalesce(targetPartitions).write.mode(SaveMode.Overwrite).parquet(dataPath)
+    }
+    // snapshot bucket counts = exact sum over the captured manifests (no
+    // second scan of the data)
+    val bucketSum: Seq[(Long, Long)] =
+      jsons.flatMap(bucketRowsOf).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        .toSeq.sortBy(_._1)
     val tmp = new Path(manifestDir, s".compact-$hi.json.tmp")
     val body =
       s"""{"compact_hi": $hi, "n_epochs": ${epochs.size},
+         | "schema_md5": "${ExactlyOnceSink.schemaMd5(src.schema)}",
+         | ${bucketsJson(bucketSum)}
          | "data_path": "data/compact-$hi"}""".stripMargin
     val out = f.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
-    val dest = new Path(manifestDir, f"compact-$hi%010d.json")
+    val dest = compactManifest(hi)
     if (!f.rename(tmp, dest)) { f.delete(tmp, false); return }
     hiCache = Some(hi)
     // GC superseded manifests (data dirs retained for in-flight readers)
@@ -281,5 +457,24 @@ class ExactlyOnceSink(tableDir: String) extends Serializable {
       .filter(p => !live.contains(p.getName) && superseded(p.getName))
     victims.foreach(p => f.delete(p, true))
     victims.size
+  }
+}
+
+object ExactlyOnceSink {
+
+  /** Order-insensitive schema fingerprint over (name, type) pairs —
+    * column reorder is not an evolution event, an added/removed/retyped
+    * column is. */
+  def schemaMd5(schema: org.apache.spark.sql.types.StructType): String = {
+    val canon = schema.fields.map(f => s"${f.name}:${f.dataType.sql}").sorted.mkString(";")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(UTF_8)).map(b => f"$b%02x").mkString
+  }
+
+  /** Deterministic integral routing bucket for a sink's `bucketCol` —
+    * e.g. `pages.withColumn("host_bucket", ExactlyOnceSink.bucket(col("host"), 64))`. */
+  def bucket(c: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(xxhash64(c), lit(nBuckets.toLong)).cast("int")
   }
 }

@@ -160,4 +160,98 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     val back = sink.read(spark).collect().map(r => (r.getInt(0), r.getString(1)))
     assert(back.toSeq == Seq((5, "good")))
   }
+
+  test("bucketed sink: pruned read lists ONLY the matching bucket dirs and skips silent epochs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eosb").toString
+    val sink = new ExactlyOnceSink(dir, bucketCol = Some("host_bucket"))
+    // epoch 0: buckets 0 and 1; epoch 1: bucket 1 only; epoch 2: bucket 0 only
+    sink.write(Seq((1, "a", 0), (2, "b", 1)).toDF("id", "v", "host_bucket"), 0L)
+    sink.write(Seq((3, "c", 1)).toDF("id", "v", "host_bucket"), 1L)
+    sink.write(Seq((4, "d", 0)).toDF("id", "v", "host_bucket"), 2L)
+
+    // full read sees everything, bucket column restored by discovery
+    val full = sink.read(spark)
+    assert(full.count() == 4)
+    assert(full.columns.contains("host_bucket"))
+
+    // pruned read: correct rows
+    val b1 = sink.read(spark, bucket = Some(1L))
+    assert(b1.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      == Seq((2, "b", 1), (3, "c", 1)))
+    // and ONLY bucket-1 directories are listed — epoch 2 (no bucket-1
+    // rows) is skipped from the manifest counts, never touched
+    val files = b1.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("host_bucket=1")), files.mkString(", "))
+    assert(!files.exists(_.contains("epoch=2")), "silent epoch not pruned: " + files.mkString(", "))
+
+    // an absent bucket yields a schema-preserving empty frame
+    val b9 = sink.read(spark, bucket = Some(9L))
+    assert(b9.count() == 0 && b9.columns.toSet == full.columns.toSet)
+
+    // manifest records per-bucket row counts
+    val m0 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest/epoch-0000000000.json")))
+    assert(m0.contains("\"buckets\""))
+    assert(m0.replaceAll("\\s", "").contains("\"0\":1") &&
+      m0.replaceAll("\\s", "").contains("\"1\":1"), m0)
+  }
+
+  test("bucketed sink: compaction preserves the pruned layout and sums bucket counts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eosbc").toString
+    val sink = new ExactlyOnceSink(dir, bucketCol = Some("host_bucket"))
+    (0L until 4L).foreach { e =>
+      sink.write(Seq((e.toInt * 2, s"v$e", 0), (e.toInt * 2 + 1, s"w$e", 1))
+        .toDF("id", "v", "host_bucket"), e)
+    }
+    val before = sink.read(spark).collect().map(_.toSeq).toSet
+    sink.compact(spark, targetPartitions = 2)
+    assert(sink.read(spark).collect().map(_.toSeq).toSet == before)
+    // snapshot keeps bucket dirs: pruned read off the snapshot
+    val b0 = sink.read(spark, bucket = Some(0L))
+    assert(b0.count() == 4)
+    assert(b0.inputFiles.forall(f => f.contains("host_bucket=0") && f.contains("compact-")),
+      b0.inputFiles.mkString(", "))
+    // compact manifest sums the per-epoch bucket counts
+    val cm = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest/compact-0000000003.json")))
+    assert(cm.replaceAll("\\s", "").contains("\"0\":4") &&
+      cm.replaceAll("\\s", "").contains("\"1\":4"), cm)
+    // re-delivery of a folded epoch is still skipped
+    sink.write(Seq((99, "EVIL", 0)).toDF("id", "v", "host_bucket"), 1L)
+    assert(sink.read(spark).collect().map(_.toSeq).toSet == before)
+  }
+
+  test("schema evolution: a column added mid-stream unions with missing-as-null") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eose").toString
+    val sink = new ExactlyOnceSink(dir)
+    sink.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), 0L)
+    // "restart" with a new writer version that adds a column
+    val sink2 = new ExactlyOnceSink(dir)
+    sink2.write(Seq((3, "c", 7L)).toDF("id", "v", "score"), 1L)
+
+    val back = sink2.read(spark)
+    assert(back.columns.toSeq == Seq("id", "v", "score"))
+    val rows = back.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(rows.toSeq == Seq((1, "a", null), (2, "b", null), (3, "c", 7L)))
+
+    // incremental scan across the change also unions
+    assert(sink2.readBetween(spark, -1L).count() == 3)
+    // manifests record distinct fingerprints
+    val m0 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest/epoch-0000000000.json")))
+    val m1 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest/epoch-0000000001.json")))
+    def md5Of(s: String) = """"schema_md5":\s*"([0-9a-f]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+    assert(md5Of(m0).isDefined && md5Of(m1).isDefined && md5Of(m0) != md5Of(m1))
+
+    // compaction across the change unifies to the union schema and reads back
+    sink2.compact(spark, targetPartitions = 1)
+    assert(sink2.read(spark).count() == 3)
+    assert(sink2.read(spark).columns.contains("score"))
+  }
 }
