@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.RequestResponse
+
+/**
+ * Streaming request/response service — the *long-running* DRPC plane.
+ * The batch operators in [[graft.operators.RequestResponse]] transpose
+ * one DRPC call; the reference's DRPC is a continuously-running service
+ * (`drpc/RequestBolt.java:41-57` keeps consuming requests,
+ * `E8_DRPCTopology.java:78-84` loops submitting them), and this is that
+ * shape: requests arrive as a stream, each micro-batch is broadcast
+ * against the (large, partitioned) corpus exactly like the batch
+ * operator, and the per-request top-k responses are committed to an
+ * exactly-once response table keyed by epoch.
+ *
+ * Why `foreachBatch` and not a stream-static join + streaming agg: the
+ * per-request top-k is a *complete* answer per request (BatchBolt's
+ * barrier semantics, `drpc/BatchBolt.java:63-99`) — in append-mode
+ * streaming the aggregation could only emit when the watermark closes,
+ * adding latency for nothing, because a request's answer depends only on
+ * its own micro-batch and the static corpus. Inside foreachBatch the
+ * request batch is a small batch DataFrame, so the plan is the SAME
+ * broadcast + corpus-scan + bounded-heap top-k the batch operator
+ * produces (identical results, spec-asserted), and the sink's epoch
+ * manifest makes re-delivered batches idempotent — a response is
+ * published exactly once even across kill/resume.
+ *
+ * 100 TB shape: the corpus should be a cached/checkpointed DataFrame (it
+ * is re-used every trigger); the request batch is broadcast, so the
+ * corpus is scanned but NEVER shuffled per trigger; response volume is
+ * requests × k, tiny.
+ */
+object RequestService {
+
+  /**
+   * Start the text-match service: per micro-batch of requests
+   * (`reqId`, `reqText` columns), word-shingle containment top-k
+   * against `corpus`, committed to `responseTable`.
+   */
+  def startTextMatch(spark: SparkSession, requests: DataFrame, corpus: DataFrame,
+      reqId: String, reqText: String, docId: String, docText: String,
+      responseTable: String, checkpoint: String,
+      k: Int = 5, n: Int = 2,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val sink = new ExactlyOnceSink(responseTable)
+    requests.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink.write(
+          RequestResponse.matchText(spark, batch.toDF(), corpus,
+            reqId, reqText, docId, docText, k, n), id)
+      }
+      .start()
+  }
+
+  /**
+   * Start the embedding-match service: per micro-batch of requests
+   * (`reqId`, `reqVec` columns), quantized-cosine top-k against the
+   * corpus embeddings, committed to `responseTable`.
+   */
+  def startEmbeddingMatch(spark: SparkSession, requests: DataFrame, corpus: DataFrame,
+      reqId: String, reqVec: String, docId: String, docVec: String,
+      responseTable: String, checkpoint: String,
+      k: Int = 5,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val sink = new ExactlyOnceSink(responseTable)
+    requests.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink.write(
+          RequestResponse.matchEmbedding(batch.toDF(), corpus,
+            reqId, reqVec, docId, docVec, k), id)
+      }
+      .start()
+  }
+}

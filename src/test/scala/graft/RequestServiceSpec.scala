@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.RequestResponse
+import graft.streaming.{ExactlyOnceSink, RequestService}
+
+final case class TextReq(request_id: Long, qtext: String)
+final case class VecReq(request_id: Long, qvec: Array[Float])
+
+/**
+ * The streaming DRPC service must answer exactly like the batch
+ * operators (q33's oracle-checked plan) and publish each response
+ * exactly once across kill/resume.
+ */
+class RequestServiceSpec extends SparkSpec {
+
+  test("text match service: stream ≡ batch across a kill/resume") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    val corpus = docs.where($"doc_id" >= 5)
+    val reqRows = docs.where($"doc_id" < 5)
+      .select($"doc_id", $"text").collect()
+      .map(r => TextReq(r.getLong(0), r.getString(1))).sortBy(_.request_id)
+    assert(reqRows.length >= 4, "need a few requests for the two-batch split")
+
+    val cp = Files.createTempDirectory("rscp").toString
+    val table = Files.createTempDirectory("rstbl").toString
+    val in = MemoryStream[TextReq](Encoders.product[TextReq], spark)
+    def start() = RequestService.startTextMatch(spark, in.toDF(), corpus,
+      "request_id", "qtext", "doc_id", "text", table, cp, k = 3, n = 2)
+
+    // first half of the requests, then kill
+    var q = start()
+    in.addData(reqRows.take(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // resume: remaining requests
+    q = start()
+    in.addData(reqRows.drop(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val sink = new ExactlyOnceSink(table)
+    val got = sink.read(spark)
+      .select($"request_id", $"doc_id", $"score_q", $"rk".cast("long").as("rk"))
+      .collect().map(_.toSeq)
+    assert(got.length == got.distinct.length, "duplicate responses after resume")
+
+    val expected = RequestResponse.matchText(spark,
+      reqRows.toSeq.toDF("request_id", "qtext"), corpus,
+      "request_id", "qtext", "doc_id", "text", k = 3, n = 2)
+      .select($"request_id", $"doc_id", $"score_q", $"rk".cast("long").as("rk"))
+      .collect().map(_.toSeq)
+    assert(got.toSet == expected.toSet && got.nonEmpty,
+      s"stream=${got.toSet.size} rows vs batch=${expected.toSet.size} rows")
+  }
+
+  test("embedding match service: stream ≡ batch") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding").cache()
+    val corpus = emb.where($"vec_id" >= 5)
+    val reqRows = emb.where($"vec_id" < 5).collect()
+      .map(r => VecReq(r.getLong(0), r.getSeq[Float](1).toArray))
+
+    val cp = Files.createTempDirectory("rvcp").toString
+    val table = Files.createTempDirectory("rvtbl").toString
+    val in = MemoryStream[VecReq](Encoders.product[VecReq], spark)
+    val q = RequestService.startEmbeddingMatch(spark, in.toDF(), corpus,
+      "request_id", "qvec", "vec_id", "embedding", table, cp, k = 4)
+    in.addData(reqRows.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = new ExactlyOnceSink(table).read(spark)
+      .select($"request_id", $"corpus_id", $"cos_q", $"rk".cast("long").as("rk"))
+      .collect().map(_.toSeq)
+    val expected = RequestResponse.matchEmbedding(
+      reqRows.toSeq.map(r => (r.request_id, r.qvec)).toDF("request_id", "qvec"),
+      corpus, "request_id", "qvec", "vec_id", "embedding", k = 4)
+      .select($"request_id", $"corpus_id", $"cos_q", $"rk".cast("long").as("rk"))
+      .collect().map(_.toSeq)
+    assert(got.toSet == expected.toSet && got.nonEmpty)
+  }
+}
