@@ -1118,9 +1118,90 @@ object Queries {
         cast(coalesce(bern.bern_docs, 0) AS BIGINT) AS bern_docs
       FROM sa LEFT JOIN bern ON sa.source = bern.source"""))
 
+  // the multimodal → ANN composition end-to-end: documents as opaque
+  // media payloads → stub decode → frame sampling → per-frame descriptor
+  // histograms → IVF ANN over the descriptors (frames of docs < 10 query
+  // the rest). Every stage is deterministic, so the WHOLE chain — frame
+  // byte ranges, float32 descriptor quantization, centroid assignment,
+  // probe-limited search — is value-checked in SQL (descriptors rebuilt
+  // from hex(blob) high nibbles: bins=16 makes the histogram bin exactly
+  // the byte's high hex digit).
+  private val q48 = QueryDef("q48_media_ivf_ann",
+    (s, d) => {
+      // docs shorter than the max frame count would yield empty frames
+      // (zero-norm descriptors); a real pipeline drops sub-frame media
+      val docs = rd(s, d, "documents")
+        .where(octet_length(encode(col("text"), "UTF-8")) >= 30)
+      val media = Multimodal.asMedia(s,
+        docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", "video")
+      val feats = Multimodal.extractFeatures(
+        Multimodal.sampleFrames(media, every = 10), bins = 16)
+        .select((col("media_id") * 100 + col("frame_idx")).as("vid"), col("feature"))
+      Similarity.ivfTopK(feats.where(col("vid") < 1000), feats.where(col("vid") >= 1000),
+        "vid", "vid", "feature", "feature", k = 5, seedMod = 64L, nProbe = 4)
+        .select(col("query_id"), col("corpus_id"), col("cos_q"), col("rk"))
+    },
+    Some("""WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS n,
+        (octet_length(encode(text)) % 30) + 1 AS frames
+        FROM documents WHERE octet_length(encode(text)) >= 30),
+      fr AS (SELECT doc_id, hx, f, (n * f) // frames AS s,
+          (n * (f + 1)) // frames AS e
+        FROM m CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS f) ff
+        WHERE f < frames AND f % 10 = 0),
+      by AS (SELECT doc_id, f, e - s AS total,
+          strpos('0123456789ABCDEF', substring(hx, 2 * (s + i) - 1, 1)) - 1 AS bin
+        FROM fr CROSS JOIN LATERAL (SELECT unnest(generate_series(1, e - s)) AS i) ii),
+      hist AS (SELECT doc_id, f, total, bin, count(*) AS c
+        FROM by GROUP BY doc_id, f, total, bin),
+      grid AS (SELECT doc_id, f, e - s AS total, b
+        FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bb),
+      hv AS (SELECT g.doc_id, g.f, g.total, g.b, coalesce(h.c, 0) AS c
+        FROM grid g LEFT JOIN hist h
+          ON g.doc_id = h.doc_id AND g.f = h.f AND g.b = h.bin),
+      vecs AS (SELECT doc_id * 100 + f AS vid,
+          list(cast(floor(c::DOUBLE / greatest(total, 1) * 1000000) / 1000000
+            AS FLOAT) ORDER BY b) AS v
+        FROM hv GROUP BY doc_id, f),
+      c AS (SELECT vid AS corpus_id, v AS cv,
+        cast(list_sum(list_transform(generate_series(1, len(v)),
+          i -> floor(v[i]::DOUBLE * v[i]::DOUBLE * 1000000))) as bigint) AS cn
+        FROM vecs WHERE vid >= 1000),
+      q AS (SELECT vid AS query_id, v AS qv,
+        cast(list_sum(list_transform(generate_series(1, len(v)),
+          i -> floor(v[i]::DOUBLE * v[i]::DOUBLE * 1000000))) as bigint) AS qn
+        FROM vecs WHERE vid < 1000),
+      seeds AS (SELECT corpus_id AS seed_id, cv AS sv, cn AS sn
+        FROM c WHERE corpus_id % 64 = 0),
+      asg AS (SELECT corpus_id, cv, cn, seed_id, row_number() OVER
+          (PARTITION BY corpus_id ORDER BY
+            cast(floor(cast(list_sum(list_transform(generate_series(1, len(cv)),
+              i -> floor(cv[i]::DOUBLE * sv[i]::DOUBLE * 1000000))) as bigint)
+              / sqrt(cn::DOUBLE * sn::DOUBLE) * 1000000) as bigint) DESC,
+            seed_id ASC) AS rn
+        FROM c CROSS JOIN seeds),
+      assigned AS (SELECT corpus_id, cv, cn, seed_id AS centroid FROM asg WHERE rn = 1),
+      prb AS (SELECT query_id, qv, qn, seed_id, row_number() OVER
+          (PARTITION BY query_id ORDER BY
+            cast(floor(cast(list_sum(list_transform(generate_series(1, len(qv)),
+              i -> floor(qv[i]::DOUBLE * sv[i]::DOUBLE * 1000000))) as bigint)
+              / sqrt(qn::DOUBLE * sn::DOUBLE) * 1000000) as bigint) DESC,
+            seed_id ASC) AS rn
+        FROM q CROSS JOIN seeds),
+      probes AS (SELECT query_id, qv, qn, seed_id AS centroid FROM prb WHERE rn <= 4),
+      sc AS (SELECT p.query_id, a.corpus_id,
+        cast(floor(cast(list_sum(list_transform(generate_series(1, len(p.qv)),
+          i -> floor(p.qv[i]::DOUBLE * a.cv[i]::DOUBLE * 1000000))) as bigint)
+          / sqrt(p.qn::DOUBLE * a.cn::DOUBLE) * 1000000) as bigint) AS cos_q
+        FROM probes p JOIN assigned a ON a.centroid = p.centroid),
+      r AS (SELECT query_id, corpus_id, cos_q, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos_q DESC, corpus_id ASC) AS rk FROM sc)
+      SELECT query_id, corpus_id, cos_q, rk FROM r WHERE rk <= 5"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47)
+    q42, q43, q44, q45, q46, q47, q48)
 }

@@ -20,7 +20,7 @@ import graft.streaming._
  *   spark-submit --class graft.app.PagePipelineApp app.jar \
  *     --pages 1000000 --hosts 10000 --rate 50000 --checkpoint /cp \
  *     --table /out/pages_sessions --metrics /out/progress.jsonl \
- *     [--join-meta | --near-dup | --prep] [--buckets 64]
+ *     [--join-meta | --near-dup | --prep] [--buckets 64] [--jsonl /warc/jsonl]
  *
  * Kill it at any point and resubmit with the same --checkpoint/--table:
  * processing resumes from the last committed offsets and the sink skips
@@ -33,7 +33,7 @@ object PagePipelineApp {
     // would shift every later key/value option
     val flags = Set("--join-meta", "--near-dup", "--prep")
     val valueOpts = Set("--pages", "--hosts", "--rate", "--checkpoint", "--table", "--metrics",
-      "--buckets")
+      "--buckets", "--jsonl")
     val a = args.filterNot(flags.contains)
       .sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     // fail loudly on anything unrecognized: a typo'd flag would otherwise
@@ -72,7 +72,14 @@ object PagePipelineApp {
     spark.streams.addListener(listener)
 
     val cfg = PageGenConfig(nPages = nPages, nHosts = nHosts)
-    val pages = PageStream.fromRate(spark, cfg, rowsPerSecond = rate)
+    // --jsonl <dir>: ingest external newline-JSON page files instead of
+    // the synthetic rate generator (the FileFrameFetcher analog); both
+    // feed the identical RawPage contract
+    val raw = a.get("--jsonl") match {
+      case Some(dir) => graft.sources.JsonlPages.streamPages(spark, dir).toDF()
+      case None => PageStream.fromRate(spark, cfg, rowsPerSecond = rate).toDF()
+    }
+    val pages = raw
       .withColumn("text", extract_html_text(col("html")))
       .drop("html") // never carry the blob past extraction
 

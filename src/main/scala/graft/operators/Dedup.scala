@@ -404,6 +404,15 @@ object MinHashBandSigs {
   private val HEX = "0123456789abcdef".toCharArray
   private val splitter = java.util.regex.Pattern.compile("\\s+")
 
+  // Per-shingle cost is `bands` MD5 compressions and that is inherent to
+  // the oracle-pinned definition sig = md5(shingle || '|' || band): MD5
+  // only compresses on 64-byte boundaries and at digest(), so for typical
+  // sub-56-byte shingles each band's digest is exactly ONE compression —
+  // cloning a mid-state digest after update(shingle) would save only the
+  // small buffer copy, not the compression. (Driver-vs-local bench deltas
+  // on q44 were page-cache warm-up, not a plan defect: same JVM, same
+  // plan, 5x gap collapses on a warm second run.)
+  //
   // "|<band>" suffix bytes, computed once per band count per JVM (not per
   // shingle x band: that was one tiny allocation per digest update)
   private val sepCache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Byte]]]()
