@@ -120,8 +120,9 @@ object PagePipelineApp {
     def withBucket(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       if (nBuckets <= 0) d
       else {
-        val route = Seq("host", "url").find(d.columns.contains).getOrElse(
-          sys.error("--buckets needs a host or url column in the sink output"))
+        // prep/near-dup collapse to (id, ts) where id IS the url
+        val route = Seq("host", "url", "id").find(d.columns.contains).getOrElse(
+          sys.error("--buckets needs a host, url, or id column in the sink output"))
         d.withColumn("host_bucket", ExactlyOnceSink.bucket(col(route), nBuckets))
       }
     val q = out.writeStream

@@ -60,7 +60,9 @@ object TextAnalysis {
    * that tax multiplies per-page cost ~10× (round-2 verdict #1).
    */
   def qualityScore(text: Column): Column =
-    Bridge.column(QualityScore(Bridge.expression(text)))
+    // null text scores 0, exactly like the when/otherwise reference tree
+    // (the raw expression is null-intolerant)
+    coalesce(Bridge.column(QualityScore(Bridge.expression(text))), lit(0))
 
   /** The original `regexp_count`-built quality score — semantics
     * reference for [[QualityScore]]; TextFeaturesSpec asserts value
@@ -102,7 +104,9 @@ object TextAnalysis {
    * 5 regex passes per document even when evaluated once.
    */
   def langId(text: Column): Column =
-    Bridge.column(LangId(Bridge.expression(text)))
+    // null text is "und", exactly like the coalesce in the reference tree
+    // (the raw expression is null-intolerant)
+    coalesce(Bridge.column(LangId(Bridge.expression(text))), lit("und"))
 
   /** The original `regexp_count`-fold language id — semantics reference
     * for [[LangId]]; TextFeaturesSpec asserts value equality. The oracle
@@ -279,7 +283,7 @@ object SimHash64 {
  * boundary check against the adjacent codepoints. Java's `\b` is NOT
  * the ASCII `\w` class: OpenJDK `Pattern.Bound` counts `_`, any Unicode
  * letter-or-digit, and a NON_SPACING_MARK that has a base character
- * (scan back over marks to a letter/digit/underscore) as word-side —
+ * (scan back over marks to a letter/digit — NOT underscore) as word-side —
  * probed empirically (é/一/ß/א block a neighbouring match; 😀/²/· do
  * not; a combining mark blocks only on the side where it has a base).
  * [[TextScan.leftBoundaryOk]]/[[rightBoundaryOk]] mirror that logic
@@ -396,7 +400,7 @@ object TextScan {
   }
 
   /** OpenJDK `Pattern.hasBaseCharacter`: scan backward from the mark at
-    * lead position `p` over NON_SPACING_MARKs to a letter/digit/`_`. */
+    * lead position `p` over NON_SPACING_MARKs to a letter/digit. */
   private def hasBaseBefore(bytes: Array[Byte], p: Int): Boolean = {
     var q = p
     while (q > 0) {
@@ -404,9 +408,12 @@ object TextScan {
       val cp = cpAt(bytes, lp)
       // OpenJDK's scan steps by UTF-16 units, so a supplementary codepoint
       // is read as an unpaired low surrogate (type SURROGATE) → "no base";
-      // mirror the quirk for bit-exact equivalence with the regex trees
+      // mirror the quirk for bit-exact equivalence with the regex trees.
+      // NOTE: '_' is deliberately NOT a base character — OpenJDK's
+      // hasBaseCharacter accepts only isLetterOrDigit (probed:
+      // \bthe\b DOES match in "_́the")
       if (cp >= 0x10000) return false
-      if (cp == '_' || Character.isLetterOrDigit(cp)) return true
+      if (Character.isLetterOrDigit(cp)) return true
       if (Character.getType(cp) != Character.NON_SPACING_MARK) return false
       q = lp
     }

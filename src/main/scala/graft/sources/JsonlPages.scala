@@ -32,7 +32,8 @@ import graft.model.RawPage
  *    missing any required field are DROPPED from the typed output;
  *    [[corruptLines]] audits them from the same directory.
  *  - `failOnCorrupt = true`: the first malformed line fails the query
- *    (FAILFAST) — for pipelines that would rather halt than sample-drop.
+ *    (FAILFAST), and so does a line that parses but misses a required
+ *    field — for pipelines that would rather halt than sample-drop.
  *
  * Scale shape: the JSON source parallelizes by file; `maxFilesPerTrigger`
  * bounds a micro-batch. Decode cost (JSON + base64) is columnar and
@@ -58,12 +59,22 @@ object JsonlPages {
       col("url"), col("host"), col("warc_ts"), base64(col("html")).as("html_b64")),
       java.util.Map.of("timestampFormat", TsFormat)).as("value"))
 
-  private def decode(raw: DataFrame, spark: SparkSession): Dataset[RawPage] = {
+  private def decode(raw: DataFrame, spark: SparkSession,
+      failOnCorrupt: Boolean): Dataset[RawPage] = {
     import spark.implicits._
-    raw
-      .where(col("_corrupt").isNull &&
-        col("url").isNotNull && col("host").isNotNull &&
-        col("warc_ts").isNotNull && col("html_b64").isNotNull)
+    val incomplete = col("url").isNull || col("host").isNull ||
+      col("warc_ts").isNull || col("html_b64").isNull
+    val gated =
+      if (failOnCorrupt)
+        // FAILFAST only covers unparseable lines; a line that parses but
+        // misses a required field must also halt in strict mode. The
+        // check lives in a FILTER (not a dropped projection column) so
+        // the optimizer cannot prune it away unevaluated.
+        raw.where(when(incomplete, raise_error(concat(
+          lit("JSONL record missing required field: "),
+          to_json(struct(col("url"), col("host"), col("warc_ts")))))).otherwise(lit(true)))
+      else raw.where(col("_corrupt").isNull && !incomplete)
+    gated
       .select(col("url"), col("host"), col("warc_ts"),
         unbase64(col("html_b64")).as("html"))
       .as[RawPage]
@@ -77,7 +88,7 @@ object JsonlPages {
   /** Batch ingestion of a JSONL directory (or glob). */
   def readPages(spark: SparkSession, dir: String,
       failOnCorrupt: Boolean = false): Dataset[RawPage] =
-    decode(spark.read.options(readerOpts(failOnCorrupt)).schema(lineSchema).json(dir), spark)
+    decode(spark.read.options(readerOpts(failOnCorrupt)).schema(lineSchema).json(dir), spark, failOnCorrupt)
 
   /** Streaming ingestion: new JSONL files under `dir` become micro-batches
     * feeding the same typed contract as [[PageStream.fromRate]]. */
@@ -86,7 +97,7 @@ object JsonlPages {
     val r = spark.readStream.options(readerOpts(failOnCorrupt)).schema(lineSchema)
     val withTrigger = if (maxFilesPerTrigger > 0)
       r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else r
-    decode(withTrigger.json(dir), spark)
+    decode(withTrigger.json(dir), spark, failOnCorrupt)
   }
 
   /** Audit of dropped lines: raw text of every line the permissive reader

@@ -67,12 +67,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  * whole; compaction re-coalesces either way.
  *
  * **Schema evolution**: every commit records `schema_md5` (order-
- * insensitive fingerprint over (name, type) pairs). Readers compare the
- * fingerprints of the epochs they are about to union: all-equal → plain
- * read; mixed → Parquet `mergeSchema` read, which unions by name with
+ * insensitive fingerprint over (name, type) pairs), and a table-level
+ * marker (`_manifest/table.json`) tracks the current fingerprint plus a
+ * sticky `evolved` flag and the table's bucketing choice. Readers make
+ * the plain-vs-`mergeSchema` decision from that ONE small file (not
+ * O(epochs) manifest reads); `mergeSchema` unions by name with
  * missing-as-null (the documented choice; incompatible TYPE changes for
  * a same-named column still fail loudly inside Parquet schema merging,
- * which is the right outcome).
+ * which is the right outcome). Compaction rewrites everything to the
+ * unified schema and resets the flag. The marker also makes opening a
+ * table with the WRONG `bucketCol` a loud error instead of a silent
+ * mis-read.
  */
 class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
     extends Serializable {
@@ -136,6 +141,10 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
   /** The foreachBatch function. Safe under re-delivery of any batchId. */
   def write(df: DataFrame, batchId: Long): Unit = {
     if (committed(batchId)) return // re-delivered epoch: exactly-once skip
+    // layout guard + schema-evolution marker, BEFORE any data work: a
+    // sink opened with the wrong bucketCol must fail loudly here, not
+    // mis-route directories
+    updateTableMeta(fs(), ExactlyOnceSink.schemaMd5(df.schema))
     val dataPath = s"$tableDir/data/epoch=$batchId"
     // persist so the count and the write share one computation of the
     // micro-batch plan (foreachBatch re-executes the plan per action)
@@ -147,7 +156,13 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
         // epochs without listing them
         val bc: Seq[(Long, Long)] = bucketCol.toSeq.flatMap { b =>
           df.groupBy(org.apache.spark.sql.functions.col(b)).count().collect()
-            .map(r => (r.get(0).toString.toLong, r.getLong(1))).sortBy(_._1).toSeq
+            .map { r =>
+              // null buckets would route to Hive's default-partition dir,
+              // unaddressable by pruned reads — refuse loudly instead
+              require(!r.isNullAt(0),
+                s"bucket column '$b' must be non-null for every row (epoch $batchId)")
+              (r.get(0).toString.toLong, r.getLong(1))
+            }.sortBy(_._1).toSeq
         }
         // overwrite handles a partially-written, uncommitted previous
         // attempt; the shadow column routes directories, the real bucket
@@ -217,6 +232,67 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
   private def schemaMd5Of(json: String): Option[String] =
     """"schema_md5":\s*"([0-9a-f]+)"""".r.findFirstMatchIn(json).map(_.group(1))
 
+  // ---- table-level layout marker -------------------------------------
+  // `_manifest/table.json` records the bucketing choice and the current
+  // schema fingerprint (+ a sticky `evolved` flag). It exists so that
+  //  (a) opening a table with the WRONG bucketCol fails loudly instead of
+  //      silently dropping flat epochs from bucketed reads, and
+  //  (b) readers decide plain-vs-mergeSchema from ONE small file instead
+  //      of O(epochs) manifest round-trips per read.
+  // Single-writer assumption (same as compact()): the marker is rewritten
+  // by write()/compact() only.
+
+  private def tableMeta: Path = new Path(manifestDir, "table.json")
+
+  private def bucketColOf(json: String): Option[String] =
+    """"bucket_col":\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+  private def evolvedOf(json: String): Boolean =
+    """"evolved":\s*true""".r.findFirstMatchIn(json).isDefined
+
+  private def writeTableMeta(f: FileSystem, md5: String, evolved: Boolean): Unit = {
+    f.mkdirs(manifestDir)
+    val tmp = new Path(manifestDir, ".table.json.tmp")
+    val body = s"""{"bucket_col": ${bucketCol.map(b => "\"" + b + "\"").getOrElse("null")},
+                  | "schema_md5": "$md5", "evolved": $evolved}""".stripMargin
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    // overwrite-by-rename; delete-first keeps it atomic-enough under the
+    // single-writer contract
+    f.delete(tableMeta, false)
+    if (!f.rename(tmp, tableMeta)) f.delete(tmp, false)
+  }
+
+  private def requireLayoutMatch(json: String): Unit = {
+    val recorded = bucketColOf(json)
+    if (recorded != bucketCol)
+      throw new IllegalStateException(
+        s"table $tableDir was written with bucketCol=$recorded but opened with " +
+          s"bucketCol=$bucketCol — a mismatched layout would silently mis-read; " +
+          "use the layout the table was created with")
+  }
+
+  /** Maintain the marker on commit: validate layout, flip `evolved` when
+    * the schema fingerprint changes. Returns nothing; throws on layout
+    * mismatch BEFORE any data is written. */
+  private def updateTableMeta(f: FileSystem, md5: String): Unit = {
+    if (f.exists(tableMeta)) {
+      val js = readManifestJson(f, tableMeta)
+      requireLayoutMatch(js)
+      val prev = schemaMd5Of(js)
+      if (!prev.contains(md5)) writeTableMeta(f, md5, evolved = true)
+    } else writeTableMeta(f, md5, evolved = false)
+  }
+
+  /** Reader-side: validate layout and decide mergeSchema from the marker
+    * (one small read). Legacy tables without a marker read plain. */
+  private def readerEvolved(f: FileSystem): Boolean = {
+    if (!f.exists(tableMeta)) return false
+    val js = readManifestJson(f, tableMeta)
+    requireLayoutMatch(js)
+    evolvedOf(js)
+  }
+  // --------------------------------------------------------------------
+
   private def bucketRowsOf(json: String): Map[Long, Long] =
     """"buckets":\s*\{([^}]*)\}""".r.findFirstMatchIn(json).map { m =>
       """"(-?\d+)":\s*(\d+)""".r.findAllMatchIn(m.group(1))
@@ -243,29 +319,31 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
       .map(_.toString).sorted
   }
 
+  /** One parquet scan over `paths`, merging schemas only when the table
+    * marker says the schema ever evolved (mergeSchema unions by name
+    * with missing-as-null; incompatible type changes still fail loudly). */
+  private def readPaths(spark: SparkSession, paths: Seq[String],
+      merge: Boolean): DataFrame =
+    if (merge) spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    else spark.read.parquet(paths: _*)
+
   /**
-   * Read a set of committed sources. Schema-evolution policy: if every
-   * manifest carries the same schema fingerprint, plain read; otherwise
-   * Parquet `mergeSchema` unions by name with missing-as-null (legacy
-   * manifests without a fingerprint take the merge path too — correct,
-   * just not the fast one). Bucketed sinks are read at their leaf bucket
-   * directories (the shadow column never appears in the result).
+   * Read a set of committed sources. Bucketed sinks are read at their
+   * leaf bucket directories (the shadow column never appears in the
+   * result); layout validation + the plain-vs-mergeSchema decision come
+   * from the table marker — one small read, not O(epochs).
    */
-  private def readSrcs(spark: SparkSession, srcs: Seq[(String, Path)],
-      jsons: Seq[String]): DataFrame = {
-    val md5s = jsons.map(schemaMd5Of)
-    val uniform = md5s.forall(_.isDefined) && md5s.flatten.distinct.size <= 1
+  private def readSrcs(spark: SparkSession, srcs: Seq[(String, Path)]): DataFrame = {
+    val f = fs()
+    val merge = readerEvolved(f)
     val paths = bucketCol match {
-      case Some(b) =>
-        val f = fs()
-        srcs.flatMap { case (dp, _) => bucketDirs(f, dp, b) }
+      case Some(b) => srcs.flatMap { case (dp, _) => bucketDirs(f, dp, b) }
       case None => srcs.map(_._1)
     }
     if (paths.isEmpty)
       throw new IllegalStateException(
         s"no data files under committed sources in $tableDir (all epochs empty?)")
-    if (uniform) spark.read.parquet(paths: _*)
-    else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    readPaths(spark, paths, merge)
   }
 
   /**
@@ -282,21 +360,23 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
     val srcs = currentSrcs()
     if (srcs.isEmpty)
       throw new IllegalStateException(s"no committed epochs in $tableDir")
-    val f = fs()
-    val jsons = srcs.map { case (_, m) => readManifestJson(f, m) }
     bucket match {
-      case None => readSrcs(spark, srcs, jsons)
+      case None => readSrcs(spark, srcs)
       case Some(b) =>
         val bname = bucketCol.getOrElse(throw new IllegalArgumentException(
           s"bucket read requires a bucketed sink (bucketCol=None in $tableDir)"))
-        val sel = srcs.zip(jsons).filter { case (_, js) => bucketRowsOf(js).getOrElse(b, 0L) > 0L }
-        if (sel.isEmpty) return readSrcs(spark, srcs, jsons).limit(0) // schema-preserving empty
-        val paths = sel.map { case ((dp, _), _) => s"$dp/${shadowCol(bname)}=$b" }
-        val md5s = sel.map { case (_, js) => schemaMd5Of(js) }
-        val uniform = md5s.forall(_.isDefined) && md5s.flatten.distinct.size <= 1
+        val f = fs()
+        val merge = readerEvolved(f)
+        // manifest-driven pruning: per-bucket counts select only sources
+        // with rows for this bucket. This is the one path that reads the
+        // per-epoch manifests — it touches only the current view's
+        // manifests, and compaction keeps that count small.
+        val sel = srcs.filter { case (_, m) =>
+          bucketRowsOf(readManifestJson(f, m)).getOrElse(b, 0L) > 0L }
+        if (sel.isEmpty) return readSrcs(spark, srcs).limit(0) // schema-preserving empty
+        val paths = sel.map { case (dp, _) => s"$dp/${shadowCol(bname)}=$b" }
         // the real bucket column is in the data files — no restoration
-        if (uniform) spark.read.parquet(paths: _*)
-        else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        readPaths(spark, paths, merge)
     }
   }
 
@@ -318,8 +398,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
       epochs.filter(e => hi.forall(e > _)).map(e => (s"$tableDir/data/epoch=$e", epochManifest(e)))
     if (srcs.isEmpty)
       throw new IllegalStateException(s"no epochs committed at or before $asOfEpoch")
-    val f = fs()
-    readSrcs(spark, srcs, srcs.map { case (_, m) => readManifestJson(f, m) })
+    readSrcs(spark, srcs)
   }
 
   /**
@@ -353,8 +432,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
       else spark.emptyDataFrame
     }
     val srcs = epochs.map(e => (s"$tableDir/data/epoch=$e", epochManifest(e)))
-    val f = fs()
-    readSrcs(spark, srcs, srcs.map { case (_, m) => readManifestJson(f, m) })
+    readSrcs(spark, srcs)
   }
 
   /**
@@ -390,8 +468,10 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
     // below, permanently duplicating its rows
     val srcs = prevHi.map(h => (s"$tableDir/data/compact-$h", compactManifest(h))).toSeq ++
       epochs.filter(e => prevHi.forall(e > _)).map(e => (s"$tableDir/data/epoch=$e", epochManifest(e)))
-    val jsons = srcs.map { case (_, m) => readManifestJson(f, m) }
-    val src = readSrcs(spark, srcs, jsons)
+    // bucket counts come from the captured manifests (bucketed only)
+    val jsons = if (bucketCol.isDefined)
+      srcs.map { case (_, m) => readManifestJson(f, m) } else Nil
+    val src = readSrcs(spark, srcs)
     bucketCol match {
       case Some(b) =>
         // keep the pruned layout: cluster by bucket so each bucket's rows
@@ -418,6 +498,9 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
     val dest = compactManifest(hi)
     if (!f.rename(tmp, dest)) { f.delete(tmp, false); return }
     hiCache = Some(hi)
+    // the snapshot unified the schema: the current view is the snapshot
+    // alone (single-writer contract), so the marker's evolved flag resets
+    writeTableMeta(f, ExactlyOnceSink.schemaMd5(src.schema), evolved = false)
     // GC superseded manifests (data dirs retained for in-flight readers)
     epochs.filter(_ <= hi).foreach(e => f.delete(epochManifest(e), false))
     prevHi.foreach(h => f.delete(new Path(manifestDir, f"compact-$h%010d.json"), false))

@@ -224,6 +224,32 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     assert(sink.read(spark).collect().map(_.toSeq).toSet == before)
   }
 
+  test("layout guard: opening a table with the wrong bucketCol fails loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eoslg").toString
+    val flat = new ExactlyOnceSink(dir)
+    flat.write(Seq((1, "a")).toDF("id", "v"), 0L)
+    // wrong-layout WRITER: refused before any data lands
+    val wrong = new ExactlyOnceSink(dir, bucketCol = Some("host_bucket"))
+    intercept[IllegalStateException] {
+      wrong.write(Seq((2, "b", 0)).toDF("id", "v", "host_bucket"), 1L)
+    }
+    assert(flat.committedEpochs() == Seq(0L))
+    // wrong-layout READER: refused instead of silently dropping flat epochs
+    intercept[IllegalStateException] { wrong.read(spark).count() }
+    // right layout still works
+    assert(flat.read(spark).count() == 1)
+  }
+
+  test("bucketed sink: a null bucket value is refused loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eosnb").toString
+    val sink = new ExactlyOnceSink(dir, bucketCol = Some("host_bucket"))
+    val bad = Seq((1, "a", java.lang.Integer.valueOf(0)), (2, "b", null))
+      .toDF("id", "v", "host_bucket")
+    intercept[IllegalArgumentException] { sink.write(bad, 0L) }
+  }
+
   test("schema evolution: a column added mid-stream unions with missing-as-null") {
     import spark.implicits._
     val dir = Files.createTempDirectory("eose").toString

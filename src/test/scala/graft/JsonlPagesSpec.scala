@@ -39,6 +39,16 @@ class JsonlPagesSpec extends SparkSpec {
     intercept[Exception] {
       JsonlPages.readPages(spark, dir, failOnCorrupt = true).count()
     }
+    // strict mode must ALSO fail on a well-formed line missing a required
+    // field (FAILFAST alone only covers unparseable JSON)
+    val dir2 = Files.createTempDirectory("jsonl_mf").toString
+    JsonlPages.toJsonLines(orig.limit(5)).coalesce(1).write.mode("overwrite").text(dir2)
+    Files.write(Paths.get(dir2, "missing.json"),
+      "{\"url\": \"https://x/1\", \"host\": \"x\"}\n".getBytes)
+    intercept[Exception] {
+      JsonlPages.readPages(spark, dir2, failOnCorrupt = true).count()
+    }
+    assert(JsonlPages.readPages(spark, dir2).count() == 5) // permissive drops it
   }
 
   test("full prep pipeline over a JSONL stream ≡ over a Parquet stream of the same rows") {

@@ -53,6 +53,9 @@ class TextFeaturesSpec extends SparkSpec {
     assert(l("the\u0301 the\u0301") == "und")
     assert(l("\u0301the \u0301the") == "en")
     assert(l("x\u0301the x\u0301the") == "und") // mark with base 'x' blocks
+    // '_' is NOT a base char in OpenJDK's hasBaseCharacter (probed):
+    // the mark has no base, so the boundary stands and "the" matches
+    assert(l("_\u0301the _\u0301the") == "en")
     // OpenJDK quirk: the base-char scan steps by UTF-16 units, so a
     // supplementary base reads as an unpaired surrogate => no base
     assert(l("\ud801\udc00\u0301the \ud801\udc00\u0301the") == "en")
@@ -83,6 +86,21 @@ class TextFeaturesSpec extends SparkSpec {
     assert(q("aof a_of ofa") == 20)  // merged runs match no stopword; mean-len bucket only
     val good = (1 to 40).map(i => s"word${i % 7}xx").mkString(" ") + " the of"
     assert(q(good) == 100) // toks>=32, chars>=200, mean in range, stop=2
+  }
+
+  test("null text scores 0 / und, matching the reference trees") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, null), (2L, "the the"))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.qualityScore(col("text")).as("q_new"),
+        TextAnalysis.qualityScoreRef(col("text")).as("q_ref"),
+        TextAnalysis.langId(col("text")).as("l_new"),
+        TextAnalysis.langIdRef(col("text")).as("l_ref"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getInt(1) == 0 && rows(0).getInt(2) == 0)
+    assert(rows(0).getString(3) == "und" && rows(0).getString(4) == "und")
+    assert(rows(1).getString(3) == "en")
   }
 
   test("fuzz: expressions ≡ regex reference trees over adversarial corpus") {
