@@ -170,7 +170,7 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     sink.write(Seq((3, "c", 1)).toDF("id", "v", "host_bucket"), 1L)
     sink.write(Seq((4, "d", 0)).toDF("id", "v", "host_bucket"), 2L)
 
-    // full read sees everything, bucket column restored by discovery
+    // full read sees everything; the bucket column lives in the data files
     val full = sink.read(spark)
     assert(full.count() == 4)
     assert(full.columns.contains("host_bucket"))
