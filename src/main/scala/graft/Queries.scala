@@ -1199,9 +1199,59 @@ object Queries {
         (PARTITION BY query_id ORDER BY cos_q DESC, corpus_id ASC) AS rk FROM sc)
       SELECT query_id, corpus_id, cos_q, rk FROM r WHERE rk <= 5"""))
 
+  // product quantization end-to-end: sample codebooks per subspace →
+  // exact-integer argmin encode → ADC top-k via per-query LUTs. The
+  // whole chain (train + encode + asymmetric scoring) is value-checked:
+  // every score is an exact integer, so the oracle reproduces codebook
+  // assignment and ADC sums digit-for-digit.
+  private val q49 = QueryDef("q49_pq_adc_topk",
+    (s, d) => {
+      val emb = rd(s, d, "embeddings")
+      val corpus = emb.where(col("vec_id") >= 10)
+      val queries = emb.where(col("vec_id") < 10)
+      val books = ProductQuant.codebooks(corpus, "vec_id", "embedding",
+        dim = 64, m = 2, seedMod = 16L)
+      val codes = ProductQuant.encode(corpus, "vec_id", "embedding", books, 64, 2)
+      ProductQuant.adcTopK(queries, codes, books, "vec_id", "embedding", 64, 2, k = 5)
+        .select(col("query_id"), col("corpus_id"), col("adc_q"), col("rk"))
+    },
+    Some("""WITH c AS (SELECT vec_id AS corpus_id, embedding AS cv
+        FROM embeddings WHERE vec_id >= 10),
+      q AS (SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 10),
+      subs AS (SELECT unnest(generate_series(0, 1)) AS sub),
+      books AS (SELECT sub, seed_id, sv,
+          cast(row_number() OVER (PARTITION BY sub ORDER BY seed_id) - 1 AS INTEGER) AS code
+        FROM (SELECT s.sub, corpus_id AS seed_id,
+                cv[s.sub*32+1 : s.sub*32+32] AS sv
+              FROM c CROSS JOIN subs s WHERE corpus_id % 16 = 0)),
+      enc AS (SELECT corpus_id, sub, code, row_number() OVER
+          (PARTITION BY corpus_id, sub ORDER BY cost ASC, code ASC) AS rn
+        FROM (SELECT x.corpus_id, b.sub, b.code,
+            cast(list_sum(list_transform(generate_series(1, 32),
+              i -> floor(b.sv[i]::DOUBLE * b.sv[i]::DOUBLE * 1000000))) as bigint)
+            - 2 * cast(list_sum(list_transform(generate_series(1, 32),
+              i -> floor(x.csv[i]::DOUBLE * b.sv[i]::DOUBLE * 1000000))) as bigint) AS cost
+          FROM (SELECT corpus_id, s.sub, cv[s.sub*32+1 : s.sub*32+32] AS csv
+                FROM c CROSS JOIN subs s) x
+          JOIN books b ON b.sub = x.sub)),
+      codes AS (SELECT corpus_id, sub, code FROM enc WHERE rn = 1),
+      lut AS (SELECT query_id, b.sub, b.code,
+          cast(list_sum(list_transform(generate_series(1, 32),
+            i -> floor(y.qsv[i]::DOUBLE * b.sv[i]::DOUBLE * 1000000))) as bigint) AS w
+        FROM (SELECT query_id, s.sub, qv[s.sub*32+1 : s.sub*32+32] AS qsv
+              FROM q CROSS JOIN subs s) y
+        JOIN books b ON b.sub = y.sub),
+      sc AS (SELECT l.query_id, cd.corpus_id, cast(sum(l.w) AS BIGINT) AS adc_q
+        FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.code = cd.code
+        GROUP BY l.query_id, cd.corpus_id),
+      r AS (SELECT query_id, corpus_id, adc_q, row_number() OVER
+        (PARTITION BY query_id ORDER BY adc_q DESC, corpus_id ASC) AS rk FROM sc)
+      SELECT query_id, corpus_id, adc_q, rk FROM r WHERE rk <= 5"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48)
+    q42, q43, q44, q45, q46, q47, q48, q49)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.ExtractHtmlText
-import graft.operators.{LangId, LshBucket, MinHashBandSigs, MinRollingHash, QualityScore, QuantizedDot, SimHash64}
+import graft.operators.{LangId, LshBucket, MinHashBandSigs, MinRollingHash, PqAdcScore, QualityScore, QuantizedDot, SimHash64}
 
 /**
  * SQL surface of the engine's custom expressions, injected via
@@ -34,6 +34,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => QualityScore(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id",
       (args: Seq[Expression]) => LangId(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("pq_adc",
+      (args: Seq[Expression]) => PqAdcScore(args.head, args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_q",
       (args: Seq[Expression]) => QuantizedDot(args.head, args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_band_sigs",
@@ -80,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lang_id"),
       info("lang_id", "lang_id(text) - stopword/CJK language heuristic"),
       (args: Seq[Expression]) => LangId(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      info("pq_adc", "pq_adc(lut, codes) - product-quantization ADC score"),
+      (args: Seq[Expression]) => PqAdcScore(args.head, args(1))))
     ext.injectFunction((
       FunctionIdentifier("dot_q"),
       info("dot_q", "dot_q(a, b) - quantized integer dot product of float arrays"),

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ProductQuant
+
+/**
+ * Product quantization: code well-formedness, reconstruction sanity
+ * (a query identical to a seed retrieves that seed first), and ADC
+ * recall against the exact brute-force ranking.
+ */
+class ProductQuantSpec extends SparkSpec {
+
+  private val dim = 64
+  private val m = 4
+
+  private def emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+
+  test("codes are m dense small ints; encoding is deterministic") {
+    import spark.implicits._
+    val corpus = emb.where($"vec_id" >= 10)
+    val books = ProductQuant.codebooks(corpus, "vec_id", "embedding", dim, m, seedMod = 16L)
+    val ksub = books.where($"sub" === 0).count()
+    assert(ksub > 0 && books.count() == ksub * m)
+    val codes = ProductQuant.encode(corpus, "vec_id", "embedding", books, dim, m)
+    assert(codes.count() == corpus.count())
+    val bad = codes.where(size($"codes") =!= m ||
+      exists($"codes", c => c < 0 || c >= ksub.toInt)).count()
+    assert(bad == 0)
+    // bit-identical across partitionings (argmin + dense coding are exact)
+    val again = ProductQuant.encode(corpus.repartition(7), "vec_id", "embedding", books, dim, m)
+    assert(codes.collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+      == again.collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap)
+  }
+
+  test("a query equal to a seed vector retrieves that seed at rank 1") {
+    import spark.implicits._
+    val corpus = emb.where($"vec_id" >= 10)
+    val books = ProductQuant.codebooks(corpus, "vec_id", "embedding", dim, m, seedMod = 16L)
+    val codes = ProductQuant.encode(corpus, "vec_id", "embedding", books, dim, m)
+    // the seeds themselves as queries: their reconstruction is exact, so
+    // ADC(q, q) = Σ dot(q_sub, q_sub) dominates (quantized Cauchy-Schwarz)
+    val seedQueries = corpus.where($"vec_id" % 16 === 0)
+      .select($"vec_id".as("qid"), $"embedding")
+    val top = ProductQuant.adcTopK(seedQueries, codes, books, "qid", "embedding", dim, m, k = 1)
+    val misses = top.where($"rk" === 1 && $"query_id" =!= $"corpus_id").count()
+    assert(misses == 0, s"$misses seed queries did not retrieve themselves first")
+  }
+
+  test("ADC recall@10 against the exact-dot ranking") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.where($"vec_id" < 10)
+    val corpus = emb.where($"vec_id" >= 10)
+    // ADC approximates the raw DOT product (cosine needs upstream
+    // normalization), so the honest baseline is the exact-dot top-k —
+    // that isolates pure quantization loss
+    val exact = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .crossJoin(corpus.select($"vec_id".as("corpus_id"), $"embedding".as("cv")))
+      .select($"query_id", $"corpus_id",
+        graft.operators.VectorOps.dot_q($"qv", $"cv").as("dq"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"dq".desc, $"corpus_id")))
+      .where($"rk" <= 10).select($"query_id", $"corpus_id")
+
+    def recallAt(mm: Int): Double = {
+      val books = ProductQuant.codebooks(corpus, "vec_id", "embedding", dim, mm, seedMod = 16L)
+      val codes = ProductQuant.encode(corpus, "vec_id", "embedding", books, dim, mm)
+      val adc = ProductQuant.adcTopK(queries, codes, books, "vec_id", "embedding", dim, mm, k = 10)
+        .select($"query_id", $"corpus_id")
+      adc.intersect(exact).count().toDouble / exact.count().toDouble
+    }
+    val r4 = recallAt(4)
+    val r16 = recallAt(16)
+    info(f"ADC recall@10: m=4 -> $r4%.3f, m=16 -> $r16%.3f")
+    // PQ with sample codebooks is a coarse sketch over these synthetic
+    // (structure-free, worst-case) vectors; the contract is a useful
+    // shortlist that sharpens with m — rerank survivors with the exact
+    // score in a real pipeline
+    assert(r16 > r4, "recall must improve with finer subquantization")
+    assert(r16 >= 0.4, f"recall@10 at m=16 was $r16%.3f") // measured 0.440 (deterministic)
+  }
+}
