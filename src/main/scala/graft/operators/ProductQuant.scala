@@ -114,6 +114,59 @@ object ProductQuant {
     TopK.perKey(scored, "query_id", "corpus_id", "adc_q", k, "corpus_id", "adc_q")
   }
 
+  /**
+   * IVF + PQ — the canonical 100 TB serving shape: the coarse IVF layer
+   * prunes COMPUTE (each query scores only its `nProbe` cells' members,
+   * |corpus|·nProbe/|seeds| candidates instead of |corpus|) and the PQ
+   * layer prunes MEMORY (those members are scored from their `m`-code
+   * representation via the query's LUT, never touching the raw vectors).
+   * With `nProbe >= |seeds|` this degrades to exactly [[adcTopK]]
+   * (spec-asserted); with small `nProbe` it trades recall for a
+   * |seeds|/nProbe compute cut on top of PQ's bandwidth cut.
+   *
+   * Same id contract as [[Similarity.ivfTopK]]: the coarse seeds are the
+   * deterministic sample `id % seedMod == 0`.
+   */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame,
+      idQ: String, idC: String, vecQ: String, vecC: String,
+      dim: Int, m: Int, k: Int, seedMod: Long = 16L, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idC).as("corpus_id"), col(vecC).as("cv"),
+      VectorOps.norm_q(col(vecC)).as("cn"))
+    val q = queries.select(col(idQ).as("query_id"), col(vecQ).as("qv"),
+      VectorOps.norm_q(col(vecQ)).as("qn"))
+    val seeds = c.where($"corpus_id" % seedMod === 0)
+      .select($"corpus_id".as("seed_id"), $"cv".as("sv"), $"cn".as("sn"))
+    // coarse layer: cell assignment + probe selection (IVF machinery)
+    val cells = Similarity.assignToCells(c, seeds).select($"corpus_id", $"centroid")
+    val probes = TopK.perKey(
+      q.crossJoin(broadcast(seeds))
+        .select($"query_id", $"seed_id",
+          floor(VectorOps.cosineScore(VectorOps.dot_q($"qv", $"sv"), $"qn", $"sn") * 1e6)
+            .cast(LongType).as("sc")),
+      "query_id", "seed_id", "sc", nProbe, "seed_id", "sc")
+      .select($"query_id", $"seed_id".as("centroid"))
+    // fine layer: PQ codes + per-query LUTs
+    val books = codebooks(corpus, idC, vecC, dim, m, seedMod)
+    val codes = encode(corpus, idC, vecC, books, dim, m)
+    val d = dim / m
+    val qs = queries.select(col(idQ).as("query_id"), col(vecQ).as("qv"))
+      .withColumn("sub", subCol(m))
+      .select($"query_id", $"sub", subSlice($"qv", $"sub", d).as("qsv"))
+    val luts = qs.join(broadcast(books), Seq("sub"))
+      .select($"query_id", $"sub", $"code", VectorOps.dot_q($"qsv", $"sv").as("w"))
+      .groupBy($"query_id", $"sub")
+      .agg(transform(array_sort(collect_list(struct($"code", $"w"))), e => e("w")).as("subLut"))
+      .groupBy($"query_id")
+      .agg(transform(array_sort(collect_list(struct($"sub", $"subLut"))), e => e("subLut")).as("lut"))
+    // candidates = probed cells' members; broadcast the (tiny) probe and
+    // LUT tables so the codes table is never shuffled
+    val scored = cells.join(broadcast(probes), Seq("centroid"))
+      .join(codes, Seq("corpus_id"))
+      .join(broadcast(luts), Seq("query_id"))
+      .select($"query_id", $"corpus_id", adc($"lut", $"codes").as("adc_q"))
+    TopK.perKey(scored, "query_id", "corpus_id", "adc_q", k, "corpus_id", "adc_q")
+  }
+
   /** Column API of [[PqAdcScore]]. */
   def adc(lut: Column, codes: Column): Column =
     org.apache.spark.sql.graftshim.Bridge.column(PqAdcScore(

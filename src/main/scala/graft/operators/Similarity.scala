@@ -154,7 +154,7 @@ object Similarity {
    * argmax with ties broken toward the lowest seed id; any_value is safe
    * because cv/cn are constant within a corpus_id group.
    */
-  private def assignToCells(c: DataFrame, seeds: DataFrame): DataFrame =
+  private[operators] def assignToCells(c: DataFrame, seeds: DataFrame): DataFrame =
     c.crossJoin(broadcast(seeds))
       .select($"corpus_id", $"cv", $"cn",
         struct(cosQ(VectorOps.dot_q($"cv", $"sv"), $"cn", $"sn").as("sc"),

@@ -47,6 +47,33 @@ class ProductQuantSpec extends SparkSpec {
     assert(misses == 0, s"$misses seed queries did not retrieve themselves first")
   }
 
+  test("IVF+PQ: probing every cell degrades to exactly plain ADC; small nProbe is a subset-ranked result") {
+    import spark.implicits._
+    val queries = emb.where($"vec_id" < 10)
+    val corpus = emb.where($"vec_id" >= 10)
+    val books = ProductQuant.codebooks(corpus, "vec_id", "embedding", dim, m, seedMod = 16L)
+    val codes = ProductQuant.encode(corpus, "vec_id", "embedding", books, dim, m)
+    val nSeeds = corpus.where($"vec_id" % 16 === 0).count().toInt
+
+    val full = ProductQuant.ivfAdcTopK(queries, corpus, "vec_id", "vec_id",
+      "embedding", "embedding", dim, m, k = 5, seedMod = 16L, nProbe = nSeeds)
+      .select($"query_id", $"corpus_id", $"adc_q", $"rk").collect().map(_.toSeq).toSet
+    val plain = ProductQuant.adcTopK(queries, codes, books, "vec_id", "embedding", dim, m, k = 5)
+      .select($"query_id", $"corpus_id", $"adc_q", $"rk").collect().map(_.toSeq).toSet
+    assert(full == plain && full.nonEmpty)
+
+    // small nProbe: every returned (query, corpus) score must equal the
+    // plain ADC score for that pair (same codes, same LUT — only the
+    // candidate set shrinks)
+    val probed = ProductQuant.ivfAdcTopK(queries, corpus, "vec_id", "vec_id",
+      "embedding", "embedding", dim, m, k = 5, seedMod = 16L, nProbe = 4)
+      .select($"query_id", $"corpus_id", $"adc_q")
+    val allAdc = ProductQuant.adcTopK(queries, codes, books, "vec_id", "embedding",
+      dim, m, k = 2000) // >= |corpus|: unrestricted ranking
+      .select($"query_id", $"corpus_id", $"adc_q")
+    assert(probed.except(allAdc).count() == 0 && probed.count() > 0)
+  }
+
   test("ADC recall@10 against the exact-dot ranking") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
