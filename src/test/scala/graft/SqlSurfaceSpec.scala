@@ -57,6 +57,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getLong(3) >= 0 && r.getLong(3) < 16)
   }
 
+  test("quality_score / lang_id / pq_adc callable from SQL") {
+    val r = spark.sql(
+      """SELECT quality_score('the cat and of is to in sat') AS q,
+        |       lang_id('und der die nicht werden') AS l,
+        |       pq_adc(array(array(10L, 20L), array(5L, 7L)), array(1, 0)) AS s
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == graft.operators.QualityScore.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the cat and of is to in sat")))
+    assert(r.getString(1) == "de")
+    assert(r.getLong(2) == 20L + 5L) // lut[0][1] + lut[1][0]
+  }
+
   test("minhash_band_sigs callable from SQL and equal to the md5 definition") {
     val r = spark.sql("SELECT minhash_band_sigs('a b c d', 3, 2) AS sigs").collect()(0)
     val sigs = r.getSeq[String](0)
