@@ -20,7 +20,7 @@ import graft.streaming._
  *   spark-submit --class graft.app.PagePipelineApp app.jar \
  *     --pages 1000000 --hosts 10000 --rate 50000 --checkpoint /cp \
  *     --table /out/pages_sessions --metrics /out/progress.jsonl \
- *     [--join-meta | --near-dup | --prep] [--buckets 64] [--jsonl /warc/jsonl]
+ *     [--join-meta | --near-dup | --prep] [--buckets 64 [--bucket-by host]] [--jsonl /warc/jsonl]
  *
  * Kill it at any point and resubmit with the same --checkpoint/--table:
  * processing resumes from the last committed offsets and the sink skips
@@ -33,7 +33,7 @@ object PagePipelineApp {
     // would shift every later key/value option
     val flags = Set("--join-meta", "--near-dup", "--prep")
     val valueOpts = Set("--pages", "--hosts", "--rate", "--checkpoint", "--table", "--metrics",
-      "--buckets", "--jsonl")
+      "--buckets", "--bucket-by", "--jsonl")
     val a = args.filterNot(flags.contains)
       .sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     // fail loudly on anything unrecognized: a typo'd flag would otherwise
@@ -112,19 +112,28 @@ object PagePipelineApp {
         (Sessionize.fromPages(spark, pages).toDF(), identity[org.apache.spark.sql.DataFrame] _)
       }
 
-    // --buckets N writes the host-bucket-partitioned table layout (pruned
-    // per-host reads at the cost of write fan-out); 0 = flat layout
+    // --buckets N writes the bucket-partitioned table layout (pruned
+    // reads at the cost of write fan-out); 0 = flat layout. The routing
+    // column is EXPLICIT (--bucket-by, default host): silently routing on
+    // a different column would break the per-host pruned-read contract —
+    // prep/near-dup modes collapse to (id, ts) where id is the url, so
+    // pass `--bucket-by id` there deliberately.
     val nBuckets = a.getOrElse("--buckets", "0").toInt
+    val routeCol = a.getOrElse("--bucket-by", "host")
+    if (nBuckets > 0) {
+      // validate at startup, not at the first micro-batch: the collapsed
+      // sink schema is known per mode
+      val sinkCols = if (prep || nearDup) Seq("id", "ts") else out.columns.toSeq
+      if (!sinkCols.contains(routeCol))
+        sys.error(s"--bucket-by $routeCol is not a sink output column " +
+          s"(this mode writes: ${sinkCols.mkString(", ")})")
+    }
+    val bucketColName = s"${routeCol}_bucket"
     val sink = new ExactlyOnceSink(table,
-      if (nBuckets > 0) Some("host_bucket") else None)
+      if (nBuckets > 0) Some(bucketColName) else None)
     def withBucket(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       if (nBuckets <= 0) d
-      else {
-        // prep/near-dup collapse to (id, ts) where id IS the url
-        val route = Seq("host", "url", "id").find(d.columns.contains).getOrElse(
-          sys.error("--buckets needs a host, url, or id column in the sink output"))
-        d.withColumn("host_bucket", ExactlyOnceSink.bucket(col(route), nBuckets))
-      }
+      else d.withColumn(bucketColName, ExactlyOnceSink.bucket(col(routeCol), nBuckets))
     val q = out.writeStream
       .outputMode("append")
       .option("checkpointLocation", cp)

@@ -79,9 +79,12 @@ object ProductQuant {
     val sliced = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
       .withColumn("sub", subCol(m))
       .select($"corpus_id", $"sub", subSlice($"cv", $"sub", d).as("csv"))
-    val best = sliced.join(broadcast(books), Seq("sub"))
+    // precompute each codebook entry's self-dot once (it is constant per
+    // entry; recomputing it per corpus row would double the argmin pass)
+    val booksN = books.withColumn("sn2", VectorOps.dot_q($"sv", $"sv"))
+    val best = sliced.join(broadcast(booksN), Seq("sub"))
       .select($"corpus_id", $"sub",
-        struct((VectorOps.dot_q($"sv", $"sv") - lit(2L) * VectorOps.dot_q($"csv", $"sv"))
+        struct(($"sn2" - lit(2L) * VectorOps.dot_q($"csv", $"sv"))
           .as("cost"), $"code").as("cand"))
       .groupBy($"corpus_id", $"sub")
       .agg(min($"cand").as("b")) // exact-integer argmin, ties to lowest code
@@ -99,19 +102,27 @@ object ProductQuant {
    */
   def adcTopK(queries: DataFrame, corpusCodes: DataFrame, books: DataFrame,
       idQ: String, vecQ: String, dim: Int, m: Int, k: Int): DataFrame = {
+    val scored = corpusCodes.crossJoin(broadcast(lutsFor(queries, books, idQ, vecQ, dim, m)))
+      .select($"query_id", $"corpus_id", adc($"lut", $"codes").as("adc_q"))
+    TopK.perKey(scored, "query_id", "corpus_id", "adc_q", k, "corpus_id", "adc_q")
+  }
+
+  /** Per-query dense LUTs: (query_id, lut array<array<long>>), where
+    * `lut[sub][code] = dot_q(q_sub, centroid[sub][code])`. The density
+    * contract (subLut position == dense code) is encoded HERE only —
+    * both scoring paths share it. */
+  private def lutsFor(queries: DataFrame, books: DataFrame,
+      idQ: String, vecQ: String, dim: Int, m: Int): DataFrame = {
     val d = dim / m
-    val qs = queries.select(col(idQ).as("query_id"), col(vecQ).as("qv"))
+    queries.select(col(idQ).as("query_id"), col(vecQ).as("qv"))
       .withColumn("sub", subCol(m))
       .select($"query_id", $"sub", subSlice($"qv", $"sub", d).as("qsv"))
-    val luts = qs.join(broadcast(books), Seq("sub"))
+      .join(broadcast(books), Seq("sub"))
       .select($"query_id", $"sub", $"code", VectorOps.dot_q($"qsv", $"sv").as("w"))
       .groupBy($"query_id", $"sub")
       .agg(transform(array_sort(collect_list(struct($"code", $"w"))), e => e("w")).as("subLut"))
       .groupBy($"query_id")
       .agg(transform(array_sort(collect_list(struct($"sub", $"subLut"))), e => e("subLut")).as("lut"))
-    val scored = corpusCodes.crossJoin(broadcast(luts))
-      .select($"query_id", $"corpus_id", adc($"lut", $"codes").as("adc_q"))
-    TopK.perKey(scored, "query_id", "corpus_id", "adc_q", k, "corpus_id", "adc_q")
   }
 
   /**
@@ -145,24 +156,17 @@ object ProductQuant {
             .cast(LongType).as("sc")),
       "query_id", "seed_id", "sc", nProbe, "seed_id", "sc")
       .select($"query_id", $"seed_id".as("centroid"))
-    // fine layer: PQ codes + per-query LUTs
+    // fine layer: PQ codes, CO-LOCATED with their cell at build time —
+    // the one corpus-scale shuffle happens here, in the index build
+    // (persist `indexed` partitioned by centroid at 100 TB and amortize
+    // across query batches, exactly like IVF's `assigned`)
     val books = codebooks(corpus, idC, vecC, dim, m, seedMod)
     val codes = encode(corpus, idC, vecC, books, dim, m)
-    val d = dim / m
-    val qs = queries.select(col(idQ).as("query_id"), col(vecQ).as("qv"))
-      .withColumn("sub", subCol(m))
-      .select($"query_id", $"sub", subSlice($"qv", $"sub", d).as("qsv"))
-    val luts = qs.join(broadcast(books), Seq("sub"))
-      .select($"query_id", $"sub", $"code", VectorOps.dot_q($"qsv", $"sv").as("w"))
-      .groupBy($"query_id", $"sub")
-      .agg(transform(array_sort(collect_list(struct($"code", $"w"))), e => e("w")).as("subLut"))
-      .groupBy($"query_id")
-      .agg(transform(array_sort(collect_list(struct($"sub", $"subLut"))), e => e("subLut")).as("lut"))
-    // candidates = probed cells' members; broadcast the (tiny) probe and
-    // LUT tables so the codes table is never shuffled
-    val scored = cells.join(broadcast(probes), Seq("centroid"))
-      .join(codes, Seq("corpus_id"))
-      .join(broadcast(luts), Seq("query_id"))
+    val indexed = cells.join(codes, Seq("corpus_id"))
+    // query time: broadcast the (tiny) probe and LUT tables against the
+    // indexed codes — no corpus-scale shuffle per query batch
+    val scored = indexed.join(broadcast(probes), Seq("centroid"))
+      .join(broadcast(lutsFor(queries, books, idQ, vecQ, dim, m)), Seq("query_id"))
       .select($"query_id", $"corpus_id", adc($"lut", $"codes").as("adc_q"))
     TopK.perKey(scored, "query_id", "corpus_id", "adc_q", k, "corpus_id", "adc_q")
   }
@@ -212,7 +216,14 @@ object PqAdcScore {
     var s = 0L
     var i = 0
     while (i < m) {
-      s += lut.getArray(i).getLong(codes.getInt(i))
+      val sub = lut.getArray(i)
+      val code = codes.getInt(i)
+      // bounds-checked: pq_adc is a public SQL function, and an
+      // out-of-range code on UnsafeArrayData would silently read
+      // adjacent memory instead of failing
+      require(code >= 0 && code < sub.numElements(),
+        s"code $code out of range [0, ${sub.numElements()}) in subspace $i")
+      s += sub.getLong(code)
       i += 1
     }
     s

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Coalesce, Expression, ExpressionInfo, Literal}
 
 import graft.functions.ExtractHtmlText
 import graft.operators.{LangId, LshBucket, MinHashBandSigs, MinRollingHash, PqAdcScore, QualityScore, QuantizedDot, SimHash64}
@@ -30,10 +30,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash64(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("min_rolling_hash",
       (args: Seq[Expression]) => MinRollingHash(args.head), "scala_udf")
+    // null text scores 0 / 'und' — same coalesce as the Column API, so
+    // a SQL-side ingest gate behaves identically
     reg.createOrReplaceTempFunction("quality_score",
-      (args: Seq[Expression]) => QualityScore(args.head), "scala_udf")
+      (args: Seq[Expression]) => Coalesce(Seq(QualityScore(args.head), Literal(0))), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id",
-      (args: Seq[Expression]) => LangId(args.head), "scala_udf")
+      (args: Seq[Expression]) => Coalesce(Seq(LangId(args.head), Literal.create("und"))), "scala_udf")
     reg.createOrReplaceTempFunction("pq_adc",
       (args: Seq[Expression]) => PqAdcScore(args.head, args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_q",
@@ -77,11 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("quality_score"),
       info("quality_score", "quality_score(text) - integer 0..100 ingest quality gate"),
-      (args: Seq[Expression]) => QualityScore(args.head)))
+      (args: Seq[Expression]) => Coalesce(Seq(QualityScore(args.head), Literal(0)))))
     ext.injectFunction((
       FunctionIdentifier("lang_id"),
       info("lang_id", "lang_id(text) - stopword/CJK language heuristic"),
-      (args: Seq[Expression]) => LangId(args.head)))
+      (args: Seq[Expression]) => Coalesce(Seq(LangId(args.head), Literal.create("und")))))
     ext.injectFunction((
       FunctionIdentifier("pq_adc"),
       info("pq_adc", "pq_adc(lut, codes) - product-quantization ADC score"),

@@ -141,10 +141,15 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
   /** The foreachBatch function. Safe under re-delivery of any batchId. */
   def write(df: DataFrame, batchId: Long): Unit = {
     if (committed(batchId)) return // re-delivered epoch: exactly-once skip
-    // layout guard + schema-evolution marker, BEFORE any data work: a
-    // sink opened with the wrong bucketCol must fail loudly here, not
-    // mis-route directories
-    updateTableMeta(fs(), ExactlyOnceSink.schemaMd5(df.schema))
+    // read-only layout guard BEFORE any data work: a sink opened with the
+    // wrong bucketCol must fail loudly here, not mis-route directories.
+    // (The marker MUTATION happens after the data write below — a failed
+    // write must not poison the sticky evolved flag with a schema that
+    // never committed.)
+    locally {
+      val f0 = fs()
+      if (f0.exists(tableMeta)) requireLayoutMatch(readManifestJson(f0, tableMeta))
+    }
     val dataPath = s"$tableDir/data/epoch=$batchId"
     // persist so the count and the write share one computation of the
     // micro-batch plan (foreachBatch re-executes the plan per action)
@@ -178,6 +183,8 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
       } finally df.unpersist() // never pin the micro-batch across a retry
     val f = fs()
     f.mkdirs(manifestDir)
+    // marker mutation after the data landed, before the commit publishes
+    updateTableMeta(f, ExactlyOnceSink.schemaMd5(df.schema))
     val tmp = new Path(manifestDir, s".epoch-$batchId.json.tmp")
     // per-partition lineage: the exact files this epoch committed (relative
     // paths, so bucket subdirs are covered), so any epoch is auditable/
@@ -284,12 +291,24 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
   }
 
   /** Reader-side: validate layout and decide mergeSchema from the marker
-    * (one small read). Legacy tables without a marker read plain. */
-  private def readerEvolved(f: FileSystem): Boolean = {
-    if (!f.exists(tableMeta)) return false
+    * (one small read). `None` = no marker (legacy table, or the writer is
+    * mid-replace) — the caller falls back to comparing the per-manifest
+    * fingerprints of exactly the sources it is about to read, which is
+    * slower but always correct (a plain multi-path parquet read silently
+    * adopts the first file's schema, so guessing "plain" is never safe
+    * for a table that might have evolved). */
+  private def readerEvolved(f: FileSystem): Option[Boolean] = {
+    if (!f.exists(tableMeta)) return None
     val js = readManifestJson(f, tableMeta)
     requireLayoutMatch(js)
-    evolvedOf(js)
+    Some(evolvedOf(js))
+  }
+
+  /** Fallback merge decision for markerless reads: mixed (or missing)
+    * per-manifest fingerprints ⇒ mergeSchema. */
+  private def mixedFingerprints(f: FileSystem, manifests: Seq[Path]): Boolean = {
+    val md5s = manifests.map(m => schemaMd5Of(readManifestJson(f, m)))
+    !(md5s.forall(_.isDefined) && md5s.flatten.distinct.size <= 1)
   }
   // --------------------------------------------------------------------
 
@@ -336,6 +355,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
   private def readSrcs(spark: SparkSession, srcs: Seq[(String, Path)]): DataFrame = {
     val f = fs()
     val merge = readerEvolved(f)
+      .getOrElse(mixedFingerprints(f, srcs.map(_._2)))
     val paths = bucketCol match {
       case Some(b) => srcs.flatMap { case (dp, _) => bucketDirs(f, dp, b) }
       case None => srcs.map(_._1)
@@ -367,6 +387,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
           s"bucket read requires a bucketed sink (bucketCol=None in $tableDir)"))
         val f = fs()
         val merge = readerEvolved(f)
+          .getOrElse(mixedFingerprints(f, srcs.map(_._2)))
         // manifest-driven pruning: per-bucket counts select only sources
         // with rows for this bucket. This is the one path that reads the
         // per-epoch manifests — it touches only the current view's
@@ -498,9 +519,12 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
     val dest = compactManifest(hi)
     if (!f.rename(tmp, dest)) { f.delete(tmp, false); return }
     hiCache = Some(hi)
-    // the snapshot unified the schema: the current view is the snapshot
-    // alone (single-writer contract), so the marker's evolved flag resets
-    writeTableMeta(f, ExactlyOnceSink.schemaMd5(src.schema), evolved = false)
+    // NOTE: the evolved flag is NOT reset here even though the snapshot
+    // unified the schema — in-flight readers may still hold pre-compaction
+    // source listings (their data dirs survive until GC by design) and a
+    // premature plain-read decision would mis-read them. The reset happens
+    // in gcUnreferenced(), which by contract runs only once no reader can
+    // hold the old listing.
     // GC superseded manifests (data dirs retained for in-flight readers)
     epochs.filter(_ <= hi).foreach(e => f.delete(epochManifest(e), false))
     prevHi.foreach(h => f.delete(new Path(manifestDir, f"compact-$h%010d.json"), false))
@@ -539,6 +563,17 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
       .map(_.getPath)
       .filter(p => !live.contains(p.getName) && superseded(p.getName))
     victims.foreach(p => f.delete(p, true))
+    // no reader can hold a pre-compaction listing anymore (that is this
+    // method's calling contract), so if every CURRENT manifest shares one
+    // schema fingerprint the sticky evolved flag can finally reset and
+    // future reads go back to the plain (no-mergeSchema) path
+    val current = compactHi().map(compactManifest).toSeq ++
+      committedEpochs().filter(e => compactHi().forall(e > _)).map(epochManifest)
+    if (current.nonEmpty) {
+      val md5s = current.map(m => schemaMd5Of(readManifestJson(f, m)))
+      if (md5s.forall(_.isDefined) && md5s.flatten.distinct.size == 1)
+        writeTableMeta(f, md5s.head.get, evolved = false)
+    }
     victims.size
   }
 }

@@ -279,5 +279,30 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     sink2.compact(spark, targetPartitions = 1)
     assert(sink2.read(spark).count() == 3)
     assert(sink2.read(spark).columns.contains("score"))
+
+    // the evolved flag stays sticky through compaction (in-flight readers
+    // may hold pre-compaction listings) and resets only at GC time, once
+    // the current view is schema-uniform
+    def marker() = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest/table.json")))
+    assert(marker().contains("\"evolved\": true"))
+    sink2.gcUnreferenced()
+    assert(marker().contains("\"evolved\": false"))
+    assert(sink2.read(spark).count() == 3) // snapshot is uniform: plain read is safe
+  }
+
+  test("markerless (legacy) evolved table still unions via the per-manifest fallback") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eosleg").toString
+    val sink = new ExactlyOnceSink(dir)
+    sink.write(Seq((1, "a")).toDF("id", "v"), 0L)
+    sink.write(Seq((2, "b", 7L)).toDF("id", "v", "score"), 1L)
+    // simulate a table written before the marker existed
+    Files.delete(java.nio.file.Paths.get(s"$dir/_manifest/table.json"))
+    val back = sink.read(spark)
+    assert(back.columns.toSeq == Seq("id", "v", "score"))
+    val rows = back.orderBy("id").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(rows.toSeq == Seq((1, null), (2, 7L)))
   }
 }

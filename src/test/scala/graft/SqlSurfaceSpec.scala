@@ -67,6 +67,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       org.apache.spark.unsafe.types.UTF8String.fromString("the cat and of is to in sat")))
     assert(r.getString(1) == "de")
     assert(r.getLong(2) == 20L + 5L) // lut[0][1] + lut[1][0]
+    // SQL null semantics match the Column API: 0 / 'und', not NULL
+    val n = spark.sql(
+      "SELECT quality_score(cast(null as string)) AS q, lang_id(cast(null as string)) AS l")
+      .collect()(0)
+    assert(n.getInt(0) == 0 && n.getString(1) == "und")
   }
 
   test("minhash_band_sigs callable from SQL and equal to the md5 definition") {
