@@ -72,6 +72,72 @@ class PatternDetectSpec extends SparkSpec {
     assert(batch.filterNot(_._2 >= 96) == got, s"ripe matches differ: $batch vs $got")
   }
 
+  test("randomized torture: sequence/absence ≡ batch mirrors over random batches with replays") {
+    import spark.implicits._
+    val within = 60L
+    val delay = "300 seconds"
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(7000 + seed)
+      // events inside a 200s window (< the 300s delay, so nothing is ever
+      // below the watermark mid-stream); duplicate (ts,id) replays across
+      // batches stress the sorted-state merge-union dedupe
+      val evs = scala.collection.mutable.ArrayBuffer[Ev]()
+      var id = 0L
+      (0 until 60).foreach { _ =>
+        id += 1
+        evs += Ev(rnd.nextInt(3).toLong, ts(base + rnd.nextInt(200)),
+          Seq("view", "buy", "zz")(rnd.nextInt(3)), id)
+      }
+      val replays = Seq.fill(10)(evs(rnd.nextInt(evs.length)))
+      val feed = rnd.shuffle((evs ++ replays).toSeq)
+
+      def run(absence: Boolean): Set[Seq[Any]] = {
+        val cp = Files.createTempDirectory(s"pdt$seed").toString
+        val table = Files.createTempDirectory(s"pdtt$seed").toString
+        val sink = new ExactlyOnceSink(table)
+        val in = MemoryStream[Ev](Encoders.product[Ev], spark)
+        val out = if (absence)
+          PatternDetect.absence(spark, in.toDS(), "view", "buy", within, delay).toDF()
+        else
+          PatternDetect.sequence(spark, in.toDS(), "view", "buy", within, delay).toDF()
+        val q = out.writeStream.outputMode("append")
+          .option("checkpointLocation", cp)
+          .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], i: Long) =>
+            sink.write(df.toDF(), i))
+          .start()
+        // random batch splits
+        var rest = feed
+        while (rest.nonEmpty) {
+          val n = 1 + rnd.nextInt(20)
+          in.addData(rest.take(n): _*)
+          q.processAllAvailable()
+          rest = rest.drop(n)
+        }
+        // flush: neutral kind far in the future ripens every deadline
+        in.addData(Ev(0, ts(base + 5000), "zz", 9001))
+        q.processAllAvailable()
+        in.addData(Ev(0, ts(base + 9000), "zz", 9002))
+        q.processAllAvailable()
+        q.stop()
+        val cols = if (absence) Seq($"key", $"a_id") else Seq($"key", $"a_id", $"b_id")
+        sink.read(spark).select(cols: _*).collect().map(_.toSeq).toSet
+      }
+
+      val allRows = evs.toSeq.distinct.toDF()
+      val seqExpected = PatternDetect.sequenceBatch(allRows,
+        "key", "ts", "kind", "id", "view", "buy", within)
+        .select($"key", $"a_id", $"b_id").collect().map(_.toSeq).toSet
+      val seqGot = run(absence = false)
+      assert(seqGot == seqExpected, s"seed $seed sequence: got $seqGot expected $seqExpected")
+
+      val absExpected = PatternDetect.absenceBatch(allRows,
+        "key", "ts", "kind", "id", "view", "buy", within)
+        .select($"key", $"a_id").collect().map(_.toSeq).toSet
+      val absGot = run(absence = true)
+      assert(absGot == absExpected, s"seed $seed absence: got $absGot expected $absExpected")
+    }
+  }
+
   test("absence pattern: A with no B in window emits exactly once, at the watermark") {
     import spark.implicits._
     val cp = Files.createTempDirectory("abcp").toString
