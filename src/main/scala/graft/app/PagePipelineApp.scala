@@ -129,8 +129,14 @@ object PagePipelineApp {
           s"(this mode writes: ${sinkCols.mkString(", ")})")
     }
     val bucketColName = s"${routeCol}_bucket"
+    // per-epoch event-time stats let readTimeRange prune epochs from the
+    // manifests alone (streaming epochs are naturally time-clustered)
+    val statsCol =
+      if (prep || nearDup) "ts"
+      else if (joinMeta) "warc_ts"
+      else "session_start"
     val sink = new ExactlyOnceSink(table,
-      if (nBuckets > 0) Some(bucketColName) else None)
+      if (nBuckets > 0) Some(bucketColName) else None, Some(statsCol))
     def withBucket(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       if (nBuckets <= 0) d
       else d.withColumn(bucketColName, ExactlyOnceSink.bucket(col(routeCol), nBuckets))

@@ -79,7 +79,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  * table with the WRONG `bucketCol` a loud error instead of a silent
  * mis-read.
  */
-class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
+class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
+    statsCol: Option[String] = None)
     extends Serializable {
 
   private def manifestDir: Path = new Path(tableDir, "_manifest")
@@ -154,7 +155,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
     // persist so the count and the write share one computation of the
     // micro-batch plan (foreachBatch re-executes the plan per action)
     df.persist()
-    val (count, bucketRows) =
+    val (count, bucketRows, tsStats) =
       try {
         val c = df.count()
         // per-bucket row counts: what makes a pruned read skip whole
@@ -169,6 +170,14 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
               (r.get(0).toString.toLong, r.getLong(1))
             }.sortBy(_._1).toSeq
         }
+        // per-epoch min/max of the stats column (unix micros): what lets
+        // a time-range read skip whole epochs from the manifest alone
+        val st: Option[(Long, Long)] = statsCol.flatMap { sc =>
+          import org.apache.spark.sql.functions.{min, max, unix_micros, col => fcol}
+          val r = df.agg(min(unix_micros(fcol(sc))).as("lo"),
+            max(unix_micros(fcol(sc))).as("hi")).collect()(0)
+          if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+        }
         // overwrite handles a partially-written, uncommitted previous
         // attempt; the shadow column routes directories, the real bucket
         // column stays in the data files
@@ -179,7 +188,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
           case None =>
             df.write.mode(SaveMode.Overwrite).parquet(dataPath)
         }
-        (c, bc)
+        (c, bc, st)
       } finally df.unpersist() // never pin the micro-batch across a retry
     val f = fs()
     f.mkdirs(manifestDir)
@@ -195,6 +204,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
          | "data_path": "data/epoch=$batchId",
          | "schema_md5": "${ExactlyOnceSink.schemaMd5(df.schema)}",
          | ${bucketsJson(bucketRows)}
+         | ${statsJson(tsStats)}
          | "files": [${files.map(n => "\"" + n + "\"").mkString(", ")}]}""".stripMargin
     val out = f.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
@@ -206,6 +216,16 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
   private def bucketsJson(bucketRows: Seq[(Long, Long)]): String =
     if (bucketCol.isEmpty) ""
     else s""""buckets": {${bucketRows.map { case (b, n) => s""""$b": $n""" }.mkString(", ")}},"""
+
+  private def statsJson(st: Option[(Long, Long)]): String = st match {
+    case Some((lo, hi)) =>
+      s""""stats": {"col": "${statsCol.get}", "min_us": $lo, "max_us": $hi},"""
+    case None => ""
+  }
+
+  private def statsOf(json: String): Option[(Long, Long)] =
+    """"stats":\s*\{[^}]*"min_us":\s*(-?\d+),\s*"max_us":\s*(-?\d+)""".r
+      .findFirstMatchIn(json).map(m => (m.group(1).toLong, m.group(2).toLong))
 
   /** Relative part-file paths under `dir` (one level of bucket subdirs). */
   private def listPartFiles(f: FileSystem, dir: Path): Seq[String] = {
@@ -402,6 +422,37 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
   }
 
   /**
+   * Time-range read with manifest-level pruning (statsCol sinks only):
+   * epochs whose recorded `[min_us, max_us]` does not overlap
+   * `[fromUs, untilUs]` are skipped without listing their files —
+   * Iceberg's partition-stats pruning at commit granularity. A streaming
+   * sink's epochs are naturally time-clustered (each micro-batch covers
+   * a narrow event-time band), so a "yesterday only" query over a
+   * 100 TB table touches a sliver of the epochs. The residual row filter
+   * is applied on top (stats are a superset guard, not a row predicate);
+   * epochs without stats (legacy, or all-null column) are conservatively
+   * KEPT.
+   */
+  def readTimeRange(spark: SparkSession, fromUs: Long, untilUs: Long): DataFrame = {
+    val sc = statsCol.getOrElse(throw new IllegalArgumentException(
+      s"time-range read requires a statsCol-configured sink ($tableDir)"))
+    val srcs = currentSrcs()
+    if (srcs.isEmpty)
+      throw new IllegalStateException(s"no committed epochs in $tableDir")
+    val f = fs()
+    val sel = srcs.filter { case (_, m) =>
+      statsOf(readManifestJson(f, m)) match {
+        case Some((lo, hi)) => hi >= fromUs && lo <= untilUs
+        case None => true // no stats recorded: cannot prune, must read
+      }
+    }
+    import org.apache.spark.sql.functions.{col => fcol, unix_micros}
+    if (sel.isEmpty) return readSrcs(spark, srcs).limit(0) // schema-preserving empty
+    readSrcs(spark, sel)
+      .where(unix_micros(fcol(sc)).between(fromUs, untilUs))
+  }
+
+  /**
    * Time travel: the table as of a given epoch (snapshot isolation over
    * the manifest — Iceberg's `VERSION AS OF`, at commit-epoch
    * granularity). Per-epoch history survives until a compaction GC's the
@@ -489,8 +540,9 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
     // below, permanently duplicating its rows
     val srcs = prevHi.map(h => (s"$tableDir/data/compact-$h", compactManifest(h))).toSeq ++
       epochs.filter(e => prevHi.forall(e > _)).map(e => (s"$tableDir/data/epoch=$e", epochManifest(e)))
-    // bucket counts come from the captured manifests (bucketed only)
-    val jsons = if (bucketCol.isDefined)
+    // bucket counts / stats envelopes come from the captured manifests
+    // (read only when a feature needs them)
+    val jsons = if (bucketCol.isDefined || statsCol.isDefined)
       srcs.map { case (_, m) => readManifestJson(f, m) } else Nil
     val src = readSrcs(spark, srcs)
     bucketCol match {
@@ -508,11 +560,21 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None)
     val bucketSum: Seq[(Long, Long)] =
       jsons.flatMap(bucketRowsOf).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
         .toSeq.sortBy(_._1)
+    // snapshot time-range stats = envelope of the captured manifests';
+    // only valid if EVERY captured source carried stats (else a gap in
+    // coverage would make the envelope a false pruning bound)
+    val statsEnv: Option[(Long, Long)] = statsCol.flatMap { _ =>
+      val sts = jsons.map(statsOf)
+      if (sts.nonEmpty && sts.forall(_.isDefined))
+        Some((sts.flatten.map(_._1).min, sts.flatten.map(_._2).max))
+      else None
+    }
     val tmp = new Path(manifestDir, s".compact-$hi.json.tmp")
     val body =
       s"""{"compact_hi": $hi, "n_epochs": ${epochs.size},
          | "schema_md5": "${ExactlyOnceSink.schemaMd5(src.schema)}",
          | ${bucketsJson(bucketSum)}
+         | ${statsJson(statsEnv)}
          | "data_path": "data/compact-$hi"}""".stripMargin
     val out = f.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()

@@ -291,6 +291,59 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     assert(sink2.read(spark).count() == 3) // snapshot is uniform: plain read is safe
   }
 
+  test("time-range read prunes epochs from manifest stats; legacy epochs are kept") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val dir = Files.createTempDirectory("eosts").toString
+    val sink = new ExactlyOnceSink(dir, statsCol = Some("ts"))
+    // three epochs with disjoint hour bands
+    sink.write(Seq((1, t(1000)), (2, t(1900))).toDF("id", "ts"), 0L)
+    sink.write(Seq((3, t(5000)), (4, t(5900))).toDF("id", "ts"), 1L)
+    sink.write(Seq((5, t(9000))).toDF("id", "ts"), 2L)
+
+    // only the middle band: epoch 1 alone is listed
+    val mid = sink.readTimeRange(spark, 4000L * 1000000L, 7000L * 1000000L)
+    assert(mid.collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4))
+    assert(mid.inputFiles.nonEmpty && mid.inputFiles.forall(_.contains("epoch=1")),
+      mid.inputFiles.mkString(", "))
+    // stats are a superset guard: residual filter still applies inside an epoch
+    val part = sink.readTimeRange(spark, 5500L * 1000000L, 7000L * 1000000L)
+    assert(part.collect().map(_.getInt(0)).toSeq == Seq(4))
+    // disjoint range: schema-preserving empty without touching data
+    assert(sink.readTimeRange(spark, 100L, 200L).count() == 0)
+
+    // an epoch written by a stats-less sink (legacy) is conservatively kept
+    val legacy = new ExactlyOnceSink(dir)
+    legacy.write(Seq((6, t(20000))).toDF("id", "ts"), 3L)
+    val wide = sink.readTimeRange(spark, 0L, 30000L * 1000000L)
+    assert(wide.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4, 5, 6))
+    val narrow = sink.readTimeRange(spark, 4000L * 1000000L, 7000L * 1000000L)
+    // legacy epoch listed (no stats ⇒ cannot prune) but filtered by rows
+    assert(narrow.collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4))
+    assert(narrow.inputFiles.exists(_.contains("epoch=3")))
+
+    // compaction records the stats envelope; pruning still works after
+    sink.compact(spark, targetPartitions = 1)
+    val cm = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      s"$dir/_manifest/compact-0000000003.json")))
+    // epoch 3 had no stats, so the snapshot must NOT claim an envelope
+    assert(!cm.contains("\"stats\""), cm)
+    assert(sink.readTimeRange(spark, 4000L * 1000000L, 7000L * 1000000L)
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4))
+
+    // a fully-stats'd table's compaction DOES record the envelope
+    val dir2 = Files.createTempDirectory("eosts2").toString
+    val sink2 = new ExactlyOnceSink(dir2, statsCol = Some("ts"))
+    sink2.write(Seq((1, t(1000))).toDF("id", "ts"), 0L)
+    sink2.write(Seq((2, t(2000))).toDF("id", "ts"), 1L)
+    sink2.compact(spark, targetPartitions = 1)
+    val cm2 = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      s"$dir2/_manifest/compact-0000000001.json")))
+    assert(cm2.replaceAll("\\s", "").contains("\"min_us\":" + (1000L * 1000000L)), cm2)
+    assert(sink2.readTimeRange(spark, 0L, 1500L * 1000000L).count() == 1)
+    assert(sink2.readTimeRange(spark, 3000L * 1000000L, 4000L * 1000000L).count() == 0)
+  }
+
   test("markerless (legacy) evolved table still unions via the per-manifest fallback") {
     import spark.implicits._
     val dir = Files.createTempDirectory("eosleg").toString
