@@ -396,29 +396,61 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
    * listed — a per-host query over a 100 TB table touches 1/nBuckets of
    * the files and skips silent epochs entirely.
    */
-  def read(spark: SparkSession, bucket: Option[Long] = None): DataFrame = {
+  def read(spark: SparkSession, bucket: Option[Long] = None,
+      timeRange: Option[(Long, Long)] = None): DataFrame = {
     val srcs = currentSrcs()
     if (srcs.isEmpty)
       throw new IllegalStateException(s"no committed epochs in $tableDir")
-    bucket match {
-      case None => readSrcs(spark, srcs)
-      case Some(b) =>
-        val bname = bucketCol.getOrElse(throw new IllegalArgumentException(
-          s"bucket read requires a bucketed sink (bucketCol=None in $tableDir)"))
-        val f = fs()
-        val merge = readerEvolved(f)
-          .getOrElse(mixedFingerprints(f, srcs.map(_._2)))
-        // manifest-driven pruning: per-bucket counts select only sources
-        // with rows for this bucket. This is the one path that reads the
-        // per-epoch manifests — it touches only the current view's
-        // manifests, and compaction keeps that count small.
-        val sel = srcs.filter { case (_, m) =>
-          bucketRowsOf(readManifestJson(f, m)).getOrElse(b, 0L) > 0L }
-        if (sel.isEmpty) return readSrcs(spark, srcs).limit(0) // schema-preserving empty
-        val paths = sel.map { case (dp, _) => s"$dp/${shadowCol(bname)}=$b" }
-        // the real bucket column is in the data files — no restoration
-        readPaths(spark, paths, merge)
+    if (bucket.isEmpty && timeRange.isEmpty) return readSrcs(spark, srcs)
+
+    val f = fs()
+    val merge = readerEvolved(f)
+      .getOrElse(mixedFingerprints(f, srcs.map(_._2)))
+    // manifest-driven pruning: both dimensions intersect on the SAME
+    // per-source manifest read — per-bucket row counts and the event-time
+    // envelope. This is the one path that reads the per-epoch manifests —
+    // it touches only the current view's manifests, and compaction keeps
+    // that count small.
+    val sc = timeRange.map { _ =>
+      statsCol.getOrElse(throw new IllegalArgumentException(
+        s"time-range read requires a statsCol-configured sink ($tableDir)"))
     }
+    val bname = bucket.map { _ =>
+      bucketCol.getOrElse(throw new IllegalArgumentException(
+        s"bucket read requires a bucketed sink (bucketCol=None in $tableDir)"))
+    }
+    val sel = srcs.filter { case (_, m) =>
+      val js = readManifestJson(f, m)
+      val bucketOk = bucket.forall(b => bucketRowsOf(js).getOrElse(b, 0L) > 0L)
+      val timeOk = timeRange.forall { case (fromUs, untilUs) =>
+        statsOf(js) match {
+          case Some((lo, hi)) => hi >= fromUs && lo <= untilUs
+          case None => true // no stats recorded: cannot prune, must read
+        }
+      }
+      bucketOk && timeOk
+    }
+    if (sel.isEmpty) return withResidual(readSrcs(spark, srcs).limit(0), sc, timeRange)
+    val paths = bname match {
+      // the real bucket column is in the data files — no restoration
+      case Some(bn) => sel.map { case (dp, _) => s"$dp/${shadowCol(bn)}=${bucket.get}" }
+      case None => bucketCol match {
+        case Some(bn2) => sel.flatMap { case (dp, _) => bucketDirs(f, dp, bn2) }
+        case None => sel.map(_._1)
+      }
+    }
+    if (paths.isEmpty) return withResidual(readSrcs(spark, srcs).limit(0), sc, timeRange)
+    withResidual(readPaths(spark, paths, merge), sc, timeRange)
+  }
+
+  /** Stats are a superset guard, not a row predicate: apply the exact
+    * row filter on top of the pruned scan. */
+  private def withResidual(df: DataFrame, sc: Option[String],
+      timeRange: Option[(Long, Long)]): DataFrame = (sc, timeRange) match {
+    case (Some(c), Some((fromUs, untilUs))) =>
+      import org.apache.spark.sql.functions.{col => fcol, unix_micros}
+      df.where(unix_micros(fcol(c)).between(fromUs, untilUs))
+    case _ => df
   }
 
   /**
@@ -433,23 +465,32 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
    * epochs without stats (legacy, or all-null column) are conservatively
    * KEPT.
    */
-  def readTimeRange(spark: SparkSession, fromUs: Long, untilUs: Long): DataFrame = {
-    val sc = statsCol.getOrElse(throw new IllegalArgumentException(
-      s"time-range read requires a statsCol-configured sink ($tableDir)"))
-    val srcs = currentSrcs()
-    if (srcs.isEmpty)
-      throw new IllegalStateException(s"no committed epochs in $tableDir")
+  def readTimeRange(spark: SparkSession, fromUs: Long, untilUs: Long): DataFrame =
+    read(spark, bucket = None, timeRange = Some((fromUs, untilUs)))
+
+  /**
+   * Table observability: one row per current source (newest snapshot +
+   * live epochs) with its commit metadata — the `DESCRIBE
+   * TABLE`/`snapshots()` analog, read entirely from the manifests.
+   * Columns: source, kind, rows (null for snapshots, which record
+   * n_epochs instead), schema_md5, n_buckets, min_us, max_us.
+   */
+  def describe(spark: SparkSession): DataFrame = {
+    import spark.implicits._
     val f = fs()
-    val sel = srcs.filter { case (_, m) =>
-      statsOf(readManifestJson(f, m)) match {
-        case Some((lo, hi)) => hi >= fromUs && lo <= untilUs
-        case None => true // no stats recorded: cannot prune, must read
-      }
-    }
-    import org.apache.spark.sql.functions.{col => fcol, unix_micros}
-    if (sel.isEmpty) return readSrcs(spark, srcs).limit(0) // schema-preserving empty
-    readSrcs(spark, sel)
-      .where(unix_micros(fcol(sc)).between(fromUs, untilUs))
+    currentSrcs().map { case (dp, m) =>
+      val js = readManifestJson(f, m)
+      val name = new Path(dp).getName
+      val rows = """"rows":\s*(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong)
+      val st = statsOf(js)
+      (name,
+        if (name.startsWith("compact-")) "snapshot" else "epoch",
+        rows.map(java.lang.Long.valueOf).orNull,
+        schemaMd5Of(js).orNull,
+        bucketRowsOf(js).size,
+        st.map(x => java.lang.Long.valueOf(x._1)).orNull,
+        st.map(x => java.lang.Long.valueOf(x._2)).orNull)
+    }.toDF("source", "kind", "rows", "schema_md5", "n_buckets", "min_us", "max_us")
   }
 
   /**

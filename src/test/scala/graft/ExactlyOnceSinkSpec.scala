@@ -344,6 +344,36 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     assert(sink2.readTimeRange(spark, 3000L * 1000000L, 4000L * 1000000L).count() == 0)
   }
 
+  test("bucket × time pruning compose in one read; describe() surfaces the manifests") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val dir = Files.createTempDirectory("eosbt").toString
+    val sink = new ExactlyOnceSink(dir, bucketCol = Some("hb"), statsCol = Some("ts"))
+    // epoch 0: bucket 0 early; epoch 1: bucket 0 late; epoch 2: bucket 1 late
+    sink.write(Seq((1, 0, t(1000))).toDF("id", "hb", "ts"), 0L)
+    sink.write(Seq((2, 0, t(5000))).toDF("id", "hb", "ts"), 1L)
+    sink.write(Seq((3, 1, t(5000))).toDF("id", "hb", "ts"), 2L)
+
+    // bucket 0 AND late window: only epoch 1 listed
+    val both = sink.read(spark, bucket = Some(0L),
+      timeRange = Some((4000L * 1000000L, 6000L * 1000000L)))
+    assert(both.collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(both.inputFiles.nonEmpty && both.inputFiles.forall(f =>
+      f.contains("epoch=1") && f.contains("hb=0")), both.inputFiles.mkString(", "))
+    // time-only read on a bucketed sink still works (all bucket dirs)
+    assert(sink.readTimeRange(spark, 4000L * 1000000L, 6000L * 1000000L)
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+
+    val d = sink.describe(spark).orderBy("source").collect()
+    assert(d.length == 3)
+    assert(d.forall(_.getString(1) == "epoch"))
+    assert(d.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L))
+    assert(d.forall(r => r.getInt(4) == 1 && !r.isNullAt(5) && !r.isNullAt(6)))
+    sink.compact(spark, targetPartitions = 1)
+    val d2 = sink.describe(spark).collect()
+    assert(d2.length == 1 && d2(0).getString(1) == "snapshot")
+  }
+
   test("markerless (legacy) evolved table still unions via the per-manifest fallback") {
     import spark.implicits._
     val dir = Files.createTempDirectory("eosleg").toString
