@@ -157,7 +157,17 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     df.persist()
     val (count, bucketRows, tsStats) =
       try {
-        val c = df.count()
+        // one aggregation pass yields the row count AND the event-time
+        // envelope (a separate action would re-traverse the micro-batch)
+        val (c, st0) = statsCol match {
+          case Some(sc) =>
+            import org.apache.spark.sql.functions.{count => fcount, lit, min, max, unix_micros, col => fcol}
+            val r = df.agg(fcount(lit(1)), min(unix_micros(fcol(sc))),
+              max(unix_micros(fcol(sc)))).collect()(0)
+            (r.getLong(0),
+              if (r.isNullAt(1)) None else Some((sc, r.getLong(1), r.getLong(2))))
+          case None => (df.count(), None)
+        }
         // per-bucket row counts: what makes a pruned read skip whole
         // epochs without listing them
         val bc: Seq[(Long, Long)] = bucketCol.toSeq.flatMap { b =>
@@ -170,14 +180,6 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
               (r.get(0).toString.toLong, r.getLong(1))
             }.sortBy(_._1).toSeq
         }
-        // per-epoch min/max of the stats column (unix micros): what lets
-        // a time-range read skip whole epochs from the manifest alone
-        val st: Option[(Long, Long)] = statsCol.flatMap { sc =>
-          import org.apache.spark.sql.functions.{min, max, unix_micros, col => fcol}
-          val r = df.agg(min(unix_micros(fcol(sc))).as("lo"),
-            max(unix_micros(fcol(sc))).as("hi")).collect()(0)
-          if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
-        }
         // overwrite handles a partially-written, uncommitted previous
         // attempt; the shadow column routes directories, the real bucket
         // column stays in the data files
@@ -188,7 +190,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
           case None =>
             df.write.mode(SaveMode.Overwrite).parquet(dataPath)
         }
-        (c, bc, st)
+        (c, bc, st0)
       } finally df.unpersist() // never pin the micro-batch across a retry
     val f = fs()
     f.mkdirs(manifestDir)
@@ -217,15 +219,28 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     if (bucketCol.isEmpty) ""
     else s""""buckets": {${bucketRows.map { case (b, n) => s""""$b": $n""" }.mkString(", ")}},"""
 
-  private def statsJson(st: Option[(Long, Long)]): String = st match {
-    case Some((lo, hi)) =>
-      s""""stats": {"col": "${statsCol.get}", "min_us": $lo, "max_us": $hi},"""
+  private def statsJson(st: Option[(String, Long, Long)]): String = st match {
+    case Some((c, lo, hi)) =>
+      s""""stats": {"col": "$c", "min_us": $lo, "max_us": $hi},"""
     case None => ""
   }
 
-  private def statsOf(json: String): Option[(Long, Long)] =
-    """"stats":\s*\{[^}]*"min_us":\s*(-?\d+),\s*"max_us":\s*(-?\d+)""".r
-      .findFirstMatchIn(json).map(m => (m.group(1).toLong, m.group(2).toLong))
+  /** (recorded column, min_us, max_us) of a manifest's stats entry. */
+  private def statsOf(json: String): Option[(String, Long, Long)] =
+    """"stats":\s*\{\s*"col":\s*"([^"]*)",\s*"min_us":\s*(-?\d+),\s*"max_us":\s*(-?\d+)""".r
+      .findFirstMatchIn(json).map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
+
+  /** Stats recorded for THIS sink's statsCol; a manifest whose stats were
+    * recorded for a DIFFERENT column fails loudly — pruning on the wrong
+    * column's envelope would silently drop rows (same policy as the
+    * bucketCol layout guard). */
+  private def statsForPruning(json: String, sc: String): Option[(Long, Long)] =
+    statsOf(json).map { case (c, lo, hi) =>
+      if (c != sc) throw new IllegalStateException(
+        s"manifest stats were recorded for column '$c' but this sink prunes on " +
+          s"'$sc' — open the table with the statsCol it was written with")
+      (lo, hi)
+    }
 
   /** Relative part-file paths under `dir` (one level of bucket subdirs). */
   private def listPartFiles(f: FileSystem, dir: Path): Seq[String] = {
@@ -404,13 +419,6 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     if (bucket.isEmpty && timeRange.isEmpty) return readSrcs(spark, srcs)
 
     val f = fs()
-    val merge = readerEvolved(f)
-      .getOrElse(mixedFingerprints(f, srcs.map(_._2)))
-    // manifest-driven pruning: both dimensions intersect on the SAME
-    // per-source manifest read — per-bucket row counts and the event-time
-    // envelope. This is the one path that reads the per-epoch manifests —
-    // it touches only the current view's manifests, and compaction keeps
-    // that count small.
     val sc = timeRange.map { _ =>
       statsCol.getOrElse(throw new IllegalArgumentException(
         s"time-range read requires a statsCol-configured sink ($tableDir)"))
@@ -419,27 +427,41 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
       bucketCol.getOrElse(throw new IllegalArgumentException(
         s"bucket read requires a bucketed sink (bucketCol=None in $tableDir)"))
     }
-    val sel = srcs.filter { case (_, m) =>
-      val js = readManifestJson(f, m)
-      val bucketOk = bucket.forall(b => bucketRowsOf(js).getOrElse(b, 0L) > 0L)
-      val timeOk = timeRange.forall { case (fromUs, untilUs) =>
-        statsOf(js) match {
-          case Some((lo, hi)) => hi >= fromUs && lo <= untilUs
-          case None => true // no stats recorded: cannot prune, must read
-        }
-      }
-      bucketOk && timeOk
+    // ONE manifest pass: the merge decision (when the marker is absent)
+    // and both pruning dimensions — per-bucket row counts and the
+    // event-time envelope — all come from the same JSONs. Compaction
+    // keeps the manifest count small.
+    val jsons = srcs.map { case (_, m) => readManifestJson(f, m) }
+    val merge = readerEvolved(f).getOrElse {
+      val md5s = jsons.map(schemaMd5Of)
+      !(md5s.forall(_.isDefined) && md5s.flatten.distinct.size <= 1)
     }
-    if (sel.isEmpty) return withResidual(readSrcs(spark, srcs).limit(0), sc, timeRange)
+    def emptyResult(): DataFrame = {
+      val allPaths = bucketCol match {
+        case Some(bn) => srcs.flatMap { case (dp, _) => bucketDirs(f, dp, bn) }
+        case None => srcs.map(_._1)
+      }
+      withResidual(readPaths(spark, allPaths, merge).limit(0), sc, timeRange)
+    }
+    val sel = srcs.zip(jsons).collect { case ((dp, _), js)
+        if bucket.forall(b => bucketRowsOf(js).getOrElse(b, 0L) > 0L) &&
+          timeRange.forall { case (fromUs, untilUs) =>
+            sc.flatMap(c => statsForPruning(js, c)) match {
+              case Some((lo, hi)) => hi >= fromUs && lo <= untilUs
+              case None => true // no stats recorded: cannot prune, must read
+            }
+          } => dp
+    }
+    if (sel.isEmpty) return emptyResult()
     val paths = bname match {
       // the real bucket column is in the data files — no restoration
-      case Some(bn) => sel.map { case (dp, _) => s"$dp/${shadowCol(bn)}=${bucket.get}" }
+      case Some(bn) => sel.map(dp => s"$dp/${shadowCol(bn)}=${bucket.get}")
       case None => bucketCol match {
-        case Some(bn2) => sel.flatMap { case (dp, _) => bucketDirs(f, dp, bn2) }
-        case None => sel.map(_._1)
+        case Some(bn2) => sel.flatMap(dp => bucketDirs(f, dp, bn2))
+        case None => sel
       }
     }
-    if (paths.isEmpty) return withResidual(readSrcs(spark, srcs).limit(0), sc, timeRange)
+    if (paths.isEmpty) return emptyResult()
     withResidual(readPaths(spark, paths, merge), sc, timeRange)
   }
 
@@ -488,8 +510,8 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
         rows.map(java.lang.Long.valueOf).orNull,
         schemaMd5Of(js).orNull,
         bucketRowsOf(js).size,
-        st.map(x => java.lang.Long.valueOf(x._1)).orNull,
-        st.map(x => java.lang.Long.valueOf(x._2)).orNull)
+        st.map(x => java.lang.Long.valueOf(x._2)).orNull,
+        st.map(x => java.lang.Long.valueOf(x._3)).orNull)
     }.toDF("source", "kind", "rows", "schema_md5", "n_buckets", "min_us", "max_us")
   }
 
@@ -581,10 +603,12 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     // below, permanently duplicating its rows
     val srcs = prevHi.map(h => (s"$tableDir/data/compact-$h", compactManifest(h))).toSeq ++
       epochs.filter(e => prevHi.forall(e > _)).map(e => (s"$tableDir/data/epoch=$e", epochManifest(e)))
-    // bucket counts / stats envelopes come from the captured manifests
-    // (read only when a feature needs them)
-    val jsons = if (bucketCol.isDefined || statsCol.isDefined)
-      srcs.map { case (_, m) => readManifestJson(f, m) } else Nil
+    // bucket counts / stats envelopes come from the captured manifests —
+    // ALWAYS read: a compactor instance constructed without statsCol must
+    // still carry the envelopes forward (the per-epoch manifests are GC'd
+    // below; dropping the stats here would permanently disable time-range
+    // pruning for the whole table)
+    val jsons = srcs.map { case (_, m) => readManifestJson(f, m) }
     val src = readSrcs(spark, srcs)
     bucketCol match {
       case Some(b) =>
@@ -602,12 +626,16 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
       jsons.flatMap(bucketRowsOf).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
         .toSeq.sortBy(_._1)
     // snapshot time-range stats = envelope of the captured manifests';
-    // only valid if EVERY captured source carried stats (else a gap in
-    // coverage would make the envelope a false pruning bound)
-    val statsEnv: Option[(Long, Long)] = statsCol.flatMap { _ =>
+    // only valid if EVERY captured source carried stats FOR ONE column
+    // (a coverage gap or mixed columns would make the envelope a false
+    // pruning bound). Derived from the manifests, not this instance's
+    // statsCol, so any maintenance process preserves them.
+    val statsEnv: Option[(String, Long, Long)] = {
       val sts = jsons.map(statsOf)
-      if (sts.nonEmpty && sts.forall(_.isDefined))
-        Some((sts.flatten.map(_._1).min, sts.flatten.map(_._2).max))
+      if (sts.nonEmpty && sts.forall(_.isDefined) &&
+          sts.flatten.map(_._1).distinct.size == 1)
+        Some((sts.flatten.head._1,
+          sts.flatten.map(_._2).min, sts.flatten.map(_._3).max))
       else None
     }
     val tmp = new Path(manifestDir, s".compact-$hi.json.tmp")

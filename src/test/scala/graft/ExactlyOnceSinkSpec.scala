@@ -374,6 +374,31 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     assert(d2.length == 1 && d2(0).getString(1) == "snapshot")
   }
 
+  test("stats identity and durability: wrong statsCol fails loudly; a plain compactor preserves envelopes") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val dir = Files.createTempDirectory("eossi").toString
+    val sink = new ExactlyOnceSink(dir, statsCol = Some("ts"))
+    sink.write(Seq((1, t(1000), t(1))).toDF("id", "ts", "other_ts"), 0L)
+    sink.write(Seq((2, t(5000), t(2))).toDF("id", "ts", "other_ts"), 1L)
+
+    // pruning on a column the manifests were NOT recorded for is refused
+    val wrong = new ExactlyOnceSink(dir, statsCol = Some("other_ts"))
+    intercept[IllegalStateException] {
+      wrong.readTimeRange(spark, 0L, 10L).collect()
+    }
+
+    // a maintenance process that opens the table WITHOUT statsCol must
+    // not destroy the envelopes when it compacts
+    new ExactlyOnceSink(dir).compact(spark, targetPartitions = 1)
+    val cm = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      s"$dir/_manifest/compact-0000000001.json")))
+    assert(cm.contains("\"stats\"") && cm.contains("\"col\": \"ts\""), cm)
+    // and the statsCol reader still prunes off the snapshot
+    assert(sink.readTimeRange(spark, 900L * 1000000L, 1100L * 1000000L).count() == 1)
+    assert(sink.readTimeRange(spark, 8000L * 1000000L, 9000L * 1000000L).count() == 0)
+  }
+
   test("markerless (legacy) evolved table still unions via the per-manifest fallback") {
     import spark.implicits._
     val dir = Files.createTempDirectory("eosleg").toString
