@@ -70,6 +70,33 @@ object ProductQuant {
   }
 
   /**
+   * Codebooks refined per subspace with the deterministic k-means of
+   * [[Similarity.refineCentroids]] (exact integer cell means, empty-cell
+   * guard) — lower quantization error than the raw sample at the cost of
+   * `m · iters` training passes over the corpus slices, same determinism
+   * contract and the same (sub, code, seed_id, sv) shape, so
+   * [[encode]]/[[adcTopK]] take either. Train-time only: the serving
+   * path is untouched.
+   */
+  def refinedCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, seedMod: Long, iters: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val d = dim / m
+    (0 until m).map { sub =>
+      val c = corpus.select(col(idCol).as("corpus_id"),
+        slice(col(vecCol), sub * d + 1, d).as("cv"))
+        .withColumn("cn", VectorOps.norm_q($"cv"))
+      val seeds0 = c.where($"corpus_id" % seedMod === 0)
+        .select($"corpus_id".as("seed_id"), $"cv".as("sv"), $"cn".as("sn"))
+      Similarity.refineCentroids(c, seeds0, iters).withColumn("sub", lit(sub))
+    }.reduce(_.unionByName(_))
+      .withColumn("code",
+        (row_number().over(Window.partitionBy($"sub").orderBy($"seed_id")) - 1)
+          .cast(IntegerType))
+      .select($"sub", $"seed_id", $"sv", $"code")
+  }
+
+  /**
    * Encode the corpus: (corpus_id, codes array<int> ordered by sub).
    * One scan + broadcast codebook join + argmin aggregation.
    */

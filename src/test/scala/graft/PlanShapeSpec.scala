@@ -45,6 +45,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.split("ObjectHashAggregate").length - 1 >= 2, s"no partial top-k:\n$p")
   }
 
+  test("PQ adcTopK: LUTs broadcast over the codes scan, partial top-k before the exchange") {
+    import spark.implicits._
+    import graft.operators.ProductQuant
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val corpus = emb.where($"vec_id" >= 10)
+    val books = ProductQuant.codebooks(corpus, "vec_id", "embedding", 64, 4, 16L)
+    val codes = ProductQuant.encode(corpus, "vec_id", "embedding", books, 64, 4)
+    val p = plan(ProductQuant.adcTopK(emb.where($"vec_id" < 5), codes, books,
+      "vec_id", "embedding", 64, 4, 3))
+    // the (tiny) per-query LUT table is broadcast; the codes scan stays
+    // partitioned and is never shuffled before scoring
+    assert(p.contains("BroadcastNestedLoopJoin"), s"LUTs not broadcast:\n$p")
+    assert(p.split("ObjectHashAggregate").length - 1 >= 2, s"no partial top-k:\n$p")
+  }
+
+  test("PQ ivfAdcTopK: probes and LUTs broadcast into equi-joins, no cartesian at query time") {
+    import spark.implicits._
+    import graft.operators.ProductQuant
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val p = plan(ProductQuant.ivfAdcTopK(emb.where($"vec_id" < 5),
+      emb.where($"vec_id" >= 10), "vec_id", "vec_id", "embedding", "embedding",
+      64, 4, 3, seedMod = 16L, nProbe = 4))
+    // coarse probe selection broadcasts seeds; the indexed codes join
+    // probes and LUTs via broadcast hash joins — the corpus-scale side is
+    // shuffled only in the build (cells ⋈ codes), never per query batch
+    assert(p.contains("BroadcastNestedLoopJoin"), s"seeds not broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe/LUT join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked into IVF+PQ:\n$p")
+  }
+
   test("q44 near-dup keepers: band equi-join, no cartesian, sigs built without an aggregate") {
     val df = Queries.all.find(_.name == "q44_near_dup_keepers").get
       .fn(spark, sf("sf0.001"))

@@ -97,9 +97,20 @@ class ProductQuantSpec extends SparkSpec {
         .select($"query_id", $"corpus_id")
       adc.intersect(exact).count().toDouble / exact.count().toDouble
     }
+    def recallWith(books: org.apache.spark.sql.DataFrame, mm: Int): Double = {
+      val codes = ProductQuant.encode(corpus, "vec_id", "embedding", books, dim, mm)
+      val adc = ProductQuant.adcTopK(queries, codes, books, "vec_id", "embedding", dim, mm, k = 10)
+        .select($"query_id", $"corpus_id")
+      adc.intersect(exact).count().toDouble / exact.count().toDouble
+    }
     val r4 = recallAt(4)
     val r16 = recallAt(16)
-    info(f"ADC recall@10: m=4 -> $r4%.3f, m=16 -> $r16%.3f")
+    val r4r = recallWith(ProductQuant.refinedCodebooks(
+      corpus, "vec_id", "embedding", dim, 4, 16L, iters = 3), 4)
+    info(f"ADC recall@10: m=4 -> $r4%.3f, m=16 -> $r16%.3f, m=4 refined -> $r4r%.3f")
+    // k-means refinement reduces quantization error: refined sample
+    // codebooks must not LOSE recall vs the raw sample at the same m
+    assert(r4r >= r4, f"refined recall $r4r%.3f dropped below sample $r4%.3f")
     // PQ with sample codebooks is a coarse sketch over these synthetic
     // (structure-free, worst-case) vectors; the contract is a useful
     // shortlist that sharpens with m — rerank survivors with the exact
