@@ -129,10 +129,20 @@ object Similarity {
    * corpus `(corpus_id, cv, cn)`.
    */
   def ivfTopKWithCentroids(q: DataFrame, c: DataFrame, seeds: DataFrame,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int): DataFrame =
     // index build: one corpus shuffle (see assignToCells)
-    val assigned = assignToCells(c, seeds)
+    ivfSearchIndex(q, assignToCells(c, seeds), seeds, k, nProbe)
 
+  /**
+   * Search a PRE-BUILT inverted-file index `(corpus_id, cv, cn,
+   * centroid)` — the persisted-index serving path. Pair with
+   * [[assignIncrement]] + `ExactlyOnceSink.readBetween`: the index is
+   * built once, appended incrementally as new corpus epochs commit, and
+   * every query batch runs against it with NO corpus-scale work (probes
+   * broadcast, index joined on centroid).
+   */
+  def ivfSearchIndex(q: DataFrame, assigned: DataFrame, seeds: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
     // probe selection: top-nProbe cells per query (score DESC, seed ASC)
     val probes = TopK.perKey(
       q.crossJoin(broadcast(seeds))
@@ -147,6 +157,19 @@ object Similarity {
         cosQ(VectorOps.dot_q($"qv", $"cv"), $"qn", $"cn").as("cos_q"))
     TopK.perKey(scored, "query_id", "corpus_id", "cos_q", k, "corpus_id", "cos_q")
   }
+
+  /**
+   * Incremental index maintenance: assign ONLY a new corpus chunk (e.g.
+   * the epochs `readBetween` returned since the last run) against the
+   * FROZEN centroid table and append to the persisted index. Assignment
+   * is row-local (argmax over the broadcast seeds), so chunked index
+   * builds equal the single-batch build exactly (spec-asserted) — the
+   * index never re-reads history, the 100 TB maintenance shape.
+   */
+  def assignIncrement(chunk: DataFrame, idC: String, vecC: String,
+      seeds: DataFrame): DataFrame =
+    assignToCells(chunk.select(col(idC).as("corpus_id"), col(vecC).as("cv"),
+      VectorOps.norm_q(col(vecC)).as("cn")), seeds)
 
   /**
    * Assign every corpus vector to its argmax-cosine cell. The

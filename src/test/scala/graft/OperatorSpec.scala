@@ -178,6 +178,33 @@ class OperatorSpec extends SparkSpec {
     assert(hits >= 16, s"IVF planted-twin recall too low: $hits/20")
   }
 
+  test("ivf incremental index: chunked assignment ≡ batch; search over the appended index ≡ full rebuild") {
+    import spark.implicits._
+    val queries = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        graft.operators.VectorOps.norm_q($"embedding").as("qn"))
+    val corpus = emb.where($"vec_id" >= 10)
+    val seeds = corpus.where($"vec_id" % 16 === 0)
+      .select($"vec_id".as("seed_id"), $"embedding".as("sv"),
+        graft.operators.VectorOps.norm_q($"embedding").as("sn"))
+    // index built in three increments (as readBetween would deliver them)
+    val chunks = Seq(
+      corpus.where($"vec_id" % 3 === 0), corpus.where($"vec_id" % 3 === 1),
+      corpus.where($"vec_id" % 3 === 2))
+    val appended = chunks.map(ch =>
+      Similarity.assignIncrement(ch, "vec_id", "embedding", seeds))
+      .reduce(_.unionByName(_))
+    val whole = Similarity.assignIncrement(corpus, "vec_id", "embedding", seeds)
+    assert(appended.collect().map(_.toSeq).toSet == whole.collect().map(_.toSeq).toSet)
+    // serving off the appended index == one-shot build+search
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val viaIndex = Similarity.ivfSearchIndex(queries, appended, seeds, k = 3, nProbe = 4)
+    val oneShot = Similarity.ivfTopK(emb.where($"vec_id" < 10), corpus,
+      "vec_id", "vec_id", "embedding", "embedding", 3, seedMod = 16L, nProbe = 4)
+    assert(rows(viaIndex) == rows(oneShot) && rows(viaIndex).nonEmpty)
+  }
+
   test("ivf k-means refinement: refined cells stay a correct index and recall twins") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{broadcast => _, _}
