@@ -51,6 +51,14 @@ object ProductQuant {
   private def subSlice(vec: Column, sub: Column, d: Int): Column =
     slice(vec, sub * d + 1, lit(d))
 
+  /** Dense per-subspace codes in seed-id order — the SINGLE encoding of
+    * the density contract [[lutsFor]] depends on (subLut position ==
+    * code); both codebook builders share it. */
+  private def denseCodes(df: DataFrame): DataFrame =
+    df.withColumn("code",
+      (row_number().over(Window.partitionBy($"sub").orderBy($"seed_id")) - 1)
+        .cast(IntegerType))
+
   /**
    * Train sample codebooks: for each of the `m` subspaces, the sliced
    * seed vectors (`id % seedMod == 0`) densely coded in seed-id order.
@@ -64,19 +72,28 @@ object ProductQuant {
       .select(col(idCol).as("seed_id"), col(vecCol).as("v"))
       .withColumn("sub", subCol(m))
       .select($"sub", $"seed_id", subSlice($"v", $"sub", d).as("sv"))
-      .withColumn("code",
-        (row_number().over(Window.partitionBy($"sub").orderBy($"seed_id")) - 1)
-          .cast(IntegerType))
+      .transform(denseCodes)
   }
 
   /**
    * Codebooks refined per subspace with the deterministic k-means of
    * [[Similarity.refineCentroids]] (exact integer cell means, empty-cell
-   * guard) — lower quantization error than the raw sample at the cost of
-   * `m · iters` training passes over the corpus slices, same determinism
-   * contract and the same (sub, code, seed_id, sv) shape, so
+   * guard) — lower quantization error than the raw sample, same
+   * determinism contract and the same (sub, code, seed_id, sv) shape, so
    * [[encode]]/[[adcTopK]] take either. Train-time only: the serving
    * path is untouched.
+   *
+   * Two documented caveats. (1) METRIC: refineCentroids assigns members
+   * by cosine (spherical k-means) while [[encode]] quantizes by the L2
+   * surrogate — on subspaces with heterogeneous norms the refined means
+   * are not the exact L2-error minimizer; the recall guard in
+   * ProductQuantSpec pins that refinement never loses recall on the
+   * spec corpus, and a pure-L2 refinement is the natural follow-up if a
+   * real corpus shows regression. (2) COST: the m subspaces train
+   * sequentially (`m · iters` corpus passes) because the shared
+   * refinement machinery keys cells by a single seed id; a composite
+   * (sub, seed) key would train all books in `iters` passes — worth it
+   * when m is large.
    */
   def refinedCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, seedMod: Long, iters: Int): DataFrame = {
@@ -90,9 +107,7 @@ object ProductQuant {
         .select($"corpus_id".as("seed_id"), $"cv".as("sv"), $"cn".as("sn"))
       Similarity.refineCentroids(c, seeds0, iters).withColumn("sub", lit(sub))
     }.reduce(_.unionByName(_))
-      .withColumn("code",
-        (row_number().over(Window.partitionBy($"sub").orderBy($"seed_id")) - 1)
-          .cast(IntegerType))
+      .transform(denseCodes)
       .select($"sub", $"seed_id", $"sv", $"code")
   }
 

@@ -157,28 +157,38 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     df.persist()
     val (count, bucketRows, tsStats) =
       try {
-        // one aggregation pass yields the row count AND the event-time
-        // envelope (a separate action would re-traverse the micro-batch)
-        val (c, st0) = statsCol match {
-          case Some(sc) =>
-            import org.apache.spark.sql.functions.{count => fcount, lit, min, max, unix_micros, col => fcol}
-            val r = df.agg(fcount(lit(1)), min(unix_micros(fcol(sc))),
-              max(unix_micros(fcol(sc)))).collect()(0)
-            (r.getLong(0),
-              if (r.isNullAt(1)) None else Some((sc, r.getLong(1), r.getLong(2))))
-          case None => (df.count(), None)
-        }
-        // per-bucket row counts: what makes a pruned read skip whole
-        // epochs without listing them
-        val bc: Seq[(Long, Long)] = bucketCol.toSeq.flatMap { b =>
-          df.groupBy(org.apache.spark.sql.functions.col(b)).count().collect()
-            .map { r =>
+        // ONE aggregation action yields the row count, the event-time
+        // envelope, AND (bucketed) the per-bucket counts: every extra
+        // action re-traverses the persisted micro-batch on the hot path
+        import org.apache.spark.sql.functions.{count => fcount, lit, min, max, unix_micros, col => fcol}
+        val statAggs = statsCol.toSeq.flatMap(sc =>
+          Seq(min(unix_micros(fcol(sc))), max(unix_micros(fcol(sc)))))
+        val (c, bc, st0) = bucketCol match {
+          case Some(b) =>
+            val rows = df.groupBy(fcol(b))
+              .agg(fcount(lit(1)), statAggs: _*).collect()
+            rows.foreach { r =>
               // null buckets would route to Hive's default-partition dir,
               // unaddressable by pruned reads — refuse loudly instead
               require(!r.isNullAt(0),
                 s"bucket column '$b' must be non-null for every row (epoch $batchId)")
-              (r.get(0).toString.toLong, r.getLong(1))
-            }.sortBy(_._1).toSeq
+            }
+            val counts = rows.map(r => (r.get(0).toString.toLong, r.getLong(1)))
+              .sortBy(_._1).toSeq
+            val env = statsCol.flatMap { sc =>
+              val los = rows.filter(!_.isNullAt(2)).map(_.getLong(2))
+              val his = rows.filter(!_.isNullAt(3)).map(_.getLong(3))
+              if (los.isEmpty) None else Some((sc, los.min, his.max))
+            }
+            (counts.map(_._2).sum, counts, env)
+          case None =>
+            statsCol match {
+              case Some(sc) =>
+                val r = df.agg(fcount(lit(1)), statAggs: _*).collect()(0)
+                (r.getLong(0), Nil,
+                  if (r.isNullAt(1)) None else Some((sc, r.getLong(1), r.getLong(2))))
+              case None => (df.count(), Nil, None)
+            }
         }
         // overwrite handles a partially-written, uncommitted previous
         // attempt; the shadow column routes directories, the real bucket
@@ -341,10 +351,13 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
 
   /** Fallback merge decision for markerless reads: mixed (or missing)
     * per-manifest fingerprints ⇒ mergeSchema. */
-  private def mixedFingerprints(f: FileSystem, manifests: Seq[Path]): Boolean = {
-    val md5s = manifests.map(m => schemaMd5Of(readManifestJson(f, m)))
+  private def mixedFingerprintsOf(jsons: Seq[String]): Boolean = {
+    val md5s = jsons.map(schemaMd5Of)
     !(md5s.forall(_.isDefined) && md5s.flatten.distinct.size <= 1)
   }
+
+  private def mixedFingerprints(f: FileSystem, manifests: Seq[Path]): Boolean =
+    mixedFingerprintsOf(manifests.map(m => readManifestJson(f, m)))
   // --------------------------------------------------------------------
 
   private def bucketRowsOf(json: String): Map[Long, Long] =
@@ -432,15 +445,15 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     // event-time envelope — all come from the same JSONs. Compaction
     // keeps the manifest count small.
     val jsons = srcs.map { case (_, m) => readManifestJson(f, m) }
-    val merge = readerEvolved(f).getOrElse {
-      val md5s = jsons.map(schemaMd5Of)
-      !(md5s.forall(_.isDefined) && md5s.flatten.distinct.size <= 1)
-    }
+    val merge = readerEvolved(f).getOrElse(mixedFingerprintsOf(jsons))
     def emptyResult(): DataFrame = {
       val allPaths = bucketCol match {
         case Some(bn) => srcs.flatMap { case (dp, _) => bucketDirs(f, dp, bn) }
         case None => srcs.map(_._1)
       }
+      if (allPaths.isEmpty) // keep the designed loud diagnostic, not Spark's schema error
+        throw new IllegalStateException(
+          s"no data files under committed sources in $tableDir (all epochs empty?)")
       withResidual(readPaths(spark, allPaths, merge).limit(0), sc, timeRange)
     }
     val sel = srcs.zip(jsons).collect { case ((dp, _), js)
