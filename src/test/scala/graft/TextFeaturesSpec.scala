@@ -103,6 +103,62 @@ class TextFeaturesSpec extends SparkSpec {
     assert(rows(1).getString(3) == "en")
   }
 
+  test("deep fuzz: 50k cases against java.util.regex directly (no Spark round-trip)") {
+    import java.util.regex.Pattern
+    def cnt(p: Pattern, s: String): Int = {
+      val m = p.matcher(s); var c = 0; while (m.find()) c += 1; c
+    }
+    val pTok = Pattern.compile("\\S+")
+    val pStop = Pattern.compile(TextAnalysis.stopPattern)
+    val pCjk = Pattern.compile(TextAnalysis.cjkPattern)
+    val pLang = TextAnalysis.langMarkers.map { case (l, p) => l -> Pattern.compile(p) }
+    def refQ(s: String): Int = {
+      val toks = cnt(pTok, s)
+      val stripped = s.replaceAll("\\s", "")
+      val chars = stripped.codePointCount(0, stripped.length)
+      val stop = cnt(pStop, s)
+      var sc = 0
+      if (toks >= 32) sc += 40
+      if (chars >= 200) sc += 20
+      val mf = if (toks > 0) math.floor((chars * 10).toLong.toDouble / toks.toLong.toDouble) else 0.0
+      if (mf >= 30 && mf <= 90) sc += 20
+      if (stop >= 2) sc += 20
+      sc
+    }
+    def refL(s: String): String = {
+      if (cnt(pCjk, s) >= 3) return "zh"
+      val scores = pLang.map { case (_, p) => cnt(p, s) }
+      val best = scores.max
+      if (best == 0) "und" else pLang(scores.indexOf(best))._1
+    }
+    val rnd = new scala.util.Random(424242L)
+    val frags = Seq("the", "and", "of", "is", "was", "this", "that", "with",
+      "und", "der", "die", "nicht", "werden", "ein", "eine",
+      "vous", "dans", "pour", "faire", "avec", "le", "les",
+      "como", "haber", "tener", "para", "el", "un", "una", "a", "to", "in",
+      "the1", "_the", "the_", "thee", "The", "einer", "théo", "一", "丁丂",
+      "鿿", "䷿", "ꀀ", "😀", "é", "ß", "ñ", "_", "x_y", "0", "42",
+      "́", "x́", "_́", "𐐀", "𐐀́")
+    val seps = Seq(" ", "", "\t", "\n", "", "\f", "\r", ".", ",", "-", "", " ")
+    var i = 0
+    while (i < 50000) {
+      val k = rnd.nextInt(25)
+      val sb = new StringBuilder
+      var j = 0
+      while (j < k) {
+        sb.append(frags(rnd.nextInt(frags.length)))
+        sb.append(seps(rnd.nextInt(seps.length)))
+        j += 1
+      }
+      val s = sb.toString
+      assert(q(s) == refQ(s), s"quality divergence on case $i: ${s.map(c =>
+        if (c >= 32 && c < 127) c.toString else f"\\u${c.toInt}%04x").mkString}")
+      assert(l(s) == refL(s), s"langId divergence on case $i: ${s.map(c =>
+        if (c >= 32 && c < 127) c.toString else f"\\u${c.toInt}%04x").mkString}")
+      i += 1
+    }
+  }
+
   test("fuzz: expressions ≡ regex reference trees over adversarial corpus") {
     val rnd = new scala.util.Random(20260817L)
     val markers = Seq("the", "and", "of", "is", "was", "this", "that", "with",
