@@ -76,39 +76,55 @@ object ProductQuant {
   }
 
   /**
-   * Codebooks refined per subspace with the deterministic k-means of
-   * [[Similarity.refineCentroids]] (exact integer cell means, empty-cell
-   * guard) — lower quantization error than the raw sample, same
-   * determinism contract and the same (sub, code, seed_id, sv) shape, so
-   * [[encode]]/[[adcTopK]] take either. Train-time only: the serving
-   * path is untouched.
-   *
-   * Two documented caveats. (1) METRIC: refineCentroids assigns members
-   * by cosine (spherical k-means) while [[encode]] quantizes by the L2
-   * surrogate — on subspaces with heterogeneous norms the refined means
-   * are not the exact L2-error minimizer; the recall guard in
-   * ProductQuantSpec pins that refinement never loses recall on the
-   * spec corpus, and a pure-L2 refinement is the natural follow-up if a
-   * real corpus shows regression. (2) COST: the m subspaces train
-   * sequentially (`m · iters` corpus passes) because the shared
-   * refinement machinery keys cells by a single seed id; a composite
-   * (sub, seed) key would train all books in `iters` passes — worth it
-   * when m is large.
+   * Codebooks refined with deterministic per-subspace L2 k-means — ALL
+   * `m` subspaces train together in `iters` corpus passes (the sub
+   * column is part of the assignment join key, so each pass is one
+   * grouped job, not `m` sequential ones), and the assignment metric is
+   * the SAME exact-integer L2 surrogate [[encode]] quantizes by, so the
+   * refinement optimizes exactly the quantizer's objective. Cell means
+   * are exact integer floors (the [[Similarity.refineCentroids]]
+   * discipline: bit-deterministic at any partitioning); an emptied cell
+   * keeps its previous centroid. Output shape matches [[codebooks]], so
+   * [[encode]]/[[adcTopK]]/[[lutsFor]] take either. Train-time only.
    */
   def refinedCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, seedMod: Long, iters: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val d = dim / m
-    (0 until m).map { sub =>
-      val c = corpus.select(col(idCol).as("corpus_id"),
-        slice(col(vecCol), sub * d + 1, d).as("cv"))
-        .withColumn("cn", VectorOps.norm_q($"cv"))
-      val seeds0 = c.where($"corpus_id" % seedMod === 0)
-        .select($"corpus_id".as("seed_id"), $"cv".as("sv"), $"cn".as("sn"))
-      Similarity.refineCentroids(c, seeds0, iters).withColumn("sub", lit(sub))
-    }.reduce(_.unionByName(_))
-      .transform(denseCodes)
-      .select($"sub", $"seed_id", $"sv", $"code")
+    // composite (sub, code) cells packed into one long label so the
+    // shared exact-integer centroidSums machinery applies unchanged
+    val Lbl = 1000000L
+    val sliced = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("sub", subCol(m))
+      .select($"corpus_id", $"sub", subSlice($"cv", $"sub", d).as("csv"))
+    var books = codebooks(corpus, idCol, vecCol, dim, m, seedMod)
+    for (_ <- 1 to iters) {
+      val prev = books
+      val booksN = books.withColumn("sn2", VectorOps.dot_q($"sv", $"sv"))
+      // assignment: encode's own argmin (one grouped pass over all subs)
+      val assigned = sliced.join(broadcast(booksN), Seq("sub"))
+        .select($"corpus_id", $"sub", $"csv",
+          struct(($"sn2" - lit(2L) * VectorOps.dot_q($"csv", $"sv"))
+            .as("cost"), $"code").as("cand"))
+        .groupBy($"corpus_id", $"sub")
+        .agg(min($"cand").as("b"), any_value($"csv").as("csv"))
+        .select(($"sub".cast(LongType) * Lbl + $"b.code").as("lbl"), $"csv")
+      // exact floor(sum/n) integer means per (sub, code, pos)
+      val means = Similarity.centroidSums(assigned, "lbl", "csv")
+        .withColumn("mq", expr("(sum_q - pmod(sum_q, n)) div n"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"mq"))),
+          e => (e("mq").cast(DoubleType) / 1e6).cast(FloatType)).as("new_sv"))
+        .select(expr(s"label div $Lbl").cast(IntegerType).as("sub"),
+          pmod($"label", lit(Lbl)).cast(IntegerType).as("code"), $"new_sv")
+      // empty-cell guard + materialize (a lazy books doubles the plan
+      // per iteration — same discipline as refineCentroids)
+      books = books.join(means, Seq("sub", "code"), "left")
+        .select($"sub", $"seed_id", coalesce($"new_sv", $"sv").as("sv"), $"code")
+        .localCheckpoint()
+      prev.unpersist()
+    }
+    books
   }
 
   /**
