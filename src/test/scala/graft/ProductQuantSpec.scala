@@ -31,6 +31,12 @@ class ProductQuantSpec extends SparkSpec {
     val again = ProductQuant.encode(corpus.repartition(7), "vec_id", "embedding", books, dim, m)
     assert(codes.collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
       == again.collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap)
+    // refined books too: exact integer means are partitioning-independent
+    def bookMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getInt(0), r.getInt(3)), r.getSeq[Float](2).toSeq)).toMap
+    val rb1 = ProductQuant.refinedCodebooks(corpus, "vec_id", "embedding", dim, m, 16L, 2)
+    val rb2 = ProductQuant.refinedCodebooks(corpus.repartition(5), "vec_id", "embedding", dim, m, 16L, 2)
+    assert(bookMap(rb1) == bookMap(rb2) && bookMap(rb1).nonEmpty)
   }
 
   test("a query equal to a seed vector retrieves that seed at rank 1") {
