@@ -59,6 +59,38 @@ object RequestService {
   }
 
   /**
+   * Start the embedding-match service against a PRE-BUILT IVF index —
+   * the 100 TB serving shape: the index `(corpus_id, cv, cn, centroid)`
+   * (built once via `Similarity.assignIncrement` and appended as new
+   * corpus epochs commit) and the centroid table are long-lived; each
+   * request micro-batch only broadcasts its probes against them
+   * (`Similarity.ivfSearchIndex`), never scanning or shuffling the full
+   * corpus. Cache/persist the index DataFrame — it is re-used every
+   * trigger.
+   */
+  def startIndexedEmbeddingMatch(spark: SparkSession, requests: DataFrame,
+      index: DataFrame, seeds: DataFrame,
+      reqId: String, reqVec: String,
+      responseTable: String, checkpoint: String,
+      k: Int = 5, nProbe: Int = 4,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val sink = new ExactlyOnceSink(responseTable)
+    requests.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        import org.apache.spark.sql.functions.col
+        val q = batch.toDF().select(col(reqId).as("query_id"), col(reqVec).as("qv"),
+          graft.operators.VectorOps.norm_q(col(reqVec)).as("qn"))
+        sink.write(
+          graft.operators.Similarity.ivfSearchIndex(q, index, seeds, k, nProbe)
+            .withColumnRenamed("query_id", "request_id"), id)
+      }
+      .start()
+  }
+
+  /**
    * Start the embedding-match service: per micro-batch of requests
    * (`reqId`, `reqVec` columns), quantized-cosine top-k against the
    * corpus embeddings, committed to `responseTable`.

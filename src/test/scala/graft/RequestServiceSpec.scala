@@ -61,6 +61,40 @@ class RequestServiceSpec extends SparkSpec {
       s"stream=${got.toSet.size} rows vs batch=${expected.toSet.size} rows")
   }
 
+  test("indexed embedding service: stream off a persisted IVF index ≡ batch index search") {
+    import spark.implicits._
+    import graft.operators.{Similarity, VectorOps}
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding").cache()
+    val corpus = emb.where($"vec_id" >= 10)
+    val seeds = corpus.where($"vec_id" % 16 === 0)
+      .select($"vec_id".as("seed_id"), $"embedding".as("sv"),
+        VectorOps.norm_q($"embedding").as("sn")).cache()
+    // the long-lived index: built once, appended incrementally in prod
+    val index = Similarity.assignIncrement(corpus, "vec_id", "embedding", seeds).cache()
+    val reqRows = emb.where($"vec_id" < 5).collect()
+      .map(r => VecReq(r.getLong(0), r.getSeq[Float](1).toArray))
+
+    val cp = Files.createTempDirectory("ricp").toString
+    val table = Files.createTempDirectory("ritbl").toString
+    val in = MemoryStream[VecReq](Encoders.product[VecReq], spark)
+    val q = RequestService.startIndexedEmbeddingMatch(spark, in.toDF(), index, seeds,
+      "request_id", "qvec", table, cp, k = 3, nProbe = 4)
+    in.addData(reqRows.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = new ExactlyOnceSink(table).read(spark)
+      .select($"request_id", $"corpus_id", $"cos_q", $"rk").collect().map(_.toSeq).toSet
+    val expected = Similarity.ivfSearchIndex(
+      reqRows.toSeq.map(r => (r.request_id, r.qvec)).toDF("request_id", "qvec")
+        .select($"request_id".as("query_id"), $"qvec".as("qv"),
+          VectorOps.norm_q($"qvec").as("qn")),
+      index, seeds, k = 3, nProbe = 4)
+      .select($"query_id", $"corpus_id", $"cos_q", $"rk").collect().map(_.toSeq).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("embedding match service: stream ≡ batch") {
     import spark.implicits._
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
