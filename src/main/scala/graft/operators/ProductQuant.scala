@@ -51,6 +51,31 @@ object ProductQuant {
   private def subSlice(vec: Column, sub: Column, d: Int): Column =
     slice(vec, sub * d + 1, lit(d))
 
+  /** Corpus exploded into per-subspace slices: (corpus_id, sub, csv). */
+  private def slicedSubs(corpus: DataFrame, idCol: String, vecCol: String,
+      d: Int, m: Int): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("sub", subCol(m))
+      .select($"corpus_id", $"sub", subSlice($"cv", $"sub", d).as("csv"))
+
+  /** The ONE argmin assignment both the encoder and the trainer use:
+    * per (corpus row, sub), the code minimizing the exact-integer L2
+    * surrogate `dot_q(sv,sv) − 2·dot_q(csv,sv)`, ties to the lowest
+    * code. Keeping this in one place is what guarantees refinement
+    * optimizes exactly the quantizer's objective.
+    * Output: (corpus_id, sub, code, csv). */
+  private def argminAssign(sliced: DataFrame, books: DataFrame): DataFrame = {
+    // precompute each codebook entry's self-dot once (constant per entry)
+    val booksN = books.withColumn("sn2", VectorOps.dot_q($"sv", $"sv"))
+    sliced.join(broadcast(booksN), Seq("sub"))
+      .select($"corpus_id", $"sub", $"csv",
+        struct(($"sn2" - lit(2L) * VectorOps.dot_q($"csv", $"sv"))
+          .as("cost"), $"code").as("cand"))
+      .groupBy($"corpus_id", $"sub")
+      .agg(min($"cand").as("b"), any_value($"csv").as("csv"))
+      .select($"corpus_id", $"sub", $"b.code".as("code"), $"csv")
+  }
+
   /** Dense per-subspace codes in seed-id order — the SINGLE encoding of
     * the density contract [[lutsFor]] depends on (subLut position ==
     * code); both codebook builders share it. */
@@ -94,21 +119,18 @@ object ProductQuant {
     // composite (sub, code) cells packed into one long label so the
     // shared exact-integer centroidSums machinery applies unchanged
     val Lbl = 1000000L
-    val sliced = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-      .withColumn("sub", subCol(m))
-      .select($"corpus_id", $"sub", subSlice($"cv", $"sub", d).as("csv"))
+    val sliced = slicedSubs(corpus, idCol, vecCol, d, m)
     var books = codebooks(corpus, idCol, vecCol, dim, m, seedMod)
+    // the packing is only injective while codes stay below Lbl — fail
+    // loudly instead of silently cross-assigning subspaces
+    val ksub = books.where($"sub" === 0).count()
+    require(ksub < Lbl,
+      s"$ksub codes per subspace exceeds the label packing range ($Lbl); raise seedMod")
     for (_ <- 1 to iters) {
       val prev = books
-      val booksN = books.withColumn("sn2", VectorOps.dot_q($"sv", $"sv"))
-      // assignment: encode's own argmin (one grouped pass over all subs)
-      val assigned = sliced.join(broadcast(booksN), Seq("sub"))
-        .select($"corpus_id", $"sub", $"csv",
-          struct(($"sn2" - lit(2L) * VectorOps.dot_q($"csv", $"sv"))
-            .as("cost"), $"code").as("cand"))
-        .groupBy($"corpus_id", $"sub")
-        .agg(min($"cand").as("b"), any_value($"csv").as("csv"))
-        .select(($"sub".cast(LongType) * Lbl + $"b.code").as("lbl"), $"csv")
+      // assignment: the encoder's own argmin (one grouped pass, all subs)
+      val assigned = argminAssign(sliced, books)
+        .select(($"sub".cast(LongType) * Lbl + $"code").as("lbl"), $"csv")
       // exact floor(sum/n) integer means per (sub, code, pos)
       val means = Similarity.centroidSums(assigned, "lbl", "csv")
         .withColumn("mq", expr("(sum_q - pmod(sum_q, n)) div n"))
@@ -132,25 +154,11 @@ object ProductQuant {
    * One scan + broadcast codebook join + argmin aggregation.
    */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
-      books: DataFrame, dim: Int, m: Int): DataFrame = {
-    val d = dim / m
-    val sliced = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-      .withColumn("sub", subCol(m))
-      .select($"corpus_id", $"sub", subSlice($"cv", $"sub", d).as("csv"))
-    // precompute each codebook entry's self-dot once (it is constant per
-    // entry; recomputing it per corpus row would double the argmin pass)
-    val booksN = books.withColumn("sn2", VectorOps.dot_q($"sv", $"sv"))
-    val best = sliced.join(broadcast(booksN), Seq("sub"))
-      .select($"corpus_id", $"sub",
-        struct(($"sn2" - lit(2L) * VectorOps.dot_q($"csv", $"sv"))
-          .as("cost"), $"code").as("cand"))
-      .groupBy($"corpus_id", $"sub")
-      .agg(min($"cand").as("b")) // exact-integer argmin, ties to lowest code
-      .select($"corpus_id", $"sub", $"b.code".as("code"))
-    best.groupBy($"corpus_id")
+      books: DataFrame, dim: Int, m: Int): DataFrame =
+    argminAssign(slicedSubs(corpus, idCol, vecCol, dim / m, m), books)
+      .groupBy($"corpus_id")
       .agg(transform(array_sort(collect_list(struct($"sub", $"code"))),
         e => e("code")).as("codes"))
-  }
 
   /**
    * ADC top-k: per-query lookup tables (`lut[sub][code] = dot_q(q_sub,

@@ -78,14 +78,23 @@ class RequestServiceSpec extends SparkSpec {
     val cp = Files.createTempDirectory("ricp").toString
     val table = Files.createTempDirectory("ritbl").toString
     val in = MemoryStream[VecReq](Encoders.product[VecReq], spark)
-    val q = RequestService.startIndexedEmbeddingMatch(spark, in.toDF(), index, seeds,
+    def start() = RequestService.startIndexedEmbeddingMatch(spark, in.toDF(), index, seeds,
       "request_id", "qvec", table, cp, k = 3, nProbe = 4)
-    in.addData(reqRows.toIndexedSeq)
+    // two request batches with a kill/resume between them: re-delivered
+    // epochs must not duplicate responses
+    var q = start()
+    in.addData(reqRows.take(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    q = start()
+    in.addData(reqRows.drop(2).toIndexedSeq)
     q.processAllAvailable()
     q.stop()
 
-    val got = new ExactlyOnceSink(table).read(spark)
-      .select($"request_id", $"corpus_id", $"cos_q", $"rk").collect().map(_.toSeq).toSet
+    val rows = new ExactlyOnceSink(table).read(spark)
+      .select($"request_id", $"corpus_id", $"cos_q", $"rk").collect().map(_.toSeq)
+    assert(rows.length == rows.distinct.length, "duplicate responses after resume")
+    val got = rows.toSet
     val expected = Similarity.ivfSearchIndex(
       reqRows.toSeq.map(r => (r.request_id, r.qvec)).toDF("request_id", "qvec")
         .select($"request_id".as("query_id"), $"qvec".as("qv"),
