@@ -34,8 +34,13 @@ object PagePipelineApp {
     val flags = Set("--join-meta", "--near-dup", "--prep")
     val valueOpts = Set("--pages", "--hosts", "--rate", "--checkpoint", "--table", "--metrics",
       "--buckets", "--bucket-by", "--jsonl")
-    val a = args.filterNot(flags.contains)
-      .sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val kvArgs = args.filterNot(flags.contains)
+    // sliding(2, 2) silently discards a trailing odd element — a final
+    // `--buckets` with no value would be ignored and the app would run
+    // with the default layout; refuse the malformed command line instead
+    if (kvArgs.length % 2 != 0)
+      sys.error(s"option '${kvArgs.last}' has no value")
+    val a = kvArgs.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     // fail loudly on anything unrecognized: a typo'd flag would otherwise
     // silently shift every later key/value pair onto the wrong option
     a.keys.find(k => !valueOpts.contains(k)).foreach { k =>

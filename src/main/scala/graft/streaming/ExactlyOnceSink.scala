@@ -150,6 +150,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     locally {
       val f0 = fs()
       if (f0.exists(tableMeta)) requireLayoutMatch(readManifestJson(f0, tableMeta))
+      else requireInferredLayoutMatch(f0)
     }
     val dataPath = s"$tableDir/data/epoch=$batchId"
     // persist so the count and the write share one computation of the
@@ -301,10 +302,11 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
   private def evolvedOf(json: String): Boolean =
     """"evolved":\s*true""".r.findFirstMatchIn(json).isDefined
 
-  private def writeTableMeta(f: FileSystem, md5: String, evolved: Boolean): Unit = {
+  private def writeTableMeta(f: FileSystem, md5: String, evolved: Boolean,
+      layout: Option[String]): Unit = {
     f.mkdirs(manifestDir)
     val tmp = new Path(manifestDir, ".table.json.tmp")
-    val body = s"""{"bucket_col": ${bucketCol.map(b => "\"" + b + "\"").getOrElse("null")},
+    val body = s"""{"bucket_col": ${layout.map(b => "\"" + b + "\"").getOrElse("null")},
                   | "schema_md5": "$md5", "evolved": $evolved}""".stripMargin
     val out = f.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
@@ -323,6 +325,41 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
           "use the layout the table was created with")
   }
 
+  private def hasBucketsKey(json: String): Boolean =
+    """"buckets":\s*\{""".r.findFirstMatchIn(json).isDefined
+
+  /** Layout guard for MARKERless tables that already have commits (written
+    * before the marker existed, or whose marker was lost mid-replace): the
+    * manifests carry a `buckets` key iff the writer was bucketed, and the
+    * shadow dirs carry the column name — infer the layout from them and
+    * refuse a mismatched open. Without this, the first write of a
+    * differently-configured sink would stamp the marker with ITS layout
+    * and every historical flat epoch would silently vanish from bucketed
+    * reads (zero shadow subdirs ⇒ zero paths contributed, no error). */
+  private def requireInferredLayoutMatch(f: FileSystem): Unit = {
+    val srcs = currentSrcs()
+    if (srcs.isEmpty) return // fresh table: this sink defines the layout
+    val bucketed = srcs.exists { case (_, m) => hasBucketsKey(readManifestJson(f, m)) }
+    if (bucketed != bucketCol.isDefined)
+      throw new IllegalStateException(
+        s"table $tableDir has committed ${if (bucketed) "bucketed" else "flat"} epochs " +
+          s"(and no table marker) but was opened with bucketCol=$bucketCol — a " +
+          "mismatched layout would silently mis-read; use the layout the table " +
+          "was created with")
+    // bucketed on both sides: verify the column NAME where shadow dirs reveal
+    // it (all-empty epochs leave none — then the name is genuinely unknowable)
+    for (b <- bucketCol) {
+      val recorded = srcs.map(x => new Path(x._1)).filter(f.exists)
+        .flatMap(dp => f.listStatus(dp).toSeq.map(_.getPath.getName))
+        .collectFirst { case n if n.startsWith("__") && n.contains("=") =>
+          n.stripPrefix("__").takeWhile(_ != '=') }
+      for (r <- recorded if r != b)
+        throw new IllegalStateException(
+          s"table $tableDir routes on '__$r=' directories but was opened with " +
+            s"bucketCol=Some($b) — use the column the table was created with")
+    }
+  }
+
   /** Maintain the marker on commit: validate layout, flip `evolved` when
     * the schema fingerprint changes. Returns nothing; throws on layout
     * mismatch BEFORE any data is written. */
@@ -331,8 +368,15 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
       val js = readManifestJson(f, tableMeta)
       requireLayoutMatch(js)
       val prev = schemaMd5Of(js)
-      if (!prev.contains(md5)) writeTableMeta(f, md5, evolved = true)
-    } else writeTableMeta(f, md5, evolved = false)
+      if (!prev.contains(md5)) writeTableMeta(f, md5, evolved = true, bucketCol)
+    } else {
+      // seeding a marker over a table that already has commits (markerless
+      // legacy): derive `evolved` from the EXISTING fingerprints, not from
+      // this commit alone — stamping evolved=false over mixed-schema
+      // history would send readers down the plain (first-file-schema) path
+      val prior = currentSrcs().map { case (_, m) => schemaMd5Of(readManifestJson(f, m)) }
+      writeTableMeta(f, md5, evolved = prior.exists(p => !p.contains(md5)), bucketCol)
+    }
   }
 
   /** Reader-side: validate layout and decide mergeSchema from the marker
@@ -713,10 +757,19 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     // future reads go back to the plain (no-mergeSchema) path
     val current = compactHi().map(compactManifest).toSeq ++
       committedEpochs().filter(e => compactHi().forall(e > _)).map(epochManifest)
-    if (current.nonEmpty) {
+    if (current.nonEmpty && f.exists(tableMeta)) {
       val md5s = current.map(m => schemaMd5Of(readManifestJson(f, m)))
-      if (md5s.forall(_.isDefined) && md5s.flatten.distinct.size == 1)
-        writeTableMeta(f, md5s.head.get, evolved = false)
+      if (md5s.forall(_.isDefined) && md5s.flatten.distinct.size == 1) {
+        // carry the RECORDED layout forward verbatim: maintenance is
+        // documented to run from a plain `new ExactlyOnceSink(dir)`, and
+        // substituting that instance's bucketCol here would reset a
+        // bucketed table's marker to flat — every correctly-configured
+        // reader would then fail the layout guard (and a flat one would
+        // pass it against bucketed data). A markerless table stays
+        // markerless: seeding is write()'s job, behind its layout guards.
+        val layout = bucketColOf(readManifestJson(f, tableMeta))
+        writeTableMeta(f, md5s.head.get, evolved = false, layout)
+      }
     }
     victims.size
   }

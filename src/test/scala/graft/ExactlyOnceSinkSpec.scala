@@ -412,5 +412,64 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     val rows = back.orderBy("id").collect()
       .map(r => (r.getInt(0), if (r.isNullAt(2)) null else r.getLong(2)))
     assert(rows.toSeq == Seq((1, null), (2, 7L)))
+    // seeding a marker over mixed-schema history must record evolved=true:
+    // a third commit writes the marker fresh, and a stamped evolved=false
+    // would send readers down the plain first-file-schema path
+    sink.write(Seq((3, "c")).toDF("id", "v"), 2L)
+    assert(sink.read(spark).columns.toSeq == Seq("id", "v", "score"))
+  }
+
+  test("markerless table with flat epochs refuses a bucketed open (inferred layout guard)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eosmk1").toString
+    val flat = new ExactlyOnceSink(dir)
+    flat.write(Seq((1, "a", 0), (2, "b", 1)).toDF("id", "v", "hb"), 0L)
+    Files.delete(java.nio.file.Paths.get(s"$dir/_manifest/table.json"))
+    // a bucketed sink's first write would stamp a bucketed marker and the
+    // flat epoch's rows would silently vanish from every later read
+    val bucketed = new ExactlyOnceSink(dir, bucketCol = Some("hb"))
+    intercept[IllegalStateException] {
+      bucketed.write(Seq((3, "c", 0)).toDF("id", "v", "hb"), 1L)
+    }
+    // the table is untouched: the flat sink still reads epoch 0 alone
+    assert(flat.read(spark).count() == 2)
+  }
+
+  test("markerless table with bucketed epochs refuses flat and wrong-column opens") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eosmk2").toString
+    val sink = new ExactlyOnceSink(dir, bucketCol = Some("hb"))
+    sink.write(Seq((1, "a", 0), (2, "b", 1)).toDF("id", "v", "hb"), 0L)
+    Files.delete(java.nio.file.Paths.get(s"$dir/_manifest/table.json"))
+    intercept[IllegalStateException] {
+      new ExactlyOnceSink(dir).write(Seq((3, "c", 0)).toDF("id", "v", "hb"), 1L)
+    }
+    intercept[IllegalStateException] {
+      new ExactlyOnceSink(dir, bucketCol = Some("other"))
+        .write(Seq((3, "c", 0)).toDF("id", "v", "other"), 1L)
+    }
+    // the CORRECT layout still writes (re-seeding the marker)
+    sink.write(Seq((3, "c", 0)).toDF("id", "v", "hb"), 1L)
+    assert(sink.read(spark).count() == 3)
+    assert(sink.read(spark, bucket = Some(0L)).count() == 2)
+  }
+
+  test("gcUnreferenced from a plain maintenance instance preserves the recorded layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eosgcl").toString
+    val sink = new ExactlyOnceSink(dir, bucketCol = Some("hb"))
+    sink.write(Seq((1, "a", 0)).toDF("id", "v", "hb"), 0L)
+    sink.write(Seq((2, "b", 1)).toDF("id", "v", "hb"), 1L)
+    sink.compact(spark, targetPartitions = 1)
+    // the documented maintenance shape: a plain instance runs GC
+    assert(new ExactlyOnceSink(dir).gcUnreferenced() == 2)
+    // marker must still record the bucketed layout...
+    val marker = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest/table.json")))
+    assert(marker.contains("\"bucket_col\": \"hb\""), marker)
+    // ...so the correctly-configured sink keeps working
+    assert(sink.read(spark, bucket = Some(1L)).count() == 1)
+    // and a flat open still fails the guard instead of mis-reading
+    intercept[IllegalStateException] { new ExactlyOnceSink(dir).read(spark) }
   }
 }
