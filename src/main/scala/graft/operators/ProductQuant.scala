@@ -207,14 +207,59 @@ object ProductQuant {
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame,
       idQ: String, idC: String, vecQ: String, vecC: String,
       dim: Int, m: Int, k: Int, seedMod: Long = 16L, nProbe: Int = 4): DataFrame = {
-    val c = corpus.select(col(idC).as("corpus_id"), col(vecC).as("cv"),
-      VectorOps.norm_q(col(vecC)).as("cn"))
+    val seeds = corpus.where(col(idC) % seedMod === 0)
+      .select(col(idC).as("seed_id"), col(vecC).as("sv"),
+        VectorOps.norm_q(col(vecC)).as("sn"))
+    val books = codebooks(corpus, idC, vecC, dim, m, seedMod)
+    // the in-query composition: build the whole index, then serve — the
+    // verification form. A repeated-query deployment persists the index
+    // ([[indexIncrement]]) and serves via [[ivfAdcSearchIndex]] directly.
+    val index = indexIncrement(corpus, idC, vecC, seeds, books, dim, m)
+    ivfAdcSearchIndex(queries, index, seeds, books, idQ, vecQ, dim, m, k, nProbe)
+  }
+
+  /**
+   * Incremental IVF-PQ index maintenance: assign + encode ONLY a new
+   * corpus chunk (e.g. the epochs `ExactlyOnceSink.readBetween` returned
+   * since the last run) against FROZEN coarse centroids `(seed_id, sv,
+   * sn)` and FROZEN codebooks, yielding `(corpus_id, centroid, codes)`
+   * rows to append to the persisted index table. Both halves are
+   * row-local per corpus id (the coarse argmax and the per-subspace
+   * argmin each consult only the row and the broadcast seed/codebook
+   * tables), so chunked builds equal the single-batch build exactly
+   * (spec-asserted) — history is never re-encoded, and after this pass
+   * the raw vectors can go COLD: the index carries `m` codes per row,
+   * which is why PQ serving is affordable at 100 TB at all.
+   *
+   * Reference analog: `PartialMatcher.java:110-145` builds its prototype
+   * index once at `prepare`, not per request.
+   */
+  def indexIncrement(chunk: DataFrame, idC: String, vecC: String,
+      seeds: DataFrame, books: DataFrame, dim: Int, m: Int): DataFrame =
+    // the one chunk-scale shuffle (corpus_id equi-join of the two
+    // row-local passes) happens HERE, at index-build time — never at
+    // query time
+    Similarity.assignIncrement(chunk, idC, vecC, seeds)
+      .select($"corpus_id", $"centroid")
+      .join(encode(chunk, idC, vecC, books, dim, m), Seq("corpus_id"))
+
+  /**
+   * Serve ADC top-k off a PRE-BUILT IVF-PQ index `(corpus_id, centroid,
+   * codes)` — the persisted-index serving path, pairing with
+   * [[indexIncrement]] the way `Similarity.ivfSearchIndex` pairs with
+   * `assignIncrement`. Per query batch: probe selection against the
+   * broadcast centroid table, LUT construction against the broadcast
+   * codebooks, then one pruned scan of the codes table (broadcast probe
+   * + LUT joins, [[PqAdcScore]] doing `m` table reads per candidate) —
+   * nothing corpus-scale is shuffled, re-encoded, or even read as raw
+   * floats. With `nProbe >= |seeds|` this equals [[adcTopK]] over the
+   * same codes (spec-asserted via [[ivfAdcTopK]]).
+   */
+  def ivfAdcSearchIndex(queries: DataFrame, index: DataFrame,
+      seeds: DataFrame, books: DataFrame, idQ: String, vecQ: String,
+      dim: Int, m: Int, k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(col(idQ).as("query_id"), col(vecQ).as("qv"),
       VectorOps.norm_q(col(vecQ)).as("qn"))
-    val seeds = c.where($"corpus_id" % seedMod === 0)
-      .select($"corpus_id".as("seed_id"), $"cv".as("sv"), $"cn".as("sn"))
-    // coarse layer: cell assignment + probe selection (IVF machinery)
-    val cells = Similarity.assignToCells(c, seeds).select($"corpus_id", $"centroid")
     val probes = TopK.perKey(
       q.crossJoin(broadcast(seeds))
         .select($"query_id", $"seed_id",
@@ -222,16 +267,7 @@ object ProductQuant {
             .cast(LongType).as("sc")),
       "query_id", "seed_id", "sc", nProbe, "seed_id", "sc")
       .select($"query_id", $"seed_id".as("centroid"))
-    // fine layer: PQ codes, CO-LOCATED with their cell at build time —
-    // the one corpus-scale shuffle happens here, in the index build
-    // (persist `indexed` partitioned by centroid at 100 TB and amortize
-    // across query batches, exactly like IVF's `assigned`)
-    val books = codebooks(corpus, idC, vecC, dim, m, seedMod)
-    val codes = encode(corpus, idC, vecC, books, dim, m)
-    val indexed = cells.join(codes, Seq("corpus_id"))
-    // query time: broadcast the (tiny) probe and LUT tables against the
-    // indexed codes — no corpus-scale shuffle per query batch
-    val scored = indexed.join(broadcast(probes), Seq("centroid"))
+    val scored = index.join(broadcast(probes), Seq("centroid"))
       .join(broadcast(lutsFor(queries, books, idQ, vecQ, dim, m)), Seq("query_id"))
       .select($"query_id", $"corpus_id", adc($"lut", $"codes").as("adc_q"))
     TopK.perKey(scored, "query_id", "corpus_id", "adc_q", k, "corpus_id", "adc_q")

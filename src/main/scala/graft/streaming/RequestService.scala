@@ -91,6 +91,36 @@ object RequestService {
   }
 
   /**
+   * Start the PQ-compressed embedding-match service off a persisted
+   * IVF-PQ index `(corpus_id, centroid, codes)` — built once by
+   * `ProductQuant.indexIncrement` and appended as new corpus epochs
+   * commit. This is the memory-side 100 TB serving shape: each trigger
+   * broadcasts its probe and LUT tables, the index scan reads `m` codes
+   * per candidate row, and the raw corpus vectors are never touched at
+   * query time. Cache/persist `index`, `seeds`, and `books` — all three
+   * are re-used every trigger.
+   */
+  def startIndexedPqMatch(spark: SparkSession, requests: DataFrame,
+      index: DataFrame, seeds: DataFrame, books: DataFrame,
+      reqId: String, reqVec: String, dim: Int, m: Int,
+      responseTable: String, checkpoint: String,
+      k: Int = 5, nProbe: Int = 4,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val sink = new ExactlyOnceSink(responseTable)
+    requests.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink.write(
+          graft.operators.ProductQuant.ivfAdcSearchIndex(batch.toDF(), index, seeds, books,
+            reqId, reqVec, dim, m, k, nProbe)
+            .withColumnRenamed("query_id", "request_id"), id)
+      }
+      .start()
+  }
+
+  /**
    * Start the embedding-match service: per micro-batch of requests
    * (`reqId`, `reqVec` columns), quantized-cosine top-k against the
    * corpus embeddings, committed to `responseTable`.

@@ -80,6 +80,49 @@ class ProductQuantSpec extends SparkSpec {
     assert(probed.except(allAdc).count() == 0 && probed.count() > 0)
   }
 
+  test("IVF-PQ persisted index: chunked encode ≡ batch; search off the appended table ≡ in-query composition") {
+    import spark.implicits._
+    import graft.operators.VectorOps
+    import graft.streaming.ExactlyOnceSink
+    val queries = emb.where($"vec_id" < 10)
+    val corpus = emb.where($"vec_id" >= 10)
+    val seeds = corpus.where($"vec_id" % 16 === 0)
+      .select($"vec_id".as("seed_id"), $"embedding".as("sv"),
+        VectorOps.norm_q($"embedding").as("sn")).cache()
+    val books = ProductQuant.codebooks(corpus, "vec_id", "embedding", dim, m, 16L)
+      .localCheckpoint() // frozen: increments must never re-derive the books
+
+    // the corpus lands over three commits; each increment is assigned +
+    // encoded against the FROZEN seeds/books (readBetween delivers exactly
+    // the new epochs) and appended to the persisted index table
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val corpusSink = new ExactlyOnceSink(s"$dir/corpus")
+    val idxSink = new ExactlyOnceSink(s"$dir/index")
+    Seq($"vec_id" % 3 === 0, $"vec_id" % 3 === 1, $"vec_id" % 3 === 2)
+      .zipWithIndex.foreach { case (p, e) =>
+        corpusSink.write(corpus.where(p), e.toLong)
+        val fresh = corpusSink.readBetween(spark, e.toLong - 1, e.toLong)
+        idxSink.write(ProductQuant.indexIncrement(
+          fresh, "vec_id", "embedding", seeds, books, dim, m), e.toLong)
+      }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+
+    // chunked index ≡ single-batch build (assignment and encoding are both
+    // row-local, so the split cannot change any row)
+    val appended = idxSink.read(spark)
+    val whole = ProductQuant.indexIncrement(corpus, "vec_id", "embedding",
+      seeds, books, dim, m)
+    assert(rows(appended.select($"corpus_id", $"centroid", $"codes"))
+      == rows(whole) && rows(whole).nonEmpty)
+
+    // serving off the persisted index ≡ the in-query composition
+    val viaIndex = ProductQuant.ivfAdcSearchIndex(queries, appended, seeds, books,
+      "vec_id", "embedding", dim, m, k = 5, nProbe = 4)
+    val oneShot = ProductQuant.ivfAdcTopK(queries, corpus, "vec_id", "vec_id",
+      "embedding", "embedding", dim, m, k = 5, seedMod = 16L, nProbe = 4)
+    assert(rows(viaIndex) == rows(oneShot) && rows(viaIndex).nonEmpty)
+  }
+
   test("ADC recall@10 against the exact-dot ranking") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

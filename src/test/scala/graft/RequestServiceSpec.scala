@@ -104,6 +104,52 @@ class RequestServiceSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("indexed PQ service: stream off the persisted codes table ≡ batch indexed search, kill/resume") {
+    import spark.implicits._
+    import graft.operators.{ProductQuant, VectorOps}
+    val dim = 64; val m = 4
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding").cache()
+    val corpus = emb.where($"vec_id" >= 10)
+    val seeds = corpus.where($"vec_id" % 16 === 0)
+      .select($"vec_id".as("seed_id"), $"embedding".as("sv"),
+        VectorOps.norm_q($"embedding").as("sn")).cache()
+    val books = ProductQuant.codebooks(corpus, "vec_id", "embedding", dim, m, 16L)
+      .localCheckpoint()
+    // the long-lived compressed index: built once, appended in prod
+    val index = ProductQuant.indexIncrement(corpus, "vec_id", "embedding",
+      seeds, books, dim, m).cache()
+    val reqRows = emb.where($"vec_id" < 5).collect()
+      .map(r => VecReq(r.getLong(0), r.getSeq[Float](1).toArray))
+
+    val cp = Files.createTempDirectory("rpqcp").toString
+    val table = Files.createTempDirectory("rpqtbl").toString
+    val in = MemoryStream[VecReq](Encoders.product[VecReq], spark)
+    def start() = RequestService.startIndexedPqMatch(spark, in.toDF(), index, seeds, books,
+      "request_id", "qvec", dim, m, table, cp, k = 3, nProbe = 4)
+    // kill/resume between the two request batches: re-delivered epochs
+    // must not duplicate responses
+    var q = start()
+    in.addData(reqRows.take(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    q = start()
+    in.addData(reqRows.drop(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = new ExactlyOnceSink(table).read(spark)
+      .select($"request_id", $"corpus_id", $"adc_q", $"rk".cast("long").as("rk"))
+      .collect().map(_.toSeq)
+    assert(rows.length == rows.distinct.length, "duplicate responses after resume")
+    val expected = ProductQuant.ivfAdcSearchIndex(
+      reqRows.toSeq.map(r => (r.request_id, r.qvec)).toDF("request_id", "qvec"),
+      index, seeds, books, "request_id", "qvec", dim, m, k = 3, nProbe = 4)
+      .select($"query_id", $"corpus_id", $"adc_q", $"rk".cast("long").as("rk"))
+      .collect().map(_.toSeq).toSet
+    assert(rows.toSet == expected && expected.nonEmpty)
+  }
+
   test("embedding match service: stream ≡ batch") {
     import spark.implicits._
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
