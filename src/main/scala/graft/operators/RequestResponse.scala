@@ -48,6 +48,97 @@ object RequestResponse {
   }
 
   /**
+   * Incremental inverted-shingle-index maintenance: shingle ONLY a new
+   * corpus chunk (e.g. the epochs `ExactlyOnceSink.readBetween` returned
+   * since the last run) into `(doc_id, shingle)` rows to append to the
+   * persisted index table. Shingling is row-local per doc (distinct
+   * within the doc), so chunked builds equal the single-batch build
+   * exactly — and once the index is persisted, [[matchTextFromIndex]]
+   * serves every request batch WITHOUT touching the corpus text again.
+   * This is the text-side transposition of `PartialMatcher.java:110-145`
+   * (index built at `prepare`, queried forever). At web scale, cap hot
+   * shingles at build time with [[Dedup.cappedShingles]] semantics if
+   * the corpus carries boilerplate (the index then defines the scoring
+   * universe, exactly as q20/q21 document for the batch pipeline).
+   */
+  def textIndexIncrement(chunk: DataFrame, docId: String, docText: String,
+      n: Int = 2): DataFrame =
+    Dedup.shingles(
+      chunk.select(col(docId).as("doc_id"), col(docText).as("text")),
+      "doc_id", "text", n)
+
+  /**
+   * Text match served off a PRE-BUILT inverted shingle index
+   * `(doc_id, shingle)` — value-identical to [[matchText]] when the
+   * index covers the corpus (spec-asserted: the scoring formula is the
+   * same `floor(1000·|Q∩D|/|Q|)` over the same distinct-shingle rows;
+   * only where the doc shingles COME FROM differs). Per trigger the
+   * request batch is shingled (tiny, row-local) and broadcast; the
+   * corpus contributes one equi-join scan of the index — it is never
+   * re-shingled, never shuffled.
+   */
+  def matchTextFromIndex(requests: DataFrame, shingleIndex: DataFrame,
+      reqId: String, reqText: String, k: Int = 5, n: Int = 2): DataFrame = {
+    val qSh = Dedup.shingles(
+      requests.select(col(reqId).as("request_id"), col(reqText).as("text")),
+      "request_id", "text", n)
+    val qSize = qSh.groupBy(col("request_id")).agg(count(lit(1)).as("q_sz"))
+    val hits = shingleIndex.select(col("doc_id"), col("shingle"))
+      .join(broadcast(qSh), Seq("shingle"))
+      .groupBy(col("request_id"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"))
+    val scored = hits.join(broadcast(qSize), Seq("request_id"))
+      .select(col("request_id"), col("doc_id"),
+        floor(lit(1000) * col("inter") / col("q_sz")).cast(LongType).as("score_q"))
+    TopK.perKey(scored, "request_id", "doc_id", "score_q", k, "doc_id", "score_q")
+  }
+
+  /**
+   * Near-duplicate probe served off the persisted minhash band index
+   * `(doc_id, band, sig)` that [[Dedup.incrementalNearDupKeepers]]
+   * maintains: request texts build their band signatures ROWWISE
+   * ([[MinHashBandSigs]], stateless codegen'd projection), candidates
+   * are the docs sharing ≥ 1 band bucket (index equi-join — the corpus
+   * is never re-shingled wholesale), and the exact quantized Jaccard is
+   * verified on the CANDIDATE SET ONLY: just the candidate docs' texts
+   * are fetched (semi-join point lookup — prunable on a bucketed table)
+   * and shingled. Returns (request_id, doc_id, jacc_q ≥ minJaccQ).
+   *
+   * Same candidate-generation/verification split as
+   * [[Dedup.minhashLshPairs]], so the answer is exact with respect to
+   * the LSH candidate definition (bucket mates), not an unverified
+   * sketch.
+   */
+  def nearDupProbe(requests: DataFrame, bandIndex: DataFrame, corpus: DataFrame,
+      reqId: String, reqText: String, docId: String, docText: String,
+      n: Int = 3, bands: Int = 8, minJaccQ: Long = 500L): DataFrame = {
+    val req = requests.select(col(reqId).as("request_id"), col(reqText).as("text"))
+    val probes = Dedup.minhashBandsRowwise(req, "request_id", "text", n, bands)
+    val cands = probes
+      .join(bandIndex.select(col(docId).as("doc_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(col("request_id"), col("doc_id")).distinct()
+    val qSh = Dedup.shingles(req, "request_id", "text", n)
+    val qSz = qSh.groupBy(col("request_id")).agg(count(lit(1)).as("q_sz"))
+    // fetch + shingle ONLY the candidate docs
+    val candTexts = corpus.select(col(docId).as("doc_id"), col(docText).as("text"))
+      .join(cands.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val dSh = Dedup.shingles(candTexts, "doc_id", "text", n)
+    val dSz = dSh.groupBy(col("doc_id")).agg(count(lit(1)).as("d_sz"))
+    val inter = cands
+      .join(broadcast(qSh), Seq("request_id"))
+      .join(dSh, Seq("doc_id", "shingle"))
+      .groupBy(col("request_id"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter.join(broadcast(qSz), Seq("request_id"))
+      .join(dSz, Seq("doc_id"))
+      .select(col("request_id"), col("doc_id"),
+        floor(lit(1000) * col("inter") / (col("q_sz") + col("d_sz") - col("inter")))
+          .cast(LongType).as("jacc_q"))
+      .where(col("jacc_q") >= minJaccQ)
+  }
+
+  /**
    * Embedding match service (PartialMatcher's descriptor-space kNN):
    * requests broadcast, corpus scanned, quantized-cosine top-k per
    * request — delegates to [[Similarity.bruteForceTopK]].

@@ -59,6 +59,60 @@ object RequestService {
   }
 
   /**
+   * Start the text-match service off a PRE-BUILT inverted shingle index
+   * `(doc_id, shingle)` — built once by
+   * `RequestResponse.textIndexIncrement` and appended as new corpus
+   * epochs commit. Value-identical to [[startTextMatch]] (spec-asserted)
+   * but the corpus text is never re-shingled: each trigger shingles only
+   * its (tiny) request batch and equi-joins the index. Cache/persist
+   * `shingleIndex` — it is re-used every trigger.
+   */
+  def startIndexedTextMatch(spark: SparkSession, requests: DataFrame,
+      shingleIndex: DataFrame, reqId: String, reqText: String,
+      responseTable: String, checkpoint: String,
+      k: Int = 5, n: Int = 2,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val sink = new ExactlyOnceSink(responseTable)
+    requests.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink.write(
+          RequestResponse.matchTextFromIndex(batch.toDF(), shingleIndex,
+            reqId, reqText, k, n), id)
+      }
+      .start()
+  }
+
+  /**
+   * Start the near-dup probe service off the persisted minhash band
+   * index (`Dedup.incrementalNearDupKeepers`' structure): per request
+   * micro-batch, rowwise band signatures → index equi-join → exact
+   * Jaccard verification on the candidate set only (see
+   * `RequestResponse.nearDupProbe`). The corpus is touched only at the
+   * candidate point-lookup; the band index is re-used every trigger.
+   */
+  def startNearDupProbe(spark: SparkSession, requests: DataFrame,
+      bandIndex: DataFrame, corpus: DataFrame,
+      reqId: String, reqText: String, docId: String, docText: String,
+      responseTable: String, checkpoint: String,
+      n: Int = 3, bands: Int = 8, minJaccQ: Long = 500L,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val sink = new ExactlyOnceSink(responseTable)
+    requests.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink.write(
+          RequestResponse.nearDupProbe(batch.toDF(), bandIndex, corpus,
+            reqId, reqText, docId, docText, n, bands, minJaccQ), id)
+      }
+      .start()
+  }
+
+  /**
    * Start the embedding-match service against a PRE-BUILT IVF index —
    * the 100 TB serving shape: the index `(corpus_id, cv, cn, centroid)`
    * (built once via `Similarity.assignIncrement` and appended as new

@@ -104,6 +104,108 @@ class RequestServiceSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("indexed text service: persisted shingle index ≡ full-scan matchText, corpus never re-shingled, kill/resume") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    val corpus = docs.where($"doc_id" >= 5)
+    val reqRows = docs.where($"doc_id" < 5).collect()
+      .map(r => TextReq(r.getLong(0), r.getString(1))).sortBy(_.request_id)
+
+    // the index lands over two commits (as readBetween would deliver them)
+    // and is served from its persisted parquet form
+    val dir = Files.createTempDirectory("tidx").toString
+    val idxSink = new ExactlyOnceSink(dir)
+    idxSink.write(RequestResponse.textIndexIncrement(
+      corpus.where($"doc_id" % 2 === 0), "doc_id", "text", n = 2), 0L)
+    idxSink.write(RequestResponse.textIndexIncrement(
+      corpus.where($"doc_id" % 2 === 1), "doc_id", "text", n = 2), 1L)
+    val index = idxSink.read(spark).cache()
+
+    // the serving plan never touches the corpus table at all: requests are
+    // a local batch, doc shingles come from the persisted index — the only
+    // shingle explodes left are the (tiny) request side's
+    val served = RequestResponse.matchTextFromIndex(
+      reqRows.toSeq.toDF("request_id", "qtext"), index, "request_id", "qtext", k = 3, n = 2)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "serving plan re-read the corpus table instead of the persisted index")
+
+    val cp = Files.createTempDirectory("ticp").toString
+    val table = Files.createTempDirectory("titbl").toString
+    val in = MemoryStream[TextReq](Encoders.product[TextReq], spark)
+    def start() = RequestService.startIndexedTextMatch(spark, in.toDF(), index,
+      "request_id", "qtext", table, cp, k = 3, n = 2)
+    var q = start()
+    in.addData(reqRows.take(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    q = start()
+    in.addData(reqRows.drop(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = new ExactlyOnceSink(table).read(spark)
+      .select($"request_id", $"doc_id", $"score_q", $"rk".cast("long").as("rk"))
+      .collect().map(_.toSeq)
+    assert(got.length == got.distinct.length, "duplicate responses after resume")
+    // value-identical to the full-scan service: same formula over the
+    // same distinct shingle rows, only their storage differs
+    val expected = RequestResponse.matchText(spark,
+      reqRows.toSeq.toDF("request_id", "qtext"), corpus,
+      "request_id", "qtext", "doc_id", "text", k = 3, n = 2)
+      .select($"request_id", $"doc_id", $"score_q", $"rk".cast("long").as("rk"))
+      .collect().map(_.toSeq).toSet
+    assert(got.toSet == expected && expected.nonEmpty)
+  }
+
+  test("near-dup probe service: stream off the persisted band index ≡ batch probe; planted twins verified") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    val corpus = docs.where($"doc_id" >= 5)
+    // the persisted index incrementalNearDupKeepers maintains
+    val bandIndex = Dedup.minhashBandsRowwise(corpus, "doc_id", "text",
+      n = 3, bands = 8).cache()
+    // requests: two verbatim copies of corpus docs (planted exact twins,
+    // jacc 1000 guaranteed) + two fresh texts
+    val planted = corpus.orderBy($"doc_id").limit(2).collect()
+      .map(r => TextReq(9000L + r.getLong(0), r.getString(1)))
+    val fresh = docs.where($"doc_id" < 2).collect()
+      .map(r => TextReq(r.getLong(0), r.getString(1)))
+    val reqRows = (planted ++ fresh).sortBy(_.request_id)
+
+    val cp = Files.createTempDirectory("ndcp").toString
+    val table = Files.createTempDirectory("ndtbl").toString
+    val in = MemoryStream[TextReq](Encoders.product[TextReq], spark)
+    def start() = RequestService.startNearDupProbe(spark, in.toDF(), bandIndex, corpus,
+      "request_id", "qtext", "doc_id", "text", table, cp, n = 3, bands = 8, minJaccQ = 500L)
+    var q = start()
+    in.addData(reqRows.take(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    q = start()
+    in.addData(reqRows.drop(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = new ExactlyOnceSink(table).read(spark)
+      .select($"request_id", $"doc_id", $"jacc_q").collect().map(_.toSeq)
+    assert(got.length == got.distinct.length, "duplicate responses after resume")
+    val expected = RequestResponse.nearDupProbe(
+      reqRows.toSeq.map(r => (r.request_id, r.qtext)).toDF("request_id", "qtext"),
+      bandIndex, corpus, "request_id", "qtext", "doc_id", "text",
+      n = 3, bands = 8, minJaccQ = 500L)
+      .select($"request_id", $"doc_id", $"jacc_q").collect().map(_.toSeq).toSet
+    assert(got.toSet == expected)
+    // each planted twin finds its source doc at exact Jaccard 1000
+    planted.foreach { p =>
+      assert(got.exists(s => s.head == p.request_id && s(1) == p.request_id - 9000L
+        && s(2) == 1000L), s"planted twin ${p.request_id} not verified: ${got.toSeq}")
+    }
+  }
+
   test("indexed PQ service: stream off the persisted codes table ≡ batch indexed search, kill/resume") {
     import spark.implicits._
     import graft.operators.{ProductQuant, VectorOps}
