@@ -1249,9 +1249,50 @@ object Queries {
         (PARTITION BY query_id ORDER BY adc_q DESC, corpus_id ASC) AS rk FROM sc)
       SELECT query_id, corpus_id, adc_q, rk FROM r WHERE rk <= 5"""))
 
+  // three-leg CEP chain (batch mirror of streaming PatternDetect.sequence3):
+  // view → its first click within 12 h → that click's first purchase
+  // within 12 h, per user (MATCH_RECOGNIZE `A B C`, skip-past-first per leg)
+  private val q50 = QueryDef("q50_pattern_chain",
+    (s, d) => graft.streaming.PatternDetect.sequence3Batch(
+      rd(s, d, "events"), "user_id", "ts", "event_type", "event_id",
+      aKind = "view", bKind = "click", cKind = "purchase",
+      within1Sec = 43200L, within2Sec = 43200L)
+      .select(col("key").as("user_id"), col("a_id"), col("a_us"),
+        col("b_id"), col("b_us"), col("c_id"), col("c_us")),
+    Some("""WITH a AS (SELECT user_id AS key, epoch_us(ts) AS a_us, event_id AS a_id
+        FROM events WHERE event_type = 'view'),
+      b AS (SELECT user_id AS key, epoch_us(ts) AS b_us, event_id AS b_id
+        FROM events WHERE event_type = 'click'),
+      c AS (SELECT user_id AS key, epoch_us(ts) AS c_us, event_id AS c_id
+        FROM events WHERE event_type = 'purchase'),
+      ab AS (SELECT key, a_id, a_us, b_id, b_us FROM (
+        SELECT a.key, a_id, a_us, b_id, b_us, row_number() OVER
+          (PARTITION BY a.key, a_id ORDER BY b_us ASC, b_id ASC) AS rk
+        FROM a JOIN b ON a.key = b.key
+          AND b_us > a_us AND b_us <= a_us + 43200000000) WHERE rk = 1),
+      abc AS (SELECT key, a_id, a_us, b_id, b_us, c_id, c_us FROM (
+        SELECT ab.key, a_id, a_us, b_id, b_us, c_id, c_us, row_number() OVER
+          (PARTITION BY ab.key, a_id ORDER BY c_us ASC, c_id ASC) AS rk
+        FROM ab JOIN c ON ab.key = c.key
+          AND c_us > b_us AND c_us <= b_us + 43200000000) WHERE rk = 1)
+      SELECT key AS user_id, a_id, a_us, b_id, b_us, c_id, c_us FROM abc"""))
+
+  // per-key quiescence (batch mirror of streaming PatternDetect.quiescence):
+  // events that are their user's LAST activity for >= 12 h — the
+  // "host went silent" CEP shape (absence with A = B = any event)
+  private val q51 = QueryDef("q51_pattern_quiescence",
+    (s, d) => graft.streaming.PatternDetect.quiescenceBatch(
+      rd(s, d, "events"), "user_id", "ts", "event_id", withinSec = 43200L)
+      .select(col("key").as("user_id"), col("a_id"), col("a_us")),
+    Some("""SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+      FROM events a WHERE NOT EXISTS (
+        SELECT 1 FROM events b WHERE b.user_id = a.user_id
+          AND epoch_us(b.ts) > epoch_us(a.ts)
+          AND epoch_us(b.ts) <= epoch_us(a.ts) + 43200000000)"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
 }

@@ -78,7 +78,11 @@ object PatternDetect {
         (key: Long, rows: Iterator[Ev], state: GroupState[PatState]) => {
           val st = state.getOption.getOrElse(PatState(Nil, Nil))
           val wm = state.getCurrentWatermarkMs() * 1000L
-          val (as, bs) = rows.partition(_.kind == aKind)
+          // two filters, not partition: with aKind == bKind every event
+          // plays both roles (the quiescence degenerate case)
+          val batch = rows.toSeq
+          val as = batch.filter(_.kind == aKind)
+          val bs = batch.filter(_.kind == bKind)
           // accumulate new legs; rows below the watermark are dropped
           // EXPLICITLY (same policy as StreamDedup.nearDupVerdicts and
           // Sessionize): the framework usually pre-filters them, but a
@@ -141,7 +145,11 @@ object PatternDetect {
         (key: Long, rows: Iterator[Ev], state: GroupState[PatState]) => {
           val st = state.getOption.getOrElse(PatState(Nil, Nil))
           val wm = state.getCurrentWatermarkMs() * 1000L
-          val (as, bs) = rows.partition(_.kind == aKind)
+          // two filters, not partition: aKind == bKind must see every
+          // event on both sides (quiescence delegates here that way)
+          val batch = rows.toSeq
+          val as = batch.filter(_.kind == aKind)
+          val bs = batch.filter(_.kind == bKind)
           // below-watermark arrivals dropped explicitly: a late A would be
           // instantly ripe and could emit a false "absent" against an
           // already-evicted B buffer
@@ -183,6 +191,116 @@ object PatternDetect {
         "left_anti")
       .select(col("key"), col("a_id"), col("a_us"))
   }
+
+  final case class Match3(key: Long, a_id: Long, a_ts: Timestamp,
+      b_id: Long, b_ts: Timestamp, c_id: Long, c_ts: Timestamp)
+
+  /** Three-leg chain state: open A's plus in-horizon B and C buffers,
+    * all sorted-distinct under the [[mergeSorted]] invariant. */
+  final case class Pat3State(openA: List[(Long, Long)],
+      bs: List[(Long, Long)], cs: List[(Long, Long)])
+
+  /**
+   * Three-leg chain `A → B → C`: for each A, its FIRST B within
+   * `within1Sec`, then that B's FIRST C within `within2Sec`
+   * (MATCH_RECOGNIZE `A B C` with skip-past-first on each leg). An A
+   * whose first B never acquires a C emits nothing — the chain needs all
+   * three legs. Matches are final once the watermark passes
+   * `a_ts + within1 + within2`: by then every candidate B (≤ a+w1) and
+   * every candidate C of that B (≤ b+w2 ≤ a+w1+w2) is either arrived or
+   * below-watermark — so output is deterministic for a given input set
+   * and watermark, batch-mirrored by [[sequence3Batch]] and the q50
+   * oracle. State per key = open A's + B/C buffers inside the
+   * `w1+w2` horizon, watermark-evicted — same bounded-state shape as
+   * [[sequence]].
+   */
+  def sequence3(spark: SparkSession, events: Dataset[Ev],
+      aKind: String, bKind: String, cKind: String,
+      within1Sec: Long, within2Sec: Long,
+      watermarkDelay: String = "1 hour"): Dataset[Match3] = {
+    import spark.implicits._
+    val w1 = within1Sec * 1000000L
+    val w2 = within2Sec * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (key: Long, rows: Iterator[Ev], state: GroupState[Pat3State]) => {
+          val st = state.getOption.getOrElse(Pat3State(Nil, Nil, Nil))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val batch = rows.toSeq
+          def leg(kind: String, prev: List[(Long, Long)]) =
+            mergeSorted(prev, batch.filter(e => e.kind == kind && TsUtil.toUs(e.ts) >= wm)
+              .map(e => (TsUtil.toUs(e.ts), e.id)))
+          val openA = leg(aKind, st.openA)
+          val allB = leg(bKind, st.bs)
+          val allC = leg(cKind, st.cs)
+          // ripe once no leg can change: first-B final at wm > a+w1, its
+          // first-C final at wm > b+w2 with b <= a+w1 — both implied by
+          // wm > a+w1+w2
+          val ripe = openA.filter { case (aUs, _) => aUs + w1 + w2 < wm }
+          val out = ripe.flatMap { case (aUs, aId) =>
+            allB.find { case (bUs, _) => bUs > aUs && bUs <= aUs + w1 }
+              .flatMap { case (bUs, bId) =>
+                allC.find { case (cUs, _) => cUs > bUs && cUs <= bUs + w2 }
+                  .map { case (cUs, cId) =>
+                    Match3(key, aId, TsUtil.fromUs(aUs), bId, TsUtil.fromUs(bUs),
+                      cId, TsUtil.fromUs(cUs)) } }
+          }
+          val keepA = openA.filterNot { case (aUs, _) => aUs + w1 + w2 < wm }
+          // an unripe A has aUs >= wm-w1-w2; its B candidates sit above
+          // that, and their C candidates above the B — one shared horizon
+          val keepB = allB.filter { case (bUs, _) => bUs >= wm - w1 - w2 }
+          val keepC = allC.filter { case (cUs, _) => cUs >= wm - w1 - w2 }
+          if (keepA.isEmpty && keepB.isEmpty && keepC.isEmpty) state.remove()
+          else {
+            state.update(Pat3State(keepA, keepB, keepC))
+            state.setTimeoutTimestamp((wm / 1000L).max(1L) + (within1Sec + within2Sec) * 1000L)
+          }
+          out.iterator
+        })(Encoders.product[Pat3State], Encoders.product[Match3])
+  }
+
+  /** Batch mirror of [[sequence3]] (the oracle form): first B per A,
+    * then first C per that (A, B). */
+  def sequence3Batch(events: DataFrame, keyCol: String, tsCol: String,
+      kindCol: String, idCol: String,
+      aKind: String, bKind: String, cKind: String,
+      within1Sec: Long, within2Sec: Long): DataFrame = {
+    val ab = sequenceBatch(events, keyCol, tsCol, kindCol, idCol,
+      aKind, bKind, within1Sec)
+    val c = events.where(col(kindCol) === cKind)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol).cast("timestamp")).as("c_us"),
+        col(idCol).as("c_id"))
+    ab.join(c, Seq("key"))
+      .where(col("c_us") > col("b_us") &&
+        col("c_us") <= col("b_us") + lit(within2Sec * 1000000L))
+      .groupBy(col("key"), col("a_id"), col("a_us"), col("b_id"), col("b_us"))
+      .agg(min(struct(col("c_us"), col("c_id"))).as("first_c"))
+      .select(col("key"), col("a_id"), col("a_us"), col("b_id"), col("b_us"),
+        col("first_c.c_id").as("c_id"), col("first_c.c_us").as("c_us"))
+  }
+
+  /**
+   * Per-key quiescence: emit (key, a_id, a_ts) for every event that is
+   * the key's LAST activity for at least `withinSec` of event time — the
+   * "host went silent" CEP shape (both internal gaps and the trailing
+   * silence, decided when the watermark passes the deadline). This is
+   * exactly [[absence]] with A = B = any event, which the two-filter leg
+   * intake supports directly — one event list plays both roles.
+   */
+  def quiescence(spark: SparkSession, events: Dataset[Ev],
+      withinSec: Long, watermarkDelay: String = "1 hour"): Dataset[Absent] = {
+    import spark.implicits._
+    absence(spark, events.map(e => e.copy(kind = "")), "", "", withinSec, watermarkDelay)
+  }
+
+  /** Batch mirror of [[quiescence]]: events with no LATER event of any
+    * kind for the key inside `(ts, ts + withinSec]`. */
+  def quiescenceBatch(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, withinSec: Long): DataFrame =
+    absenceBatch(events.withColumn("__qk", lit("")), keyCol, tsCol, "__qk", idCol,
+      "", "", withinSec)
 
   /**
    * Batch mirror (the oracle form): identical semantics over a static

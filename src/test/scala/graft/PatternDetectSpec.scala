@@ -138,6 +138,68 @@ class PatternDetectSpec extends SparkSpec {
     }
   }
 
+  test("randomized torture: sequence3/quiescence ≡ batch mirrors over random batches with replays") {
+    import spark.implicits._
+    val w = 60L
+    val delay = "300 seconds"
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(8000 + seed)
+      val evs = scala.collection.mutable.ArrayBuffer[Ev]()
+      var id = 0L
+      (0 until 60).foreach { _ =>
+        id += 1
+        evs += Ev(rnd.nextInt(3).toLong, ts(base + rnd.nextInt(200)),
+          Seq("view", "buy", "pay", "zz")(rnd.nextInt(4)), id)
+      }
+      val replays = Seq.fill(10)(evs(rnd.nextInt(evs.length)))
+      val feed = rnd.shuffle((evs ++ replays).toSeq)
+      val flush = Seq(Ev(0, ts(base + 5000), "zz", 9001), Ev(0, ts(base + 9000), "zz", 9002))
+
+      def run(quiesce: Boolean): Set[Seq[Any]] = {
+        val cp = Files.createTempDirectory(s"pd3$seed").toString
+        val table = Files.createTempDirectory(s"pd3t$seed").toString
+        val sink = new ExactlyOnceSink(table)
+        val in = MemoryStream[Ev](Encoders.product[Ev], spark)
+        val out = if (quiesce)
+          PatternDetect.quiescence(spark, in.toDS(), w, delay).toDF()
+        else
+          PatternDetect.sequence3(spark, in.toDS(), "view", "buy", "pay", w, w, delay).toDF()
+        val q = out.writeStream.outputMode("append")
+          .option("checkpointLocation", cp)
+          .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], i: Long) =>
+            sink.write(df.toDF(), i))
+          .start()
+        var rest = feed
+        while (rest.nonEmpty) {
+          val n = 1 + rnd.nextInt(20)
+          in.addData(rest.take(n): _*)
+          q.processAllAvailable()
+          rest = rest.drop(n)
+        }
+        flush.foreach { e => in.addData(e); q.processAllAvailable() }
+        q.stop()
+        val cols = if (quiesce) Seq($"key", $"a_id") else Seq($"key", $"a_id", $"b_id", $"c_id")
+        sink.read(spark).select(cols: _*).collect().map(_.toSeq).toSet
+      }
+
+      val allRows = evs.toSeq.distinct.toDF()
+      val s3Expected = PatternDetect.sequence3Batch(allRows,
+        "key", "ts", "kind", "id", "view", "buy", "pay", w, w)
+        .select($"key", $"a_id", $"b_id", $"c_id").collect().map(_.toSeq).toSet
+      val s3Got = run(quiesce = false)
+      assert(s3Got == s3Expected, s"seed $seed sequence3: got $s3Got expected $s3Expected")
+
+      // quiescence sees the flush events too (every event plays both
+      // roles); the second flush event's own deadline never ripens
+      val quiExpected = PatternDetect.quiescenceBatch(
+        (evs.toSeq.distinct ++ flush).toDF(), "key", "ts", "id", w)
+        .select($"key", $"a_id").collect().map(_.toSeq).toSet
+        .filterNot(_(1) == 9002L)
+      val quiGot = run(quiesce = true)
+      assert(quiGot == quiExpected, s"seed $seed quiescence: got $quiGot expected $quiExpected")
+    }
+  }
+
   test("absence pattern: A with no B in window emits exactly once, at the watermark") {
     import spark.implicits._
     val cp = Files.createTempDirectory("abcp").toString
