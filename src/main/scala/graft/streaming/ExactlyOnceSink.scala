@@ -41,6 +41,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  *     data/epoch=<batchId>/part-*.parquet                  (per-epoch lineage)
  *     data/epoch=<batchId>/<bucketCol>=<n>/part-*.parquet  (bucketed sink)
  *     _manifest/epoch-<batchId>.json                       (commit record, atomic)
+ *     _manifest/log-head.json + log-<n>.json               (commit log: the O(1) read index)
  *
  * Per-partition lineage: the manifest records the epoch's row count, its
  * file list, a schema fingerprint, and (bucketed) per-bucket row counts,
@@ -80,12 +81,160 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  * mis-read.
  */
 class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
-    statsCol: Option[String] = None)
+    statsCol: Option[String] = None, logSegCap: Int = 1000)
     extends Serializable {
 
   private def manifestDir: Path = new Path(tableDir, "_manifest")
   private def epochManifest(batchId: Long): Path =
     new Path(manifestDir, f"epoch-$batchId%010d.json")
+
+  // ---- commit log (the O(1)-read metadata index) ---------------------
+  // `_manifest/log-<n>.json` segments (one commit record per line, at
+  // most `logSegCap` lines each) + a `log-head.json` pointer
+  // {first_seg, last_seg}. Readers resolve the committed view — epoch
+  // ids, the compaction horizon, AND every manifest body (bucket counts,
+  // time envelopes, schema fingerprints) — from head + segments: a
+  // BOUNDED number of file reads regardless of epoch count, instead of
+  // LISTING `_manifest/` and opening one JSON per epoch (O(epochs); at a
+  // 1 s trigger that is ~86k files/day between compactions, and on an
+  // object store the listing dominates every read). The per-epoch JSON
+  // stays authoritative for COMMITTING (its atomic rename is the
+  // exactly-once decision point, and it is the per-epoch lineage
+  // record); the log is the index. Iceberg's metadata-log chain, at
+  // commit-epoch granularity.
+  //
+  // Crash consistency (single-writer contract, same as the marker):
+  //  - entry append = atomic replace of the tail segment (visible
+  //    immediately, head unchanged); segment roll = write new segment,
+  //    then move head — a crash between leaves the entry invisible, and
+  //    the streaming re-delivery of that epoch repairs the log before
+  //    skipping (write()'s early-return path).
+  //  - compact() truncates the chain to one fresh segment holding the
+  //    snapshot record BEFORE GC'ing superseded manifests; a crash
+  //    between snapshot publish and truncation leaves the log serving
+  //    the (still fully intact) pre-compaction view, and the compaction
+  //    retry completes the truncation.
+  //  - tables that predate the log (no head file) fall back to the
+  //    listing path on read; the next write() migrates them by seeding
+  //    the log from one full listing.
+  // Old segments are deleted by gcUnreferenced(), alongside the data
+  // dirs they index, once no reader can hold the old head.
+
+  private def logHead: Path = new Path(manifestDir, "log-head.json")
+  private def logSeg(n: Long): Path = new Path(manifestDir, f"log-$n%010d.json")
+
+  /** Records are one line each in a segment; manifest bodies are written
+    * pretty (multi-line) so they flatten on the way in. */
+  private def oneLine(body: String): String = body.replace('\n', ' ')
+
+  private def readLogHead(f: FileSystem): Option[(Long, Long)] =
+    if (!f.exists(logHead)) None
+    else {
+      val js = readManifestJson(f, logHead)
+      for {
+        a <- """"first_seg":\s*(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong)
+        b <- """"last_seg":\s*(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong)
+      } yield (a, b)
+    }
+
+  /** Atomic small-file replace (write-temp + same-dir rename). */
+  private def writeAtomic(f: FileSystem, dest: Path, body: String): Unit = {
+    val tmp = new Path(manifestDir, "." + dest.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    f.delete(dest, false)
+    if (!f.rename(tmp, dest)) f.delete(tmp, false)
+  }
+
+  private def writeLogHead(f: FileSystem, first: Long, last: Long): Unit =
+    writeAtomic(f, logHead, s"""{"first_seg": $first, "last_seg": $last}""")
+
+  /** All log records in commit order; None when the table predates the
+    * log (caller falls back to listing). */
+  private def readLog(f: FileSystem): Option[Seq[String]] =
+    readLogHead(f).map { case (first, last) =>
+      (first to last).flatMap { n =>
+        val p = logSeg(n)
+        if (!f.exists(p)) Seq.empty[String]
+        else readManifestJson(f, p).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      }
+    }
+
+  private def epochOfEntry(js: String): Option[Long] =
+    """"epoch":\s*(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong)
+  private def compactHiOfEntry(js: String): Option[Long] =
+    """"compact_hi":\s*(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong)
+
+  /** One-time migration: seed the log from a full `_manifest` listing
+    * (the last listing this table's readers will ever need). Segments
+    * land before the head — the head publish makes the log visible. */
+  private def ensureLog(f: FileSystem): Unit = {
+    if (f.exists(logHead)) return
+    val entries =
+      compactHiListing(f).map(h => readManifestJson(f, compactManifest(h))).toSeq ++
+        committedEpochsListing(f).map(e => readManifestJson(f, epochManifest(e)))
+    val groups =
+      if (entries.isEmpty) Seq(Seq.empty[String]) else entries.grouped(logSegCap).toSeq
+    groups.zipWithIndex.foreach { case (g, i) =>
+      writeAtomic(f, logSeg(i.toLong), g.map(oneLine).mkString("\n"))
+    }
+    writeLogHead(f, 0L, (groups.size - 1).toLong)
+  }
+
+  /** Append one commit record; rolls to a fresh segment at the cap. */
+  private def logAppend(f: FileSystem, body: String): Unit = {
+    val (first, last) = readLogHead(f).getOrElse {
+      ensureLog(f); readLogHead(f).get
+    }
+    val segPath = logSeg(last)
+    val cur =
+      if (!f.exists(segPath)) Seq.empty[String]
+      else readManifestJson(f, segPath).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    if (cur.size >= logSegCap) {
+      writeAtomic(f, logSeg(last + 1), oneLine(body))
+      writeLogHead(f, first, last + 1)
+    } else {
+      writeAtomic(f, segPath, (cur :+ oneLine(body)).mkString("\n"))
+    }
+  }
+
+  /** Re-delivery repair: a crash between the manifest rename and the log
+    * append left an epoch committed but unindexed — append it now (the
+    * streaming engine replays exactly that batch on restart). */
+  private def logRepair(f: FileSystem, batchId: Long): Unit = {
+    val entries = readLog(f).getOrElse(return) // legacy: listing sees it
+    if (batchId <= entries.flatMap(compactHiOfEntry).maxOption.getOrElse(-1L)) return
+    if (entries.exists(e => epochOfEntry(e).contains(batchId))) return
+    val m = epochManifest(batchId)
+    if (f.exists(m)) logAppend(f, readManifestJson(f, m))
+  }
+
+  /** Truncate the chain to one fresh segment: the snapshot record plus
+    * any epoch entries the snapshot does NOT cover (epochs committed
+    * while the compaction ran — same single-maintainer contract as
+    * compact() itself). Old segments stay on disk for in-flight readers
+    * until gcUnreferenced(). */
+  private def logTruncateTo(f: FileSystem, body: String, hi: Long): Unit = {
+    val keep = readLog(f).getOrElse(Nil)
+      .filter(e => epochOfEntry(e).exists(_ > hi))
+    val next = readLogHead(f).map(_._2 + 1).getOrElse(0L)
+    writeAtomic(f, logSeg(next), (oneLine(body) +: keep).mkString("\n"))
+    writeLogHead(f, next, next)
+  }
+
+  /** Manifest bodies for `srcs`, served from the commit log when present
+    * (bounded reads) instead of opening one JSON per source. */
+  private def manifestBodies(f: FileSystem, srcs: Seq[(String, Path)]): Seq[String] =
+    readLog(f) match {
+      case Some(entries) =>
+        val byName: Map[String, String] = entries.flatMap { e =>
+          epochOfEntry(e).map(id => epochManifest(id).getName -> e)
+            .orElse(compactHiOfEntry(e).map(h => compactManifest(h).getName -> e))
+        }.toMap
+        srcs.map { case (_, m) => byName.getOrElse(m.getName, readManifestJson(f, m)) }
+      case None => srcs.map { case (_, m) => readManifestJson(f, m) }
+    }
+  // --------------------------------------------------------------------
 
   /** Driver-side FS handle for the table's scheme (foreachBatch runs on
     * the driver; executors never touch the manifest). */
@@ -118,30 +267,50 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
   def committed(batchId: Long): Boolean =
     batchId <= compactHiCached().getOrElse(-1L) || fs().exists(epochManifest(batchId))
 
+  /** Committed epoch ids — from the commit log when the table has one
+    * (bounded reads, no `_manifest` listing), else by listing. */
   def committedEpochs(): Seq[Long] = {
     val f = fs()
+    readLog(f) match {
+      case Some(entries) => entries.flatMap(epochOfEntry).distinct.sorted
+      case None => committedEpochsListing(f)
+    }
+  }
+
+  private def committedEpochsListing(f: FileSystem): Seq[Long] =
     if (!f.exists(manifestDir)) Nil
     else f.listStatus(manifestDir).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("epoch-") && s.endsWith(".json") =>
         s.stripPrefix("epoch-").stripSuffix(".json").toLong }
       .sorted
-  }
 
-  /** Highest epoch covered by a compacted snapshot, if any. */
+  /** Highest epoch covered by a compacted snapshot, if any — log-backed
+    * like [[committedEpochs]]. */
   def compactHi(): Option[Long] = {
     val f = fs()
+    readLog(f) match {
+      case Some(entries) => entries.flatMap(compactHiOfEntry).maxOption
+      case None => compactHiListing(f)
+    }
+  }
+
+  private def compactHiListing(f: FileSystem): Option[Long] =
     if (!f.exists(manifestDir)) None
     else f.listStatus(manifestDir).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("compact-") && s.endsWith(".json") =>
         s.stripPrefix("compact-").stripSuffix(".json").toLong }
       .sorted.lastOption
-  }
 
   /** The foreachBatch function. Safe under re-delivery of any batchId. */
   def write(df: DataFrame, batchId: Long): Unit = {
-    if (committed(batchId)) return // re-delivered epoch: exactly-once skip
+    if (committed(batchId)) { // re-delivered epoch: exactly-once skip
+      // ... but first heal the index: a crash after the manifest rename
+      // and before the log append left this epoch committed-but-unindexed
+      logRepair(fs(), batchId)
+      return
+    }
     // read-only layout guard BEFORE any data work: a sink opened with the
     // wrong bucketCol must fail loudly here, not mis-route directories.
     // (The marker MUTATION happens after the data write below — a failed
@@ -205,6 +374,9 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
       } finally df.unpersist() // never pin the micro-batch across a retry
     val f = fs()
     f.mkdirs(manifestDir)
+    // migrate a pre-log table BEFORE this commit's rename, so the seed
+    // listing cannot double-count the epoch being committed right now
+    ensureLog(f)
     // marker mutation after the data landed, before the commit publishes
     updateTableMeta(f, ExactlyOnceSink.schemaMd5(df.schema))
     val tmp = new Path(manifestDir, s".epoch-$batchId.json.tmp")
@@ -222,8 +394,11 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     val out = f.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
     // same-dir rename: atomic on POSIX and HDFS; returns false if the
-    // destination exists (a concurrent duplicate commit won the race)
-    if (!f.rename(tmp, epochManifest(batchId))) f.delete(tmp, false)
+    // destination exists (a concurrent duplicate commit won the race).
+    // The log append follows the rename — the manifest IS the commit,
+    // the log is the index (re-delivery repairs a crash between the two)
+    if (f.rename(tmp, epochManifest(batchId))) logAppend(f, body)
+    else { f.delete(tmp, false); logRepair(f, batchId) }
   }
 
   private def bucketsJson(bucketRows: Seq[(Long, Long)]): String =
@@ -400,8 +575,6 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     !(md5s.forall(_.isDefined) && md5s.flatten.distinct.size <= 1)
   }
 
-  private def mixedFingerprints(f: FileSystem, manifests: Seq[Path]): Boolean =
-    mixedFingerprintsOf(manifests.map(m => readManifestJson(f, m)))
   // --------------------------------------------------------------------
 
   private def bucketRowsOf(json: String): Map[Long, Long] =
@@ -447,7 +620,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
   private def readSrcs(spark: SparkSession, srcs: Seq[(String, Path)]): DataFrame = {
     val f = fs()
     val merge = readerEvolved(f)
-      .getOrElse(mixedFingerprints(f, srcs.map(_._2)))
+      .getOrElse(mixedFingerprintsOf(manifestBodies(f, srcs)))
     val paths = bucketCol match {
       case Some(b) => srcs.flatMap { case (dp, _) => bucketDirs(f, dp, b) }
       case None => srcs.map(_._1)
@@ -486,9 +659,9 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     }
     // ONE manifest pass: the merge decision (when the marker is absent)
     // and both pruning dimensions — per-bucket row counts and the
-    // event-time envelope — all come from the same JSONs. Compaction
-    // keeps the manifest count small.
-    val jsons = srcs.map { case (_, m) => readManifestJson(f, m) }
+    // event-time envelope — all come from the same bodies, served from
+    // the commit log in a bounded number of reads.
+    val jsons = manifestBodies(f, srcs)
     val merge = readerEvolved(f).getOrElse(mixedFingerprintsOf(jsons))
     def emptyResult(): DataFrame = {
       val allPaths = bucketCol match {
@@ -557,8 +730,8 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
   def describe(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val f = fs()
-    currentSrcs().map { case (dp, m) =>
-      val js = readManifestJson(f, m)
+    val srcs = currentSrcs()
+    srcs.zip(manifestBodies(f, srcs)).map { case ((dp, _), js) =>
       val name = new Path(dp).getName
       val rows = """"rows":\s*(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong)
       val st = statsOf(js)
@@ -665,7 +838,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     // still carry the envelopes forward (the per-epoch manifests are GC'd
     // below; dropping the stats here would permanently disable time-range
     // pruning for the whole table)
-    val jsons = srcs.map { case (_, m) => readManifestJson(f, m) }
+    val jsons = manifestBodies(f, srcs)
     val src = readSrcs(spark, srcs)
     bucketCol match {
       case Some(b) =>
@@ -705,8 +878,18 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     val out = f.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
     val dest = compactManifest(hi)
-    if (!f.rename(tmp, dest)) { f.delete(tmp, false); return }
+    if (!f.rename(tmp, dest)) {
+      f.delete(tmp, false)
+      // dest already present = a previous run crashed between publishing
+      // the snapshot and truncating the log/GC'ing — fall through and
+      // finish those steps instead of leaving the log stale forever
+      if (!f.exists(dest)) return
+    }
     hiCache = Some(hi)
+    // truncate the commit log to the snapshot record BEFORE the manifest
+    // GC below: log-based readers must never be pointed at manifests
+    // this run is about to delete
+    logTruncateTo(f, body, hi)
     // NOTE: the evolved flag is NOT reset here even though the snapshot
     // unified the schema — in-flight readers may still hold pre-compaction
     // source listings (their data dirs survive until GC by design) and a
@@ -770,6 +953,17 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
         val layout = bucketColOf(readManifestJson(f, tableMeta))
         writeTableMeta(f, md5s.head.get, evolved = false, layout)
       }
+    }
+    // GC commit-log segments below the live head range (compaction moved
+    // first_seg past them; they only existed for in-flight readers)
+    readLogHead(f).foreach { case (first, _) =>
+      f.listStatus(manifestDir).toSeq.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("log-") && n.endsWith(".json") && n != logHead.getName &&
+            n.stripPrefix("log-").stripSuffix(".json").toLongOption.exists(_ < first)
+        }
+        .foreach(p => f.delete(p, false))
     }
     victims.size
   }

@@ -454,6 +454,97 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     assert(sink.read(spark, bucket = Some(0L)).count() == 2)
   }
 
+  test("commit log: reads never list or open per-epoch manifests; segments roll at the cap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eoslog").toString
+    // tiny segment cap to exercise rolling; bucketed + stats to prove the
+    // pruning metadata is served from the log too
+    val sink = new ExactlyOnceSink(dir, bucketCol = Some("hb"), statsCol = Some("ts"),
+      logSegCap = 3)
+    (0L until 8L).foreach { e =>
+      sink.write(Seq((e, e % 2, new java.sql.Timestamp(1000L * (e + 1) * 1000)))
+        .toDF("id", "hb", "ts"), e)
+    }
+    // 8 entries at cap 3 -> segments 0..2 and head {first: 0, last: 2}
+    val head = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest/log-head.json")))
+    assert(head.contains("\"first_seg\": 0") && head.contains("\"last_seg\": 2"), head)
+
+    // the path-level bounded-reads assert: move EVERY per-epoch manifest
+    // aside — a reader that listed `_manifest` or opened per-epoch JSONs
+    // would now see nothing / crash; the log-backed reader is unaffected
+    val stash = Files.createTempDirectory("eoslogstash")
+    val moved = new java.io.File(s"$dir/_manifest").listFiles()
+      .filter(_.getName.startsWith("epoch-")).toSeq
+    assert(moved.size == 8)
+    moved.foreach(f0 => Files.move(f0.toPath, stash.resolve(f0.getName)))
+
+    assert(sink.committedEpochs() == (0L until 8L))
+    assert(sink.read(spark).count() == 8)
+    // bucket AND time pruning metadata come from the log bodies
+    assert(sink.read(spark, bucket = Some(1L)).count() == 4)
+    assert(sink.readTimeRange(spark, 1000L * 1000000L, 3000L * 1000000L).count() == 3)
+    assert(sink.readBetween(spark, 4L).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(5L, 6L, 7L))
+    assert(sink.describe(spark).count() == 8)
+
+    // restore for the commit path (the manifests stay the commit record)
+    moved.foreach(f0 => Files.move(stash.resolve(f0.getName), f0.toPath))
+
+    // compaction truncates the chain to one fresh segment + GC drops the
+    // old ones; reads stay exact throughout
+    sink.compact(spark, targetPartitions = 1)
+    val head2 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest/log-head.json")))
+    assert(head2.contains("\"first_seg\": 3") && head2.contains("\"last_seg\": 3"), head2)
+    assert(sink.gcUnreferenced() > 0)
+    val segs = new java.io.File(s"$dir/_manifest").listFiles()
+      .map(_.getName).filter(n => n.startsWith("log-") && n != "log-head.json").sorted
+    assert(segs.toSeq == Seq("log-0000000003.json"), segs.mkString(", "))
+    assert(sink.read(spark).count() == 8)
+    assert(sink.read(spark, bucket = Some(0L)).count() == 4)
+
+    // post-compaction appends keep working off the fresh chain
+    sink.write(Seq((8L, 0L, new java.sql.Timestamp(9000L * 1000))).toDF("id", "hb", "ts"), 8L)
+    assert(sink.read(spark).count() == 9)
+    assert(sink.committedEpochs() == Seq(8L))
+  }
+
+  test("commit log: a pre-log (legacy) table is migrated by the next write and re-delivery heals a missing entry") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eoslegmig").toString
+    val sink = new ExactlyOnceSink(dir, logSegCap = 3)
+    (0L until 5L).foreach(e => sink.write(Seq((e, s"v$e")).toDF("id", "v"), e))
+    // simulate a table written before the log existed
+    new java.io.File(s"$dir/_manifest").listFiles()
+      .filter(_.getName.startsWith("log-")).foreach(f0 => Files.delete(f0.toPath))
+    // listing fallback still serves reads
+    assert(sink.read(spark).count() == 5)
+    // the next write migrates: one seed listing, then the log is the index
+    sink.write(Seq((5L, "v5")).toDF("id", "v"), 5L)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/_manifest/log-head.json")))
+    assert(sink.committedEpochs() == (0L until 6L))
+    assert(sink.read(spark).count() == 6)
+
+    // crash between manifest rename and log append, simulated by dropping
+    // the tail entry: re-delivery of the same epoch repairs the index
+    val segFiles = new java.io.File(s"$dir/_manifest").listFiles()
+      .filter(_.getName.matches("log-\\d+\\.json")).sortBy(_.getName)
+    val tail = segFiles.last
+    val lines = new String(Files.readAllBytes(tail.toPath)).split('\n').toSeq
+    assert(lines.exists(_.contains("\"epoch\": 5")))
+    Files.write(tail.toPath, lines.filterNot(_.contains("\"epoch\": 5"))
+      .mkString("\n").getBytes)
+    // drop the Hadoop LocalFS checksum sidecar the out-of-band edit staled
+    Files.deleteIfExists(tail.toPath.resolveSibling("." + tail.getName + ".crc"))
+    assert(sink.committedEpochs() == (0L until 5L)) // index lost the epoch...
+    sink.write(Seq((99L, "EVIL")).toDF("id", "v"), 5L) // ...re-delivery heals it
+    assert(sink.committedEpochs() == (0L until 6L))
+    // and the original epoch-5 data is untouched (the manifest was the commit)
+    assert(sink.read(spark).where($"id" === 5L).select($"v").collect()
+      .map(_.getString(0)).toSeq == Seq("v5"))
+  }
+
   test("gcUnreferenced from a plain maintenance instance preserves the recorded layout") {
     import spark.implicits._
     val dir = Files.createTempDirectory("eosgcl").toString
