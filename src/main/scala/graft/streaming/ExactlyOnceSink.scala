@@ -228,7 +228,10 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     readLog(f) match {
       case Some(entries) =>
         val byName: Map[String, String] = entries.flatMap { e =>
-          epochOfEntry(e).map(id => epochManifest(id).getName -> e)
+          // order matters: a bucket-snapshot record also carries
+          // "compact_hi"-like keys of its own kind — probe it FIRST
+          bucketCompactOfEntry(e).map { case (n, h) => bcompactManifest(h, n).getName -> e }
+            .orElse(epochOfEntry(e).map(id => epochManifest(id).getName -> e))
             .orElse(compactHiOfEntry(e).map(h => compactManifest(h).getName -> e))
         }.toMap
         srcs.map { case (_, m) => byName.getOrElse(m.getName, readManifestJson(f, m)) }
@@ -583,6 +586,112 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
         .map(x => x.group(1).toLong -> x.group(2).toLong).toMap
     }.getOrElse(Map.empty)
 
+  // ---- per-bucket snapshots (incremental compaction) -----------------
+  // `compactBuckets` folds ONE bucket's epoch slices into a
+  // `data/bcompact-<hi>-<bucket>` dir with a `bcompact-<hi>-<bucket>.json`
+  // record (logged like any commit). Reads substitute the snapshot for
+  // the covered `__<bucketCol>=<n>` epoch subdirs; per-epoch manifests
+  // and data stay intact (readAsOf/readBetween still serve exact
+  // history), so this is a pure read-path optimization between full
+  // compactions — at 100 TB you compact the hot buckets incrementally
+  // instead of rewriting the whole table, and a hot-bucket query reads
+  // one snapshot plus the few epochs after it. A full compact() covers
+  // every bucket and retires these (log truncation + GC).
+
+  private def bcompactManifest(hi: Long, n: Long): Path =
+    new Path(manifestDir, f"bcompact-$hi%010d-$n.json")
+  private def bcompactData(hi: Long, n: Long): String =
+    f"$tableDir/data/bcompact-$hi%010d-$n"
+
+  /** (bucket, hi) of a bucket-snapshot record. */
+  private def bucketCompactOfEntry(js: String): Option[(Long, Long)] =
+    for {
+      h <- """"bucket_compact_hi":\s*(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong)
+      n <- """"bucket":\s*(-?\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong)
+    } yield (n, h)
+
+  /** Active bucket snapshots (newest per bucket, above the global
+    * compaction horizon): Seq of (bucket, hi). */
+  private def bucketSnaps(f: FileSystem): Seq[(Long, Long)] = {
+    val ghi = compactHi().getOrElse(-1L)
+    val all: Seq[(Long, Long)] = readLog(f) match {
+      case Some(entries) => entries.flatMap(bucketCompactOfEntry)
+      case None =>
+        if (!f.exists(manifestDir)) Nil
+        else f.listStatus(manifestDir).toSeq.map(_.getPath.getName).flatMap {
+          case s if s.startsWith("bcompact-") && s.endsWith(".json") =>
+            """bcompact-(\d+)-(-?\d+)\.json""".r.findFirstMatchIn(s)
+              .map(m => (m.group(2).toLong, m.group(1).toLong))
+          case _ => None
+        }
+    }
+    all.filter(_._2 > ghi).groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2).max }.toSeq.sortBy(_._1)
+  }
+
+  /**
+   * Incrementally compact a RANGE of buckets (bucketed sinks only): for
+   * each bucket, fold its previous bucket snapshot (if any) plus its
+   * `__<bucketCol>=<n>` slices of the epochs committed since into one
+   * fresh snapshot, and log the record. Idempotent per (bucket, current
+   * max epoch); buckets with no data are skipped. Epoch manifests and
+   * data dirs are NOT touched — full history remains readable and a
+   * later full [[compact]] retires everything. Safe under kill/resume
+   * interleaving with writes (spec-asserted): each snapshot is published
+   * with the same write-then-log discipline as an epoch commit.
+   */
+  def compactBuckets(spark: SparkSession, buckets: Range,
+      targetPartitions: Int = 1): Unit = {
+    val bn = bucketCol.getOrElse(throw new IllegalArgumentException(
+      s"bucket compaction requires a bucketed sink (bucketCol=None in $tableDir)"))
+    val f = fs()
+    if (f.exists(tableMeta)) requireLayoutMatch(readManifestJson(f, tableMeta))
+    val ghi = compactHi()
+    val epochs = committedEpochs().filter(e => ghi.forall(e > _))
+    if (epochs.isEmpty) return
+    val hi = epochs.max
+    val prev = bucketSnaps(f).toMap
+    val esrcs = epochs.map(e => (s"$tableDir/data/epoch=$e", epochManifest(e)))
+    val jsons = manifestBodies(f, esrcs)
+    val merge = readerEvolved(f).getOrElse(mixedFingerprintsOf(jsons))
+    for (n <- buckets; if !prev.get(n).contains(hi)) {
+      val phi = prev.get(n)
+      // only epochs after the previous bucket snapshot, only with rows
+      val cover = epochs.zip(jsons).filter { case (e, _) => phi.forall(e > _) }
+      val withRows = cover.filter { case (_, js) => bucketRowsOf(js).getOrElse(n, 0L) > 0L }
+      val prevSrc = phi.map(h => (bcompactData(h, n), bcompactManifest(h, n)))
+      val paths = prevSrc.map(_._1).toSeq ++
+        withRows.map { case (e, _) => s"$tableDir/data/epoch=$e/${shadowCol(bn)}=$n" }
+      if (paths.nonEmpty) {
+        val dataPath = bcompactData(hi, n)
+        val src = readPaths(spark, paths, merge)
+        src.coalesce(targetPartitions).write.mode(SaveMode.Overwrite).parquet(dataPath)
+        // metadata folded from the captured records — no second data scan
+        val prevJson = prevSrc.map(s => manifestBodies(f, Seq(s)).head)
+        val rows = prevJson.map(bucketRowsOf(_).getOrElse(n, 0L)).getOrElse(0L) +
+          withRows.map { case (_, js) => bucketRowsOf(js).getOrElse(n, 0L) }.sum
+        // conservative envelope (per-epoch stats span ALL buckets): still
+        // a valid superset guard for pruning, residual filter stays exact
+        val sts = (prevJson.toSeq ++ withRows.map(_._2)).map(statsOf)
+        val env =
+          if (sts.nonEmpty && sts.forall(_.isDefined) &&
+              sts.flatten.map(_._1).distinct.size == 1)
+            Some((sts.flatten.head._1,
+              sts.flatten.map(_._2).min, sts.flatten.map(_._3).max))
+          else None
+        val body =
+          s"""{"bucket_compact_hi": $hi, "bucket": $n, "rows": $rows,
+             | "schema_md5": "${ExactlyOnceSink.schemaMd5(src.schema)}",
+             | "buckets": {"$n": $rows},
+             | ${statsJson(env)}
+             | "data_path": "data/${new Path(dataPath).getName}"}""".stripMargin
+        writeAtomic(f, bcompactManifest(hi, n), body)
+        logAppend(f, body)
+      }
+    }
+  }
+  // --------------------------------------------------------------------
+
   /** (dataPath, manifestPath) for the current committed view. */
   private def currentSrcs(): Seq[(String, Path)] = {
     val hi = compactHi()
@@ -643,12 +752,17 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
    */
   def read(spark: SparkSession, bucket: Option[Long] = None,
       timeRange: Option[(Long, Long)] = None): DataFrame = {
-    val srcs = currentSrcs()
-    if (srcs.isEmpty)
+    val srcs0 = currentSrcs()
+    if (srcs0.isEmpty)
       throw new IllegalStateException(s"no committed epochs in $tableDir")
-    if (bucket.isEmpty && timeRange.isEmpty) return readSrcs(spark, srcs)
-
     val f = fs()
+    val bsnaps = bucketSnaps(f)
+    if (bucket.isEmpty && timeRange.isEmpty && bsnaps.isEmpty)
+      return readSrcs(spark, srcs0)
+    val bHi: Map[Long, Long] = bsnaps.toMap
+    // bucket snapshots join the source list; the epoch slices they cover
+    // are masked during path expansion below
+    val srcs = srcs0 ++ bsnaps.map { case (n, h) => (bcompactData(h, n), bcompactManifest(h, n)) }
     val sc = timeRange.map { _ =>
       statsCol.getOrElse(throw new IllegalArgumentException(
         s"time-range read requires a statsCol-configured sink ($tableDir)"))
@@ -664,10 +778,10 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     val jsons = manifestBodies(f, srcs)
     val merge = readerEvolved(f).getOrElse(mixedFingerprintsOf(jsons))
     def emptyResult(): DataFrame = {
-      val allPaths = bucketCol match {
-        case Some(bn) => srcs.flatMap { case (dp, _) => bucketDirs(f, dp, bn) }
-        case None => srcs.map(_._1)
-      }
+      val allPaths = (bucketCol match {
+        case Some(bn) => srcs0.flatMap { case (dp, _) => bucketDirs(f, dp, bn) }
+        case None => srcs0.map(_._1)
+      }) ++ bsnaps.map { case (n, h) => bcompactData(h, n) }
       if (allPaths.isEmpty) // keep the designed loud diagnostic, not Spark's schema error
         throw new IllegalStateException(
           s"no data files under committed sources in $tableDir (all epochs empty?)")
@@ -683,14 +797,38 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
           } => dp
     }
     if (sel.isEmpty) return emptyResult()
-    val paths = bname match {
-      // the real bucket column is in the data files — no restoration
-      case Some(bn) => sel.map(dp => s"$dp/${shadowCol(bn)}=${bucket.get}")
-      case None => bucketCol match {
-        case Some(bn2) => sel.flatMap(dp => bucketDirs(f, dp, bn2))
-        case None => sel
+    def epochIdOf(dp: String): Option[Long] = {
+      val nm = new Path(dp).getName
+      if (nm.startsWith("epoch=")) nm.stripPrefix("epoch=").toLongOption else None
+    }
+    // expansion of one selected source into leaf paths; an epoch's
+    // bucket slice is masked when a bucket snapshot covers it
+    def expand(dp: String): Seq[String] = {
+      val nm = new Path(dp).getName
+      if (nm.startsWith("bcompact-")) {
+        // sel's bucketRowsOf guard already dropped other buckets' snaps
+        // for a pruned read; the snapshot dir is itself a leaf
+        Seq(dp)
+      } else (bname, bucketCol) match {
+        case (Some(bn), _) => // pruned single-bucket read
+          val covered = epochIdOf(dp)
+            .exists(e => bHi.get(bucket.get).exists(e <= _))
+          if (covered) Nil
+          // the real bucket column is in the data files — no restoration
+          else Seq(s"$dp/${shadowCol(bn)}=${bucket.get}")
+        case (None, Some(bn2)) =>
+          val dirs = bucketDirs(f, dp, bn2)
+          epochIdOf(dp) match {
+            case Some(e) => dirs.filterNot { d =>
+              new Path(d).getName.stripPrefix(shadowCol(bn2) + "=").toLongOption
+                .exists(b0 => bHi.get(b0).exists(e <= _))
+            }
+            case None => dirs // global snapshot: nothing covers it
+          }
+        case (None, None) => Seq(dp)
       }
     }
+    val paths = sel.flatMap(expand)
     if (paths.isEmpty) return emptyResult()
     withResidual(readPaths(spark, paths, merge), sc, timeRange)
   }
@@ -730,13 +868,15 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
   def describe(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val f = fs()
-    val srcs = currentSrcs()
+    val srcs = currentSrcs() ++
+      bucketSnaps(f).map { case (n, h) => (bcompactData(h, n), bcompactManifest(h, n)) }
     srcs.zip(manifestBodies(f, srcs)).map { case ((dp, _), js) =>
       val name = new Path(dp).getName
       val rows = """"rows":\s*(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong)
       val st = statsOf(js)
       (name,
-        if (name.startsWith("compact-")) "snapshot" else "epoch",
+        if (name.startsWith("compact-")) "snapshot"
+        else if (name.startsWith("bcompact-")) "bucket-snapshot" else "epoch",
         rows.map(java.lang.Long.valueOf).orNull,
         schemaMd5Of(js).orNull,
         bucketRowsOf(js).size,
@@ -921,11 +1061,18 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     val epochs = committedEpochs()
     val maxEpoch = epochs.lastOption.getOrElse(compactHi().getOrElse(-1L))
     val hi = compactHi()
+    val activeB = bucketSnaps(f).toMap
     val live: Set[String] =
-      epochs.map(e => s"epoch=$e").toSet ++ hi.map(h => s"compact-$h").toSet
+      epochs.map(e => s"epoch=$e").toSet ++ hi.map(h => s"compact-$h").toSet ++
+        activeB.map { case (n, h) => new Path(bcompactData(h, n)).getName }
     def superseded(name: String): Boolean = name match {
       case s if s.startsWith("epoch=") =>
         s.stripPrefix("epoch=").toLongOption.exists(_ <= maxEpoch)
+      case s if s.startsWith("bcompact-") =>
+        """bcompact-(\d+)-(-?\d+)""".r.findFirstMatchIn(s).exists { m =>
+          val h = m.group(1).toLong; val n = m.group(2).toLong
+          h <= hi.getOrElse(-1L) || activeB.get(n).exists(h < _)
+        }
       case s if s.startsWith("compact-") =>
         s.stripPrefix("compact-").toLongOption.exists(c => hi.exists(c < _))
       case _ => false // unknown layout: never delete
@@ -953,6 +1100,18 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
         val layout = bucketColOf(readManifestJson(f, tableMeta))
         writeTableMeta(f, md5s.head.get, evolved = false, layout)
       }
+    }
+    // GC obsolete bucket-snapshot manifests (their data dirs just went,
+    // and the log no longer references them)
+    if (f.exists(manifestDir)) {
+      val activeNames = activeB.map { case (n, h) => bcompactManifest(h, n).getName }.toSet
+      f.listStatus(manifestDir).toSeq.map(_.getPath)
+        .filter { p =>
+          val s = p.getName
+          s.startsWith("bcompact-") && s.endsWith(".json") && !activeNames.contains(s) &&
+            superseded(s.stripSuffix(".json"))
+        }
+        .foreach(p => f.delete(p, false))
     }
     // GC commit-log segments below the live head range (compaction moved
     // first_seg past them; they only existed for in-flight readers)

@@ -545,6 +545,71 @@ class ExactlyOnceSinkSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("v5"))
   }
 
+  test("per-bucket compaction: exact reads + pruning across interleaved writes, reruns, GC, and full compaction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eosbc").toString
+    val sink = new ExactlyOnceSink(dir, bucketCol = Some("hb"), statsCol = Some("ts"),
+      logSegCap = 4)
+    val oracle = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]() // id, hb, sec
+    var nextEpoch = 0L
+    def wr(rows: (Long, Long, Long)*): Unit = {
+      sink.write(rows.toSeq.map { case (i, b, s) => (i, b, new java.sql.Timestamp(s * 1000)) }
+        .toDF("id", "hb", "ts"), nextEpoch)
+      nextEpoch += 1; oracle ++= rows
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    def checkAll(): Unit = {
+      assert(ids(sink.read(spark)) == oracle.map(_._1).sorted.toSeq)
+      (0L to 3L).foreach { b =>
+        assert(ids(sink.read(spark, bucket = Some(b)))
+          == oracle.filter(_._2 == b).map(_._1).sorted.toSeq, s"bucket $b")
+      }
+      val (lo, hi) = (1500L * 1000000L, 3500L * 1000000L)
+      assert(ids(sink.readTimeRange(spark, lo, hi))
+        == oracle.filter(r => r._3 * 1000000L >= lo && r._3 * 1000000L <= hi)
+          .map(_._1).sorted.toSeq)
+    }
+    wr((1L, 0L, 1000L), (2L, 1L, 1000L))
+    wr((3L, 1L, 2000L), (4L, 2L, 2000L))
+    wr((5L, 0L, 3000L), (6L, 3L, 3000L))
+    sink.compactBuckets(spark, 0 to 1)
+    checkAll()
+    // the pruned read serves bucket 1 from its snapshot ONLY — covered
+    // epoch slices must not be listed
+    val b1files = sink.read(spark, bucket = Some(1L)).inputFiles
+    assert(b1files.nonEmpty && b1files.forall(_.contains("bcompact-")), b1files.mkString(", "))
+
+    wr((7L, 1L, 4000L), (8L, 0L, 4000L))
+    checkAll() // snapshot + post-snapshot epoch compose in one read
+    sink.compactBuckets(spark, 1 to 3) // bucket 1 folds snap+new; 2..3 fresh
+    checkAll()
+    sink.compactBuckets(spark, 0 to 3) // re-run (resume replay analog)...
+    sink.compactBuckets(spark, 0 to 3) // ...and again: idempotent at same hi
+    checkAll()
+    assert(sink.describe(spark).where($"kind" === "bucket-snapshot").count() == 4)
+
+    // incremental + time-travel reads ignore bucket snapshots: exact
+    // per-epoch history stays intact
+    assert(ids(sink.readBetween(spark, 1L)) == Seq(5L, 6L, 7L, 8L))
+    assert(ids(sink.readAsOf(spark, 1L)) == Seq(1L, 2L, 3L, 4L))
+
+    // GC drops the superseded older bucket snapshots, keeps the active
+    assert(sink.gcUnreferenced() >= 2)
+    checkAll()
+
+    // a full compaction retires every bucket snapshot
+    sink.compact(spark, targetPartitions = 1)
+    sink.gcUnreferenced()
+    checkAll()
+    val leftover = new java.io.File(s"$dir/_manifest").listFiles()
+      .map(_.getName).filter(_.startsWith("bcompact-"))
+    assert(leftover.isEmpty, leftover.mkString(", "))
+    val leftoverData = new java.io.File(s"$dir/data").listFiles()
+      .map(_.getName).filter(_.startsWith("bcompact-"))
+    assert(leftoverData.isEmpty, leftoverData.mkString(", "))
+  }
+
   test("gcUnreferenced from a plain maintenance instance preserves the recorded layout") {
     import spark.implicits._
     val dir = Files.createTempDirectory("eosgcl").toString
