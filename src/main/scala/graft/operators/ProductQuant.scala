@@ -113,7 +113,8 @@ object ProductQuant {
    * [[encode]]/[[adcTopK]]/[[lutsFor]] take either. Train-time only.
    */
   def refinedCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int, seedMod: Long, iters: Int): DataFrame = {
+      dim: Int, m: Int, seedMod: Long, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val d = dim / m
     // composite (sub, code) cells packed into one long label so the
@@ -126,7 +127,7 @@ object ProductQuant {
     val ksub = books.where($"sub" === 0).count()
     require(ksub < Lbl,
       s"$ksub codes per subspace exceeds the label packing range ($Lbl); raise seedMod")
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val prev = books
       // assignment: the encoder's own argmin (one grouped pass, all subs)
       val assigned = argminAssign(sliced, books)
@@ -140,10 +141,12 @@ object ProductQuant {
         .select(expr(s"label div $Lbl").cast(IntegerType).as("sub"),
           pmod($"label", lit(Lbl)).cast(IntegerType).as("code"), $"new_sv")
       // empty-cell guard + materialize (a lazy books doubles the plan
-      // per iteration — same discipline as refineCentroids)
+      // per iteration — same discipline as refineCentroids; with
+      // checkpointDir the materialization is a durable, resumable
+      // parquet round-trip instead of executor-local blocks)
       books = books.join(means, Seq("sub", "code"), "left")
         .select($"sub", $"seed_id", coalesce($"new_sv", $"sv").as("sv"), $"code")
-        .localCheckpoint()
+        .transform(Similarity.materializeIter(_, checkpointDir, i))
       prev.unpersist()
     }
     books

@@ -202,14 +202,20 @@ object Similarity {
    * bounds probe-time work on clustered real-world embeddings (a sample
    * centroid in a dense region otherwise absorbs a huge cell).
    */
-  def refineCentroids(c: DataFrame, seeds0: DataFrame, iters: Int): DataFrame = {
-    // The per-iteration centroid table is materialized with
-    // localCheckpoint (executor-local blocks — NOT failure-tolerant: on a
-    // cluster that can lose executors mid-refinement, persist each
-    // iteration to reliable storage instead). The previous iteration's
-    // blocks are released as soon as the next table exists.
+  def refineCentroids(c: DataFrame, seeds0: DataFrame, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // The per-iteration centroid table is materialized either with
+    // localCheckpoint (executor-local blocks — fast, but NOT
+    // failure-tolerant) or, with `checkpointDir`, by a durable parquet
+    // round-trip per iteration: on a cluster that can lose executors
+    // mid-refinement the reliable path makes training restartable — a
+    // completed iteration (durable _SUCCESS) is reused as-is on rerun,
+    // and results are bit-identical to the localCheckpoint path
+    // (spec-asserted; every mean is exact integer arithmetic and parquet
+    // round-trips floats losslessly). The previous iteration's blocks
+    // are released as soon as the next table exists.
     var seeds = seeds0
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val prev = seeds
       val members = assignToCells(c, seeds).select($"centroid".as("label"), $"cv")
       // per-(cell, pos) exact quantized sums — the one shared recipe
@@ -231,10 +237,27 @@ object Similarity {
         // materialize the (tiny) centroid table: `seeds` feeds BOTH the
         // next assignment and the next empty-cell guard — left lazy, the
         // plan doubles per iteration (2^iters corpus passes)
-        .localCheckpoint()
+        .transform(materializeIter(_, checkpointDir, i))
       if (prev ne seeds0) prev.unpersist() // only the newest table is live
     }
     seeds
+  }
+
+  /** One iteration's materialization: executor-local blocks, or a
+    * durable parquet round-trip under `checkpointDir` (reliable +
+    * resumable — a dir with a durable _SUCCESS is reused, not
+    * recomputed). Shared by [[refineCentroids]] and
+    * [[ProductQuant.refinedCodebooks]]. */
+  private[operators] def materializeIter(df: DataFrame, checkpointDir: Option[String],
+      iter: Int): DataFrame = checkpointDir match {
+    case None => df.localCheckpoint()
+    case Some(dir) =>
+      val spark = df.sparkSession
+      val p = new org.apache.hadoop.fs.Path(s"$dir/iter-$iter")
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p.toString)
+      spark.read.parquet(p.toString)
   }
 
   /** Per-label quantized centroid sums: (label, pos, sum_q, n). Exact. */

@@ -205,6 +205,36 @@ class OperatorSpec extends SparkSpec {
     assert(rows(viaIndex) == rows(oneShot) && rows(viaIndex).nonEmpty)
   }
 
+  test("refinement with a reliable checkpoint dir: bit-identical to localCheckpoint, completed iterations resumed") {
+    import spark.implicits._
+    val corpus = emb.where($"vec_id" >= 10)
+    val c = corpus.select($"vec_id".as("corpus_id"), $"embedding".as("cv"),
+      VectorOps.norm_q($"embedding").as("cn"))
+    val seeds0 = corpus.where($"vec_id" % 16 === 0)
+      .select($"vec_id".as("seed_id"), $"embedding".as("sv"),
+        VectorOps.norm_q($"embedding").as("sn"))
+    def smap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Float](1).toSeq, r.getLong(2)))).toMap
+    val local = Similarity.refineCentroids(c, seeds0, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("refckpt").toString
+    val reliable = Similarity.refineCentroids(c, seeds0, iters = 2, Some(dir))
+    assert(smap(local) == smap(reliable) && smap(local).nonEmpty)
+    // resume proof: every iteration is durable, so a re-run touches NO
+    // corpus data at all — feed an empty corpus and still get the result
+    val resumed = Similarity.refineCentroids(c.limit(0), seeds0, iters = 2, Some(dir))
+    assert(smap(resumed) == smap(local))
+
+    // the PQ codebook refinement shares the same discipline
+    def bmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getInt(0), r.getInt(3)), r.getSeq[Float](2).toSeq)).toMap
+    val bLocal = ProductQuant.refinedCodebooks(corpus, "vec_id", "embedding",
+      64, 4, 16L, iters = 2)
+    val bdir = java.nio.file.Files.createTempDirectory("refckptb").toString
+    val bReliable = ProductQuant.refinedCodebooks(corpus, "vec_id", "embedding",
+      64, 4, 16L, iters = 2, Some(bdir))
+    assert(bmap(bLocal) == bmap(bReliable) && bmap(bLocal).nonEmpty)
+  }
+
   test("ivf k-means refinement: refined cells stay a correct index and recall twins") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{broadcast => _, _}
