@@ -127,6 +127,7 @@ object ProductQuant {
     val ksub = books.where($"sub" === 0).count()
     require(ksub < Lbl,
       s"$ksub codes per subspace exceeds the label packing range ($Lbl); raise seedMod")
+    checkpointDir.foreach(Similarity.guardCheckpointDir(books, _))
     for (i <- 1 to iters) {
       val prev = books
       // assignment: the encoder's own argmin (one grouped pass, all subs)

@@ -214,6 +214,7 @@ object Similarity {
     // (spec-asserted; every mean is exact integer arithmetic and parquet
     // round-trips floats losslessly). The previous iteration's blocks
     // are released as soon as the next table exists.
+    checkpointDir.foreach(guardCheckpointDir(seeds0, _))
     var seeds = seeds0
     for (i <- 1 to iters) {
       val prev = seeds
@@ -243,11 +244,42 @@ object Similarity {
     seeds
   }
 
+  /** Guard a refinement checkpoint dir against cross-run reuse: the
+    * initial (tiny) seed table's content fingerprint is recorded at the
+    * dir root on first use and must match on resume — a directory left
+    * over from a different seed table, operator, or parameterization
+    * fails loudly instead of being silently adopted as this run's
+    * result. (Same-seeds corpus edits are the caller's resume contract,
+    * as with any k-means restart: one training run per directory.) */
+  private[operators] def guardCheckpointDir(seedTable: DataFrame, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = seedTable.sparkSession
+    val canon = seedTable.collect().map(_.toString).sorted.mkString("\n") + "|" +
+      seedTable.schema.map(f0 => s"${f0.name}:${f0.dataType.sql}").mkString(";")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    val p = new Path(s"$dir/_fingerprint")
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val old = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      require(old.trim == fp,
+        s"checkpointDir $dir holds a DIFFERENT run's iterations (seed fingerprint " +
+          s"${old.trim} != $fp) — use a fresh directory per training run")
+    } else {
+      f.mkdirs(new Path(dir))
+      val out = f.create(p, true)
+      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** One iteration's materialization: executor-local blocks, or a
     * durable parquet round-trip under `checkpointDir` (reliable +
     * resumable — a dir with a durable _SUCCESS is reused, not
-    * recomputed). Shared by [[refineCentroids]] and
-    * [[ProductQuant.refinedCodebooks]]. */
+    * recomputed; [[guardCheckpointDir]] pins the dir to one run).
+    * Shared by [[refineCentroids]] and [[ProductQuant.refinedCodebooks]]. */
   private[operators] def materializeIter(df: DataFrame, checkpointDir: Option[String],
       iter: Int): DataFrame = checkpointDir match {
     case None => df.localCheckpoint()

@@ -127,6 +127,13 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     * pretty (multi-line) so they flatten on the way in. */
   private def oneLine(body: String): String = body.replace('\n', ' ')
 
+  /** The log is the INDEX: drop the (unbounded) per-epoch file list on
+    * the way in — the per-epoch manifest keeps the full lineage, and no
+    * read path consults `files` from a log body. Every append rewrites
+    * the tail segment, so entry size bounds the hot-path commit cost. */
+  private def indexEntry(body: String): String =
+    oneLine(body).replaceAll(""""files":\s*\[[^\]]*\]""", """"files": []""")
+
   private def readLogHead(f: FileSystem): Option[(Long, Long)] =
     if (!f.exists(logHead)) None
     else {
@@ -137,13 +144,23 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
       } yield (a, b)
     }
 
-  /** Atomic small-file replace (write-temp + same-dir rename). */
+  /** Atomic small-file replace (write-temp + same-dir rename). The
+    * rename goes ONTO the existing destination first — an atomic replace
+    * on POSIX/HDFS, so a crash at any point leaves either the old or the
+    * new content, never neither. Only if the FS refuses to clobber
+    * (strict no-overwrite semantics) does it fall back to delete+rename,
+    * accepting a narrow non-atomic window on those platforms alone —
+    * delete-FIRST here would erase the tail log segment (and with it up
+    * to a segment's worth of committed epochs from every log-backed
+    * read) on a crash between the two calls. */
   private def writeAtomic(f: FileSystem, dest: Path, body: String): Unit = {
     val tmp = new Path(manifestDir, "." + dest.getName + ".tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
-    f.delete(dest, false)
-    if (!f.rename(tmp, dest)) f.delete(tmp, false)
+    if (!f.rename(tmp, dest)) {
+      f.delete(dest, false)
+      if (!f.rename(tmp, dest)) f.delete(tmp, false)
+    }
   }
 
   private def writeLogHead(f: FileSystem, first: Long, last: Long): Unit =
@@ -165,6 +182,29 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
   private def compactHiOfEntry(js: String): Option[Long] =
     """"compact_hi":\s*(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong)
 
+  // derivations over ONE in-memory entry list, so a public operation can
+  // read the log once and compute everything from it (read() does)
+  private def hiFromEntries(entries: Seq[String]): Option[Long] =
+    entries.flatMap(compactHiOfEntry).maxOption
+  private def epochsFromEntries(entries: Seq[String]): Seq[Long] =
+    entries.flatMap(epochOfEntry).distinct.sorted
+  private def bucketSnapsFromEntries(entries: Seq[String]): Seq[(Long, Long)] = {
+    val ghi = hiFromEntries(entries).getOrElse(-1L)
+    entries.flatMap(bucketCompactOfEntry).filter(_._2 > ghi).groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2).max }.toSeq.sortBy(_._1)
+  }
+  private def bodiesFromEntries(f: FileSystem, entries: Seq[String],
+      srcs: Seq[(String, Path)]): Seq[String] = {
+    val byName: Map[String, String] = entries.flatMap { e =>
+      // order matters: a bucket-snapshot record also carries keys of its
+      // own kind — probe it FIRST
+      bucketCompactOfEntry(e).map { case (n, h) => bcompactManifest(h, n).getName -> e }
+        .orElse(epochOfEntry(e).map(id => epochManifest(id).getName -> e))
+        .orElse(compactHiOfEntry(e).map(h => compactManifest(h).getName -> e))
+    }.toMap
+    srcs.map { case (_, m) => byName.getOrElse(m.getName, readManifestJson(f, m)) }
+  }
+
   /** One-time migration: seed the log from a full `_manifest` listing
     * (the last listing this table's readers will ever need). Segments
     * land before the head — the head publish makes the log visible. */
@@ -176,7 +216,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     val groups =
       if (entries.isEmpty) Seq(Seq.empty[String]) else entries.grouped(logSegCap).toSeq
     groups.zipWithIndex.foreach { case (g, i) =>
-      writeAtomic(f, logSeg(i.toLong), g.map(oneLine).mkString("\n"))
+      writeAtomic(f, logSeg(i.toLong), g.map(indexEntry).mkString("\n"))
     }
     writeLogHead(f, 0L, (groups.size - 1).toLong)
   }
@@ -191,10 +231,10 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
       if (!f.exists(segPath)) Seq.empty[String]
       else readManifestJson(f, segPath).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
     if (cur.size >= logSegCap) {
-      writeAtomic(f, logSeg(last + 1), oneLine(body))
+      writeAtomic(f, logSeg(last + 1), indexEntry(body))
       writeLogHead(f, first, last + 1)
     } else {
-      writeAtomic(f, segPath, (cur :+ oneLine(body)).mkString("\n"))
+      writeAtomic(f, segPath, (cur :+ indexEntry(body)).mkString("\n"))
     }
   }
 
@@ -218,7 +258,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     val keep = readLog(f).getOrElse(Nil)
       .filter(e => epochOfEntry(e).exists(_ > hi))
     val next = readLogHead(f).map(_._2 + 1).getOrElse(0L)
-    writeAtomic(f, logSeg(next), (oneLine(body) +: keep).mkString("\n"))
+    writeAtomic(f, logSeg(next), (indexEntry(body) +: keep).mkString("\n"))
     writeLogHead(f, next, next)
   }
 
@@ -226,15 +266,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     * (bounded reads) instead of opening one JSON per source. */
   private def manifestBodies(f: FileSystem, srcs: Seq[(String, Path)]): Seq[String] =
     readLog(f) match {
-      case Some(entries) =>
-        val byName: Map[String, String] = entries.flatMap { e =>
-          // order matters: a bucket-snapshot record also carries
-          // "compact_hi"-like keys of its own kind — probe it FIRST
-          bucketCompactOfEntry(e).map { case (n, h) => bcompactManifest(h, n).getName -> e }
-            .orElse(epochOfEntry(e).map(id => epochManifest(id).getName -> e))
-            .orElse(compactHiOfEntry(e).map(h => compactManifest(h).getName -> e))
-        }.toMap
-        srcs.map { case (_, m) => byName.getOrElse(m.getName, readManifestJson(f, m)) }
+      case Some(entries) => bodiesFromEntries(f, entries, srcs)
       case None => srcs.map { case (_, m) => readManifestJson(f, m) }
     }
   // --------------------------------------------------------------------
@@ -275,7 +307,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
   def committedEpochs(): Seq[Long] = {
     val f = fs()
     readLog(f) match {
-      case Some(entries) => entries.flatMap(epochOfEntry).distinct.sorted
+      case Some(entries) => epochsFromEntries(entries)
       case None => committedEpochsListing(f)
     }
   }
@@ -293,7 +325,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
   def compactHi(): Option[Long] = {
     val f = fs()
     readLog(f) match {
-      case Some(entries) => entries.flatMap(compactHiOfEntry).maxOption
+      case Some(entries) => hiFromEntries(entries)
       case None => compactHiListing(f)
     }
   }
@@ -483,15 +515,11 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
   private def writeTableMeta(f: FileSystem, md5: String, evolved: Boolean,
       layout: Option[String]): Unit = {
     f.mkdirs(manifestDir)
-    val tmp = new Path(manifestDir, ".table.json.tmp")
-    val body = s"""{"bucket_col": ${layout.map(b => "\"" + b + "\"").getOrElse("null")},
-                  | "schema_md5": "$md5", "evolved": $evolved}""".stripMargin
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes(UTF_8)) finally out.close()
-    // overwrite-by-rename; delete-first keeps it atomic-enough under the
-    // single-writer contract
-    f.delete(tableMeta, false)
-    if (!f.rename(tmp, tableMeta)) f.delete(tmp, false)
+    // rename-onto-existing replace (see writeAtomic): closes the old
+    // lost-marker window of delete-then-rename
+    writeAtomic(f, tableMeta,
+      s"""{"bucket_col": ${layout.map(b => "\"" + b + "\"").getOrElse("null")},
+         | "schema_md5": "$md5", "evolved": $evolved}""".stripMargin)
   }
 
   private def requireLayoutMatch(json: String): Unit = {
@@ -517,7 +545,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
   private def requireInferredLayoutMatch(f: FileSystem): Unit = {
     val srcs = currentSrcs()
     if (srcs.isEmpty) return // fresh table: this sink defines the layout
-    val bucketed = srcs.exists { case (_, m) => hasBucketsKey(readManifestJson(f, m)) }
+    val bucketed = manifestBodies(f, srcs).exists(hasBucketsKey)
     if (bucketed != bucketCol.isDefined)
       throw new IllegalStateException(
         s"table $tableDir has committed ${if (bucketed) "bucketed" else "flat"} epochs " +
@@ -565,7 +593,15 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     * adopts the first file's schema, so guessing "plain" is never safe
     * for a table that might have evolved). */
   private def readerEvolved(f: FileSystem): Option[Boolean] = {
-    if (!f.exists(tableMeta)) return None
+    if (!f.exists(tableMeta)) {
+      // markerless table: the READ side gets the same inferred-layout
+      // guard as write() — a flat open of a bucketed markerless table
+      // would otherwise return epoch roots AND bucket-snapshot dirs
+      // (every covered row twice), the exact silent mis-read the guard
+      // exists to prevent
+      requireInferredLayoutMatch(f)
+      return None
+    }
     val js = readManifestJson(f, tableMeta)
     requireLayoutMatch(js)
     Some(evolvedOf(js))
@@ -612,11 +648,11 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
 
   /** Active bucket snapshots (newest per bucket, above the global
     * compaction horizon): Seq of (bucket, hi). */
-  private def bucketSnaps(f: FileSystem): Seq[(Long, Long)] = {
-    val ghi = compactHi().getOrElse(-1L)
-    val all: Seq[(Long, Long)] = readLog(f) match {
-      case Some(entries) => entries.flatMap(bucketCompactOfEntry)
-      case None =>
+  private def bucketSnaps(f: FileSystem): Seq[(Long, Long)] = readLog(f) match {
+    case Some(entries) => bucketSnapsFromEntries(entries)
+    case None =>
+      val ghi = compactHiListing(f).getOrElse(-1L)
+      val all: Seq[(Long, Long)] =
         if (!f.exists(manifestDir)) Nil
         else f.listStatus(manifestDir).toSeq.map(_.getPath.getName).flatMap {
           case s if s.startsWith("bcompact-") && s.endsWith(".json") =>
@@ -624,9 +660,8 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
               .map(m => (m.group(2).toLong, m.group(1).toLong))
           case _ => None
         }
-    }
-    all.filter(_._2 > ghi).groupBy(_._1)
-      .map { case (n, xs) => n -> xs.map(_._2).max }.toSeq.sortBy(_._1)
+      all.filter(_._2 > ghi).groupBy(_._1)
+        .map { case (n, xs) => n -> xs.map(_._2).max }.toSeq.sortBy(_._1)
   }
 
   /**
@@ -654,6 +689,12 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     val esrcs = epochs.map(e => (s"$tableDir/data/epoch=$e", epochManifest(e)))
     val jsons = manifestBodies(f, esrcs)
     val merge = readerEvolved(f).getOrElse(mixedFingerprintsOf(jsons))
+    // one log pass for every previous snapshot's body, not one per bucket
+    val prevBodies: Map[Long, String] = {
+      val prevSeq = prev.toSeq
+      val ps = prevSeq.map { case (n, h) => (bcompactData(h, n), bcompactManifest(h, n)) }
+      prevSeq.map(_._1).zip(manifestBodies(f, ps)).toMap
+    }
     for (n <- buckets; if !prev.get(n).contains(hi)) {
       val phi = prev.get(n)
       // only epochs after the previous bucket snapshot, only with rows
@@ -667,7 +708,7 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
         val src = readPaths(spark, paths, merge)
         src.coalesce(targetPartitions).write.mode(SaveMode.Overwrite).parquet(dataPath)
         // metadata folded from the captured records — no second data scan
-        val prevJson = prevSrc.map(s => manifestBodies(f, Seq(s)).head)
+        val prevJson = phi.map(_ => prevBodies(n))
         val rows = prevJson.map(bucketRowsOf(_).getOrElse(n, 0L)).getOrElse(0L) +
           withRows.map { case (_, js) => bucketRowsOf(js).getOrElse(n, 0L) }.sum
         // conservative envelope (per-epoch stats span ALL buckets): still
@@ -752,11 +793,19 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
    */
   def read(spark: SparkSession, bucket: Option[Long] = None,
       timeRange: Option[(Long, Long)] = None): DataFrame = {
-    val srcs0 = currentSrcs()
+    // the hot path reads the commit log ONCE and derives everything —
+    // horizon, epoch list, bucket snapshots, manifest bodies — from that
+    // one entry list (a legacy table falls back to the listing helpers)
+    val f = fs()
+    val logE = readLog(f)
+    val ghi = logE.map(hiFromEntries).getOrElse(compactHiListing(f))
+    val epochs = (logE.map(epochsFromEntries).getOrElse(committedEpochsListing(f)))
+      .filter(e => ghi.forall(e > _))
+    val srcs0 = ghi.map(h => (s"$tableDir/data/compact-$h", compactManifest(h))).toSeq ++
+      epochs.map(e => (s"$tableDir/data/epoch=$e", epochManifest(e)))
     if (srcs0.isEmpty)
       throw new IllegalStateException(s"no committed epochs in $tableDir")
-    val f = fs()
-    val bsnaps = bucketSnaps(f)
+    val bsnaps = logE.map(bucketSnapsFromEntries).getOrElse(bucketSnaps(f))
     if (bucket.isEmpty && timeRange.isEmpty && bsnaps.isEmpty)
       return readSrcs(spark, srcs0)
     val bHi: Map[Long, Long] = bsnaps.toMap
@@ -773,9 +822,9 @@ class ExactlyOnceSink(tableDir: String, bucketCol: Option[String] = None,
     }
     // ONE manifest pass: the merge decision (when the marker is absent)
     // and both pruning dimensions — per-bucket row counts and the
-    // event-time envelope — all come from the same bodies, served from
-    // the commit log in a bounded number of reads.
-    val jsons = manifestBodies(f, srcs)
+    // event-time envelope — all come from the same bodies
+    val jsons = logE.map(bodiesFromEntries(f, _, srcs))
+      .getOrElse(srcs.map { case (_, m) => readManifestJson(f, m) })
     val merge = readerEvolved(f).getOrElse(mixedFingerprintsOf(jsons))
     def emptyResult(): DataFrame = {
       val allPaths = (bucketCol match {

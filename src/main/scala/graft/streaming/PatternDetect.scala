@@ -92,7 +92,7 @@ object PatternDetect {
             .filter(e => TsUtil.toUs(e.ts) >= wm)
             .map(e => (TsUtil.toUs(e.ts), e.id)).toSeq)
           val allB = mergeSorted(st.bs, bs
-            .filter(e => e.kind == bKind && TsUtil.toUs(e.ts) >= wm)
+            .filter(e => TsUtil.toUs(e.ts) >= wm)
             .map(e => (TsUtil.toUs(e.ts), e.id)).toSeq)
 
           // resolve: A's whose deadline the watermark passed can match
@@ -157,7 +157,7 @@ object PatternDetect {
             .filter(e => TsUtil.toUs(e.ts) >= wm)
             .map(e => (TsUtil.toUs(e.ts), e.id)).toSeq)
           val allB = mergeSorted(st.bs, bs
-            .filter(e => e.kind == bKind && TsUtil.toUs(e.ts) >= wm)
+            .filter(e => TsUtil.toUs(e.ts) >= wm)
             .map(e => (TsUtil.toUs(e.ts), e.id)).toSeq)
           val ripe = openA.filter { case (aUs, _) => aUs + withinUs < wm }
           val out = ripe.collect {

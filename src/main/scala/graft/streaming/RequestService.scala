@@ -11,9 +11,8 @@ import graft.operators.RequestResponse
  * one DRPC call; the reference's DRPC is a continuously-running service
  * (`drpc/RequestBolt.java:41-57` keeps consuming requests,
  * `E8_DRPCTopology.java:78-84` loops submitting them), and this is that
- * shape: requests arrive as a stream, each micro-batch is broadcast
- * against the (large, partitioned) corpus exactly like the batch
- * operator, and the per-request top-k responses are committed to an
+ * shape: requests arrive as a stream, each micro-batch runs the batch
+ * operator's plan, and the per-request responses are committed to an
  * exactly-once response table keyed by epoch.
  *
  * Why `foreachBatch` and not a stream-static join + streaming agg: the
@@ -21,19 +20,38 @@ import graft.operators.RequestResponse
  * barrier semantics, `drpc/BatchBolt.java:63-99`) — in append-mode
  * streaming the aggregation could only emit when the watermark closes,
  * adding latency for nothing, because a request's answer depends only on
- * its own micro-batch and the static corpus. Inside foreachBatch the
- * request batch is a small batch DataFrame, so the plan is the SAME
- * broadcast + corpus-scan + bounded-heap top-k the batch operator
- * produces (identical results, spec-asserted), and the sink's epoch
- * manifest makes re-delivered batches idempotent — a response is
- * published exactly once even across kill/resume.
+ * its own micro-batch and the static corpus/index. Inside foreachBatch
+ * the request batch is a small batch DataFrame, so the plan is the SAME
+ * broadcast + scan + bounded-heap top-k the batch operator produces
+ * (identical results, spec-asserted), and the sink's epoch manifest
+ * makes re-delivered batches idempotent — a response is published
+ * exactly once even across kill/resume.
  *
- * 100 TB shape: the corpus should be a cached/checkpointed DataFrame (it
- * is re-used every trigger); the request batch is broadcast, so the
- * corpus is scanned but NEVER shuffled per trigger; response volume is
- * requests × k, tiny.
+ * 100 TB shape: corpus/index/codebook DataFrames should be cached or
+ * persisted tables (they are re-used every trigger); the request batch
+ * is broadcast, so nothing corpus-scale is ever shuffled per trigger;
+ * response volume is requests × k, tiny. The `startIndexed*` variants
+ * are the serving tier: they touch ONLY the persisted index structures
+ * (`PartialMatcher.java:110-145`'s prepare-once shape), never the raw
+ * corpus.
  */
 object RequestService {
+
+  /** The one service harness: request stream → per-micro-batch transform
+    * → exactly-once response table. Each service below is its transform. */
+  private def startService(requests: DataFrame, responseTable: String,
+      checkpoint: String, trigger: Trigger)
+      (batchFn: DataFrame => DataFrame): StreamingQuery = {
+    val sink = new ExactlyOnceSink(responseTable)
+    requests.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink.write(batchFn(batch.toDF()), id)
+      }
+      .start()
+  }
 
   /**
    * Start the text-match service: per micro-batch of requests
@@ -44,19 +62,10 @@ object RequestService {
       reqId: String, reqText: String, docId: String, docText: String,
       responseTable: String, checkpoint: String,
       k: Int = 5, n: Int = 2,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
-    val sink = new ExactlyOnceSink(responseTable)
-    requests.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink.write(
-          RequestResponse.matchText(spark, batch.toDF(), corpus,
-            reqId, reqText, docId, docText, k, n), id)
-      }
-      .start()
-  }
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    startService(requests, responseTable, checkpoint, trigger)(batch =>
+      RequestResponse.matchText(spark, batch, corpus,
+        reqId, reqText, docId, docText, k, n))
 
   /**
    * Start the text-match service off a PRE-BUILT inverted shingle index
@@ -71,19 +80,9 @@ object RequestService {
       shingleIndex: DataFrame, reqId: String, reqText: String,
       responseTable: String, checkpoint: String,
       k: Int = 5, n: Int = 2,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
-    val sink = new ExactlyOnceSink(responseTable)
-    requests.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink.write(
-          RequestResponse.matchTextFromIndex(batch.toDF(), shingleIndex,
-            reqId, reqText, k, n), id)
-      }
-      .start()
-  }
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    startService(requests, responseTable, checkpoint, trigger)(batch =>
+      RequestResponse.matchTextFromIndex(batch, shingleIndex, reqId, reqText, k, n))
 
   /**
    * Start the near-dup probe service off the persisted minhash band
@@ -98,19 +97,10 @@ object RequestService {
       reqId: String, reqText: String, docId: String, docText: String,
       responseTable: String, checkpoint: String,
       n: Int = 3, bands: Int = 8, minJaccQ: Long = 500L,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
-    val sink = new ExactlyOnceSink(responseTable)
-    requests.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink.write(
-          RequestResponse.nearDupProbe(batch.toDF(), bandIndex, corpus,
-            reqId, reqText, docId, docText, n, bands, minJaccQ), id)
-      }
-      .start()
-  }
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    startService(requests, responseTable, checkpoint, trigger)(batch =>
+      RequestResponse.nearDupProbe(batch, bandIndex, corpus,
+        reqId, reqText, docId, docText, n, bands, minJaccQ))
 
   /**
    * Start the embedding-match service against a PRE-BUILT IVF index —
@@ -127,22 +117,14 @@ object RequestService {
       reqId: String, reqVec: String,
       responseTable: String, checkpoint: String,
       k: Int = 5, nProbe: Int = 4,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
-    val sink = new ExactlyOnceSink(responseTable)
-    requests.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        import org.apache.spark.sql.functions.col
-        val q = batch.toDF().select(col(reqId).as("query_id"), col(reqVec).as("qv"),
-          graft.operators.VectorOps.norm_q(col(reqVec)).as("qn"))
-        sink.write(
-          graft.operators.Similarity.ivfSearchIndex(q, index, seeds, k, nProbe)
-            .withColumnRenamed("query_id", "request_id"), id)
-      }
-      .start()
-  }
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    startService(requests, responseTable, checkpoint, trigger) { batch =>
+      import org.apache.spark.sql.functions.col
+      val q = batch.select(col(reqId).as("query_id"), col(reqVec).as("qv"),
+        graft.operators.VectorOps.norm_q(col(reqVec)).as("qn"))
+      graft.operators.Similarity.ivfSearchIndex(q, index, seeds, k, nProbe)
+        .withColumnRenamed("query_id", "request_id")
+    }
 
   /**
    * Start the PQ-compressed embedding-match service off a persisted
@@ -159,20 +141,11 @@ object RequestService {
       reqId: String, reqVec: String, dim: Int, m: Int,
       responseTable: String, checkpoint: String,
       k: Int = 5, nProbe: Int = 4,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
-    val sink = new ExactlyOnceSink(responseTable)
-    requests.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink.write(
-          graft.operators.ProductQuant.ivfAdcSearchIndex(batch.toDF(), index, seeds, books,
-            reqId, reqVec, dim, m, k, nProbe)
-            .withColumnRenamed("query_id", "request_id"), id)
-      }
-      .start()
-  }
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    startService(requests, responseTable, checkpoint, trigger)(batch =>
+      graft.operators.ProductQuant.ivfAdcSearchIndex(batch, index, seeds, books,
+        reqId, reqVec, dim, m, k, nProbe)
+        .withColumnRenamed("query_id", "request_id"))
 
   /**
    * Start the embedding-match service: per micro-batch of requests
@@ -183,17 +156,8 @@ object RequestService {
       reqId: String, reqVec: String, docId: String, docVec: String,
       responseTable: String, checkpoint: String,
       k: Int = 5,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
-    val sink = new ExactlyOnceSink(responseTable)
-    requests.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink.write(
-          RequestResponse.matchEmbedding(batch.toDF(), corpus,
-            reqId, reqVec, docId, docVec, k), id)
-      }
-      .start()
-  }
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    startService(requests, responseTable, checkpoint, trigger)(batch =>
+      RequestResponse.matchEmbedding(batch, corpus,
+        reqId, reqVec, docId, docVec, k))
 }

@@ -223,6 +223,10 @@ class OperatorSpec extends SparkSpec {
     // corpus data at all — feed an empty corpus and still get the result
     val resumed = Similarity.refineCentroids(c.limit(0), seeds0, iters = 2, Some(dir))
     assert(smap(resumed) == smap(local))
+    // a dir holding a DIFFERENT run's iterations is refused, not adopted
+    intercept[IllegalArgumentException] {
+      Similarity.refineCentroids(c, seeds0.limit(3), iters = 1, Some(dir))
+    }
 
     // the PQ codebook refinement shares the same discipline
     def bmap(df: org.apache.spark.sql.DataFrame) = df.collect()
