@@ -1290,9 +1290,134 @@ object Queries {
           AND epoch_us(b.ts) > epoch_us(a.ts)
           AND epoch_us(b.ts) <= epoch_us(a.ts) + 43200000000)"""))
 
+  // the INDEXED text-match serving path, value-checked end to end: the
+  // inverted shingle index is built INCREMENTALLY in two chunks
+  // (textIndexIncrement — the persisted-index maintenance unit), then
+  // requests are served off the index alone (matchTextFromIndex: corpus
+  // text never re-shingled). Oracle = q33's full-scan formula, so this
+  // query PROVES index-serving ≡ direct matching, chunked build included.
+  private val q52 = QueryDef("q52_indexed_text_match",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val corpus = docs.where(col("doc_id") >= 5)
+      val index = RequestResponse.textIndexIncrement(
+          corpus.where(col("doc_id") % 2 === 0), "doc_id", "text", n = 2)
+        .unionByName(RequestResponse.textIndexIncrement(
+          corpus.where(col("doc_id") % 2 === 1), "doc_id", "text", n = 2))
+      RequestResponse.matchTextFromIndex(docs.where(col("doc_id") < 5), index,
+        "doc_id", "text", k = 3, n = 2)
+        .select(col("request_id"), col("doc_id"), col("score_q"),
+          col("rk").cast(LongType).as("rk"))
+    },
+    Some("""WITH qsh AS (SELECT DISTINCT doc_id AS request_id,
+        unnest(list_transform(generate_series(1, greatest(len(ts)-1, 0)),
+          i -> ts[i] || ' ' || ts[i+1])) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE doc_id < 5)),
+      qsz AS (SELECT request_id, count(*) AS q_sz FROM qsh GROUP BY 1),
+      dsh AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(ts)-1, 0)),
+          i -> ts[i] || ' ' || ts[i+1])) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE doc_id >= 5)),
+      hits AS (SELECT request_id, d.doc_id, count(*) AS inter
+        FROM dsh d JOIN qsh q ON d.shingle = q.shingle GROUP BY 1, 2),
+      sc AS (SELECT h.request_id, doc_id,
+        cast(floor(1000 * inter / q_sz) as bigint) AS score_q
+        FROM hits h JOIN qsz ON h.request_id = qsz.request_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY request_id
+        ORDER BY score_q DESC, doc_id ASC) AS rk FROM sc)
+      SELECT request_id, doc_id, score_q, rk FROM r WHERE rk <= 3"""))
+
+  // the INDEXED IVF-PQ serving path, value-checked end to end: frozen
+  // seeds + codebooks, the (corpus_id, centroid, codes) index built
+  // INCREMENTALLY in two chunks (indexIncrement — what a streaming
+  // maintenance job appends per readBetween batch), queries served off
+  // the index alone (ivfAdcSearchIndex: probes + LUTs broadcast, the
+  // scan reads m codes per row, raw corpus vectors never touched at
+  // query time). Oracle composes q43's coarse assign/probe with q49's
+  // codebook/encode/LUT formulas digit-for-digit.
+  private val q53 = QueryDef("q53_ivf_pq_indexed",
+    (s, d) => {
+      val emb = rd(s, d, "embeddings")
+      val corpus = emb.where(col("vec_id") >= 10)
+      val seeds = corpus.where(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("sv"),
+          VectorOps.norm_q(col("embedding")).as("sn"))
+      val books = ProductQuant.codebooks(corpus, "vec_id", "embedding",
+        dim = 64, m = 2, seedMod = 16L)
+      val index = ProductQuant.indexIncrement(
+          corpus.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          seeds, books, dim = 64, m = 2)
+        .unionByName(ProductQuant.indexIncrement(
+          corpus.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          seeds, books, dim = 64, m = 2))
+      ProductQuant.ivfAdcSearchIndex(emb.where(col("vec_id") < 10), index,
+        seeds, books, "vec_id", "embedding", dim = 64, m = 2, k = 5, nProbe = 4)
+        .select(col("query_id"), col("corpus_id"), col("adc_q"), col("rk"))
+    },
+    Some("""WITH c AS (SELECT vec_id AS corpus_id, embedding AS cv,
+        cast(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1000000))) as bigint) AS cn
+        FROM embeddings WHERE vec_id >= 10),
+      q AS (SELECT vec_id AS query_id, embedding AS qv,
+        cast(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1000000))) as bigint) AS qn
+        FROM embeddings WHERE vec_id < 10),
+      seeds AS (SELECT corpus_id AS seed_id, cv AS sv, cn AS sn
+        FROM c WHERE corpus_id % 16 = 0),
+      asg AS (SELECT corpus_id, seed_id, row_number() OVER
+          (PARTITION BY corpus_id ORDER BY
+            cast(floor(cast(list_sum(list_transform(generate_series(1, len(cv)),
+              i -> floor(cv[i]::DOUBLE * sv[i]::DOUBLE * 1000000))) as bigint)
+              / sqrt(cn::DOUBLE * sn::DOUBLE) * 1000000) as bigint) DESC,
+            seed_id ASC) AS rn
+        FROM c CROSS JOIN seeds),
+      assigned AS (SELECT corpus_id, seed_id AS centroid FROM asg WHERE rn = 1),
+      prb AS (SELECT query_id, seed_id, row_number() OVER
+          (PARTITION BY query_id ORDER BY
+            cast(floor(cast(list_sum(list_transform(generate_series(1, len(qv)),
+              i -> floor(qv[i]::DOUBLE * sv[i]::DOUBLE * 1000000))) as bigint)
+              / sqrt(qn::DOUBLE * sn::DOUBLE) * 1000000) as bigint) DESC,
+            seed_id ASC) AS rn
+        FROM q CROSS JOIN seeds),
+      probes AS (SELECT query_id, seed_id AS centroid FROM prb WHERE rn <= 4),
+      subs AS (SELECT unnest(generate_series(0, 1)) AS sub),
+      books AS (SELECT sub, seed_id, sv,
+          cast(row_number() OVER (PARTITION BY sub ORDER BY seed_id) - 1 AS INTEGER) AS code
+        FROM (SELECT s.sub, corpus_id AS seed_id,
+                cv[s.sub*32+1 : s.sub*32+32] AS sv
+              FROM c CROSS JOIN subs s WHERE corpus_id % 16 = 0)),
+      enc AS (SELECT corpus_id, sub, code, row_number() OVER
+          (PARTITION BY corpus_id, sub ORDER BY cost ASC, code ASC) AS rn
+        FROM (SELECT x.corpus_id, b.sub, b.code,
+            cast(list_sum(list_transform(generate_series(1, 32),
+              i -> floor(b.sv[i]::DOUBLE * b.sv[i]::DOUBLE * 1000000))) as bigint)
+            - 2 * cast(list_sum(list_transform(generate_series(1, 32),
+              i -> floor(x.csv[i]::DOUBLE * b.sv[i]::DOUBLE * 1000000))) as bigint) AS cost
+          FROM (SELECT corpus_id, s.sub, cv[s.sub*32+1 : s.sub*32+32] AS csv
+                FROM c CROSS JOIN subs s) x
+          JOIN books b ON b.sub = x.sub)),
+      codes AS (SELECT corpus_id, sub, code FROM enc WHERE rn = 1),
+      lut AS (SELECT query_id, b.sub, b.code,
+          cast(list_sum(list_transform(generate_series(1, 32),
+            i -> floor(y.qsv[i]::DOUBLE * b.sv[i]::DOUBLE * 1000000))) as bigint) AS w
+        FROM (SELECT query_id, s.sub, qv[s.sub*32+1 : s.sub*32+32] AS qsv
+              FROM q CROSS JOIN subs s) y
+        JOIN books b ON b.sub = y.sub),
+      sc AS (SELECT l.query_id, cd.corpus_id, cast(sum(l.w) AS BIGINT) AS adc_q
+        FROM codes cd
+        JOIN assigned a ON a.corpus_id = cd.corpus_id
+        JOIN probes p ON p.centroid = a.centroid
+        JOIN lut l ON l.query_id = p.query_id AND l.sub = cd.sub AND l.code = cd.code
+        GROUP BY l.query_id, cd.corpus_id),
+      r AS (SELECT query_id, corpus_id, adc_q, row_number() OVER
+        (PARTITION BY query_id ORDER BY adc_q DESC, corpus_id ASC) AS rk FROM sc)
+      SELECT query_id, corpus_id, adc_q, rk FROM r WHERE rk <= 5"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
 }
