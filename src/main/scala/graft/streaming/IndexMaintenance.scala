@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Index-maintenance loop: keep a derived INDEX table (inverted shingle
+ * index, minhash band index, IVF assignment, IVF-PQ codes, ...) caught
+ * up with a CORPUS table, epoch by epoch, exactly once — the running-job
+ * form of the `*Increment` operators. The reference builds its match
+ * index once at `prepare` (`PartialMatcher.java:110-145`); at 100 TB the
+ * corpus keeps growing, so "prepare" becomes this: a loop that indexes
+ * ONLY what committed since the last run, never re-reading history.
+ *
+ * The trick is that there is NO side-channel state: the index table's
+ * own commit manifest IS the maintenance bookkeeping. Each corpus epoch
+ * `e` is indexed under the SAME epoch id `e` in the index table, so
+ *  - "what is left to do" = corpus epochs minus `index.committed`;
+ *  - a crash between increments loses nothing (already-written epochs
+ *    are skipped by the sink's exactly-once `write`);
+ *  - a re-run after completion is a no-op;
+ *  - concurrent duplicate maintainers are harmless (both race to the
+ *    same atomic manifest rename; one wins, the other skips).
+ *
+ * `incrementFn` must be ROW-LOCAL per corpus row (true of
+ * `RequestResponse.textIndexIncrement`, `Dedup.minhashBandsRowwise`,
+ * `Similarity.assignIncrement`, `ProductQuant.indexIncrement` — each
+ * consults only the row plus broadcast frozen seed/codebook tables), so
+ * per-epoch increments equal the single-batch build exactly.
+ *
+ * Compaction interplay, both sides loud:
+ *  - corpus compacted past an unindexed epoch → `readBetween` throws
+ *    (per-epoch rows no longer recoverable; rebuild the index from the
+ *    snapshot and restart maintenance from there);
+ *  - index compacted → `committed` still covers all epochs ≤ the
+ *    snapshot horizon, so catch-up resumes correctly after the fold.
+ */
+object IndexMaintenance {
+
+  /**
+   * Catch `index` up to `corpus`'s committed horizon. Returns the epoch
+   * ids indexed by THIS call (empty when already caught up). Epochs are
+   * processed in ascending order so a mid-loop kill leaves a contiguous
+   * prefix — `readBetween(lastIndexed, ...)` style consumers of the
+   * index table see a consistent frontier.
+   */
+  def catchUp(spark: SparkSession, corpus: ExactlyOnceSink,
+      index: ExactlyOnceSink)(incrementFn: DataFrame => DataFrame): Seq[Long] = {
+    // compaction folded corpus epochs whose increments were never taken:
+    // their per-epoch manifests are gone, so they would silently vanish
+    // from the todo list below — refuse instead (the guard readBetween
+    // can no longer raise for us once the epochs stop being listed)
+    corpus.compactHi().filterNot(index.committed).foreach { h =>
+      throw new IllegalStateException(
+        s"corpus epochs <= $h were compacted into a snapshot before being " +
+        "indexed; rebuild the index from corpus.read() (one single-batch " +
+        s"increment committed as epoch $h) and resume maintenance from there")
+    }
+    val todo = corpus.committedEpochs().filterNot(index.committed).sorted
+    todo.foreach { e =>
+      // (e-1, e] over integral epoch ids selects exactly epoch e; throws
+      // loudly if corpus compaction folded it away (see class doc)
+      index.write(incrementFn(corpus.readBetween(spark, e - 1, e)), e)
+    }
+    todo
+  }
+}
