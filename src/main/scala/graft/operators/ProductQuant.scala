@@ -118,7 +118,7 @@ object ProductQuant {
     require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val d = dim / m
     // composite (sub, code) cells packed into one long label so the
-    // shared exact-integer centroidSums machinery applies unchanged
+    // shared exact-integer centroidMeans machinery applies unchanged
     val Lbl = 1000000L
     val sliced = slicedSubs(corpus, idCol, vecCol, d, m)
     var books = codebooks(corpus, idCol, vecCol, dim, m, seedMod)
@@ -133,14 +133,11 @@ object ProductQuant {
       // assignment: the encoder's own argmin (one grouped pass, all subs)
       val assigned = argminAssign(sliced, books)
         .select(($"sub".cast(LongType) * Lbl + $"code").as("lbl"), $"csv")
-      // exact floor(sum/n) integer means per (sub, code, pos)
-      val means = Similarity.centroidSums(assigned, "lbl", "csv")
-        .withColumn("mq", expr("(sum_q - pmod(sum_q, n)) div n"))
-        .groupBy($"label")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"mq"))),
-          e => (e("mq").cast(DoubleType) / 1e6).cast(FloatType)).as("new_sv"))
+      // exact integer means per (sub, code), one array-buffer pass
+      val means = Similarity.centroidMeans(assigned, "lbl", "csv")
         .select(expr(s"label div $Lbl").cast(IntegerType).as("sub"),
-          pmod($"label", lit(Lbl)).cast(IntegerType).as("code"), $"new_sv")
+          pmod($"label", lit(Lbl)).cast(IntegerType).as("code"),
+          $"sv".as("new_sv"))
       // empty-cell guard + materialize (a lazy books doubles the plan
       // per iteration — same discipline as refineCentroids; with
       // checkpointDir the materialization is a durable, resumable

@@ -196,9 +196,10 @@ object Similarity {
    * loses all members keeps its previous centroid (classic empty-cluster
    * guard, here the deterministic choice).
    *
-   * Cost per iteration: one broadcast argmax pass + one (centroid, pos)
-   * aggregation over |corpus|·dim skinny rows — the standard k-means
-   * shuffle profile. Refinement balances cell populations, which is what
+   * Cost per iteration: one broadcast argmax pass + one array-buffer
+   * aggregation ([[centroidMeans]]: map-side partial sums, one array row
+   * per (partition, cell) across the exchange — nothing exploded, no
+   * reassembly shuffle). Refinement balances cell populations, which is what
    * bounds probe-time work on clustered real-world embeddings (a sample
    * centroid in a dense region otherwise absorbs a huge cell).
    */
@@ -219,14 +220,8 @@ object Similarity {
     for (i <- 1 to iters) {
       val prev = seeds
       val members = assignToCells(c, seeds).select($"centroid".as("label"), $"cv")
-      // per-(cell, pos) exact quantized sums — the one shared recipe
-      val means = centroidSums(members, "label", "cv")
-        // exact floor(sum/n): `div` stays in long arithmetic (a double
-        // division would lose bits once |sum| exceeds 2^53 — huge cells)
-        .withColumn("mq", expr("(sum_q - pmod(sum_q, n)) div n"))
-        .groupBy($"label")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"mq"))),
-          e => (e("mq").cast(DoubleType) / 1e6).cast(FloatType)).as("sv"))
+      // exact quantized cell means, one array-buffer aggregation pass
+      val means = centroidMeans(members, "label", "cv")
         .select($"label".as("seed_id"), $"sv", VectorOps.norm_q($"sv").as("sn"))
       // empty-cell guard: keep the old centroid where no member remains
       seeds = seeds.select($"seed_id", $"sv".as("old_sv"), $"sn".as("old_sn"))
@@ -299,4 +294,25 @@ object Similarity {
       .groupBy($"label", $"pos")
       .agg(sum(floor($"v".cast(DoubleType) * 1e6).cast(LongType)).as("sum_q"),
         count(lit(1)).as("n"))
+
+  /**
+   * Exact integer cell means in ONE grouped pass: `(label, sv)` with
+   * `sv[i] = floor(Σ floor(v_i·1e6) / n) / 1e6` as float. The
+   * [[VecSumQ]] array-buffer aggregator replaces the skinny-row
+   * [[centroidSums]] + collect_list/array_sort reassembly both
+   * refinement loops used — nothing is posexploded, the shuffle carries
+   * one array row per (partition, label) instead of `dim` struct rows,
+   * and the reassembly shuffle disappears. Bit-identical to the
+   * skinny-row recipe at any partitioning (spec-asserted), so refined
+   * centroids/codebooks are unchanged value-for-value.
+   */
+  def centroidMeans(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.where(col(vecCol).isNotNull) // mirror posexplode(null): no contribution
+      .groupBy(col(labelCol).as("label"))
+      .agg(VectorOps.vecSumQUdaf(col(vecCol)).as("sums"), count(lit(1)).as("n"))
+      // exact floor(sum/n) stays in long arithmetic (a double division
+      // would lose bits once |sum| exceeds 2^53 — huge cells)
+      .select($"label",
+        expr("transform(sums, s -> cast(cast((s - pmod(s, n)) div n as double) / 1e6 as float))")
+          .as("sv"))
 }

@@ -42,6 +42,64 @@ object VectorOps {
   def lsh_bucket(a: Column, nPlanes: Int): Column =
     Bridge.column(LshBucket(Bridge.expression(a), nPlanes))
 
+  /** The udaf form of [[VecSumQ]]: `vec_sum_q(vecCol)` → `array<bigint>`. */
+  def vecSumQUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(VecSumQ,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+
+}
+
+/**
+ * Exact quantized vector sum as ONE typed Aggregator: per element
+ * `floor(v*1e6)` accumulated into a fixed-width long-array buffer.
+ *
+ * This is the k-means-train shuffle fix: the previous cell-mean recipe
+ * posexploded the corpus into |corpus|·dim `(label, pos, v)` skinny rows,
+ * aggregated per (label, pos), then re-assembled vectors with
+ * `collect_list`+`array_sort` in a SECOND shuffle. Here nothing is
+ * exploded — Spark's ObjectHashAggregate reduces each partition to one
+ * array buffer per label map-side, the exchange carries one array-backed
+ * row per (partition, label) instead of `dim` struct rows, and the
+ * reassembly shuffle disappears. Long addition is associative and
+ * commutative, so the sums are bit-identical to the skinny-row recipe at
+ * any partitioning (spec-asserted) — the determinism contract is
+ * unchanged.
+ *
+ * Width locks to the first vector seen; ragged inputs fail loudly (a
+ * silent zip would mis-train every centroid downstream).
+ */
+object VecSumQ extends org.apache.spark.sql.expressions.Aggregator[Array[Float], Array[Long], Array[Long]] {
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(b: Array[Long], a: Array[Float]): Array[Long] = {
+    if (a == null) return b // mirror posexplode(null): contributes nothing
+    val buf = if (b.length == 0) new Array[Long](a.length) else b
+    require(a.length == buf.length,
+      s"vec_sum_q: ragged vector (length ${a.length}, expected ${buf.length})")
+    var i = 0
+    while (i < buf.length) {
+      buf(i) += math.floor(a(i).toDouble * VectorOps.QUANT).toLong
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    if (x.length == 0) return y
+    if (y.length == 0) return x
+    require(x.length == y.length,
+      s"vec_sum_q: ragged buffers (${x.length} vs ${y.length})")
+    var i = 0
+    while (i < x.length) { x(i) += y(i); i += 1 }
+    x
+  }
+
+  override def finish(b: Array[Long]): Array[Long] = b
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
 
 /** Deterministic hyperplane weights in [-1000, 1000]:

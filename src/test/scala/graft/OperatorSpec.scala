@@ -278,6 +278,28 @@ class OperatorSpec extends SparkSpec {
     assert(a == b, "refinement must be bit-deterministic")
   }
 
+  test("centroidMeans: one-pass array aggregation ≡ the skinny-row reference at any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val members = emb.select(($"vec_id" % 7).as("label"), $"embedding".as("cv"))
+    // the retired posexplode + collect_list/array_sort recipe, kept here
+    // verbatim as the semantic oracle for the VecSumQ aggregator path
+    def reference(df: org.apache.spark.sql.DataFrame) =
+      Similarity.centroidSums(df, "label", "cv")
+        .withColumn("mq", expr("(sum_q - pmod(sum_q, n)) div n"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"mq"))),
+          e => (e("mq").cast(DoubleType) / 1e6).cast(FloatType)).as("sv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"label", $"sv").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val ref = rows(reference(members))
+    assert(ref.nonEmpty && ref.values.head.length == 64)
+    assert(rows(Similarity.centroidMeans(members, "label", "cv")) == ref)
+    assert(rows(Similarity.centroidMeans(members.repartition(13), "label", "cv")) == ref)
+    assert(rows(Similarity.centroidMeans(members.coalesce(1), "label", "cv")) == ref)
+  }
+
   test("section fan-out / recombine round-trips text") {
     import spark.implicits._
     val rt = Topology.recombine(
