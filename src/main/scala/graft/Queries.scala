@@ -1415,9 +1415,107 @@ object Queries {
         (PARTITION BY query_id ORDER BY adc_q DESC, corpus_id ASC) AS rk FROM sc)
       SELECT query_id, corpus_id, adc_q, rk FROM r WHERE rk <= 5"""))
 
+  // BM25 keyword search served off the inverted postings index, built
+  // INCREMENTALLY in two chunks (postingsIncrement — the maintenance
+  // unit), df/corpus-stats derived from the index (never the raw text),
+  // requests broadcast against one postings scan. The integer BM25
+  // (odds-ratio idf ·10^6, per-mille tf saturation with avgdl_q = S div N;
+  // see TextSearch scaladoc) is rebuilt digit-for-digit by the oracle.
+  private val q54 = QueryDef("q54_bm25_search",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val corpus = docs.where(col("doc_id") >= 5)
+      val postings = TextSearch.postingsIncrement(
+          corpus.where(col("doc_id") % 2 === 0), "doc_id", "text")
+        .unionByName(TextSearch.postingsIncrement(
+          corpus.where(col("doc_id") % 2 === 1), "doc_id", "text"))
+      val qt = TextSearch.queryTerms(
+        docs.where(col("doc_id") < 5), "doc_id", "text", maxTerms = 6)
+      TextSearch.bm25TopK(qt, postings,
+          TextSearch.termDf(postings), TextSearch.statsOf(postings), k = 10)
+        .select(col("request_id"), col("doc_id"), col("score_q"), col("rk"))
+    },
+    Some("""WITH dt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        FROM documents WHERE doc_id >= 5),
+      post AS (SELECT doc_id, term, count(*) AS tf FROM
+        (SELECT doc_id, unnest(ts) AS term FROM dt) GROUP BY 1, 2),
+      dl AS (SELECT doc_id, len(ts) AS dl FROM dt),
+      cs AS (SELECT n, s, s // n AS avgdl_q FROM
+        (SELECT count(*) AS n, cast(sum(dl) AS BIGINT) AS s FROM dl)),
+      df AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      qt AS (SELECT DISTINCT doc_id AS request_id, unnest(ts[1:6]) AS term
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE doc_id < 5)),
+      contrib AS (SELECT q.request_id, p.doc_id,
+          ((2*cs.n - 2*df.df + 1) * 1000000 // (2*df.df + 1))
+          * ((1000 * 22 * p.tf * cs.avgdl_q)
+             // (10 * cs.avgdl_q * p.tf + 3 * cs.avgdl_q + 9 * dl.dl)) AS c
+        FROM qt q JOIN post p ON p.term = q.term
+        JOIN df ON df.term = q.term
+        JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN cs),
+      sc AS (SELECT request_id, doc_id, cast(sum(c) AS BIGINT) AS score_q
+        FROM contrib GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY request_id
+        ORDER BY score_q DESC, doc_id ASC) AS rk FROM sc)
+      SELECT request_id, doc_id, score_q, cast(rk AS BIGINT) AS rk
+      FROM r WHERE rk <= 10"""))
+
+  // benchmark decontamination: corpus docs flagged when they CONTAIN
+  // >= 5% of some benchmark doc's 3-gram shingles (containment is
+  // benchmark-normalized, not Jaccard — a short eval question inside a
+  // long page must flag). Benchmark set = doc_id % 37 == 0 (tiny →
+  // broadcast); corpus is shingled exactly once, no self-join.
+  private val q55 = QueryDef("q55_contamination",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      Dedup.contaminationTag(
+        docs.where(col("doc_id") % 37 =!= 0),
+        docs.where(col("doc_id") % 37 === 0),
+        "doc_id", "text", "doc_id", "text", n = 3, minContainQ = 50L)
+    },
+    Some("""WITH bsh AS (SELECT DISTINCT doc_id AS bench_id,
+        unnest(list_transform(generate_series(1, greatest(len(ts)-2, 0)),
+          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE doc_id % 37 = 0)),
+      bsz AS (SELECT bench_id, count(*) AS b_sz FROM bsh GROUP BY 1),
+      csh AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(ts)-2, 0)),
+          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE doc_id % 37 <> 0)),
+      hits AS (SELECT c.doc_id, b.bench_id, count(*) AS inter
+        FROM csh c JOIN bsh b ON c.shingle = b.shingle GROUP BY 1, 2),
+      sc AS (SELECT doc_id, bench_id,
+          cast(1000 * inter // b_sz AS BIGINT) AS contain_q
+        FROM hits JOIN bsz USING (bench_id))
+      SELECT doc_id, bench_id, contain_q FROM sc WHERE contain_q >= 50"""))
+
+  // token-window chunking (size 16, stride 12): the embedding-pipeline
+  // fan-out, row-local and shuffle-free; chunk text value-checked via md5
+  // so the slice/rejoin semantics (incl. the short tail chunk and the
+  // whitespace-only-doc single empty chunk) match digit-for-digit.
+  private val q56 = QueryDef("q56_token_chunks",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      TextAnalysis.chunkByTokens(docs, "doc_id", "text", size = 16, stride = 12)
+        .select(col("doc_id"), col("chunk_idx"),
+          TextAnalysis.tokenCount(col("chunk_text")).cast(LongType).as("chunk_toks"),
+          md5(col("chunk_text").cast(BinaryType)).as("chunk_md5"))
+    },
+    Some("""WITH dt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        FROM documents),
+      ch AS (SELECT doc_id, cast(i AS BIGINT) AS chunk_idx,
+          list_aggregate(ts[i*12+1 : i*12+16], 'string_agg', ' ') AS chunk
+        FROM dt, unnest(generate_series(0, greatest((len(ts)-5)//12, 0))) AS t(i))
+      SELECT doc_id, chunk_idx,
+        cast(len(regexp_extract_all(chunk, '\S+')) AS BIGINT) AS chunk_toks,
+        md5(chunk) AS chunk_md5 FROM ch"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
+    q56)
 }

@@ -330,6 +330,42 @@ object Dedup {
     (keepers, historyBands.unionByName(freshBands))
   }
 
+  /**
+   * Benchmark-contamination tagging — the decontamination pass every
+   * training-data pipeline runs before a corpus ships: flag corpus docs
+   * whose word-`n`-gram shingle sets CONTAIN a large share of some
+   * benchmark doc's shingles. Returns one row per flagged
+   * `(doc_id, bench_id)` pair with
+   * `contain_q = floor(1000·|S(doc) ∩ S(bench)| / |S(bench)|) ≥ minContainQ`
+   * — containment is normalized by the BENCHMARK side (a 100-token eval
+   * question buried inside a 100 kB page must still flag), which is why
+   * this is not the symmetric Jaccard of [[ngramJaccardPairs]].
+   *
+   * 100 TB shape: the benchmark set is kB–MB scale next to the corpus, so
+   * its shingles (and per-bench sizes) are BROADCAST; the corpus
+   * contributes exactly one shingling scan and the only shuffle is the
+   * (doc, bench) hit count — rows exist only where a shingle actually
+   * collides. No corpus self-join anywhere (contrast [[minhashLshPairs]]).
+   */
+  def contaminationTag(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, benchIdCol: String, benchTextCol: String,
+      n: Int = 3, minContainQ: Long = 500L): DataFrame = {
+    val bSh = shingles(
+      bench.select(col(benchIdCol).as("bench_id"), col(benchTextCol).as("text")),
+      "bench_id", "text", n)
+    val bSz = bSh.groupBy($"bench_id").agg(count(lit(1)).as("b_sz"))
+    val cSh = shingles(
+      corpus.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      "doc_id", "text", n)
+    cSh.join(broadcast(bSh), Seq("shingle"))
+      .groupBy($"doc_id", $"bench_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(bSz), Seq("bench_id"))
+      .select($"doc_id", $"bench_id",
+        floor(lit(1000) * $"inter" / $"b_sz").cast(LongType).as("contain_q"))
+      .where($"contain_q" >= minContainQ)
+  }
+
   /** Per-row minhash band signatures (see [[MinHashBandSigs]]). */
   def minhash_band_sigs(text: Column, n: Int, bands: Int): Column =
     org.apache.spark.sql.graftshim.Bridge.column(

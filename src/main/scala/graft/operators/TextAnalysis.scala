@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -137,6 +137,41 @@ object TextAnalysis {
   /** Hamming distance between two simhash longs. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /**
+   * Token-window chunking — the preprocessing verb of every embedding /
+   * long-context pipeline: split each document into overlapping windows
+   * of `size` whitespace tokens, starting every `stride` tokens
+   * (`stride ≤ size` ⇒ every token lands in ≥ 1 chunk; the tail chunk is
+   * short rather than dropped). Returns one row per chunk:
+   * `(id, chunk_idx, chunk_text)` with `chunk_idx` dense from 0.
+   *
+   * Entirely row-local (split → window starts → slice → rejoin inside one
+   * projection, then a fan-out explode): no shuffle, no state, safe in a
+   * stream, and chunking an increment equals chunking within the batch —
+   * the fan-out analog of `TilingOp` on the token axis
+   * (`ROIExtractionOp`/`TilingOp`, `stormcv` fan-out ops).
+   *
+   * Chunk count is `1 + max(0, ceil((nToks − size)/stride))`, computed in
+   * exact integer form `greatest((nToks − size + stride − 1) div stride, 0)`
+   * so the DuckDB oracle reproduces it digit-for-digit (the `greatest`
+   * guard also absorbs the div-of-negative rounding difference between
+   * engines). A whitespace-only document yields one chunk of "".
+   */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("_ts"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0L), greatest(
+            expr(s"(size(_ts) - $size + $stride - 1) div $stride"), lit(0L))),
+          i => array_join(slice(col("_ts"), (i * stride + 1).cast(IntegerType),
+            lit(size)), " "))))
+      .select(col(idCol), col("pos").cast(LongType).as("chunk_idx"),
+        col("col").as("chunk_text"))
+  }
 }
 
 /**

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Keyword search (BM25) over a persisted inverted postings index — the
+ * canonical text-serving workload over a web corpus, and the third
+ * prepare-time index of the engine next to the shingle index
+ * ([[RequestResponse.textIndexIncrement]]) and the minhash band index
+ * ([[Dedup.incrementalNearDupKeepers]]).
+ *
+ * Reference analog: `PartialMatcher.java:110-145` builds its prototype
+ * feature index once at `prepare` and serves every DRPC request off it;
+ * this is the same shape for term search — the corpus is tokenized ONCE
+ * into `(doc_id, term, tf, dl)` postings (row-local per doc, so
+ * incremental chunks are exactly union-composable), and a request batch
+ * touches the index with one broadcast equi-join on `term`: the raw text
+ * is never rescanned, never reshuffled. At 100 TB the postings table is
+ * the thing you bucket by `term` (equi-join locality) and serve from;
+ * `df`/corpus stats are maintenance-time artifacts refreshed per append,
+ * not per query.
+ *
+ * Scoring is BM25 (k1 = 1.2, b = 0.75) made bit-portable: every factor is
+ * integer arithmetic — transcendental `ln` is NOT reproducible across
+ * engines at the last ulp, so the idf keeps the Robertson–Spärck Jones
+ * odds ratio un-logged and quantized,
+ * `idf_q = (2N − 2df + 1)·10^6 div (2df + 1)` (monotone in df, exact in
+ * both engines), and the tf saturation multiplies through by the
+ * integerized average document length `avgdl_q = S div N`:
+ *
+ *   sat_q = (1000·22·tf·avgdl_q) div (10·avgdl_q·tf + 3·avgdl_q + 9·dl)
+ *
+ * which is `floor(1000 · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl_q)))`
+ * in pure int64. Per-term contribution `idf_q·sat_q ≤ 2·10^6·N·2200`, so
+ * int64 is exact up to N ≈ 10^9 docs per index shard; beyond that, cast
+ * the product to DecimalType(38,0) (one-line change) — the oracle side is
+ * HUGEINT-ready.
+ */
+object TextSearch {
+
+  /** Same tokenizer as [[Dedup.shingles]]: whitespace split after trim. */
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /**
+   * Postings rows for a corpus chunk: `(doc_id, term, tf, dl)` — tf the
+   * in-doc term count, dl the doc token length (denormalized onto every
+   * row so scoring never joins a separate lengths table). Tokenization
+   * and counting are row-local per doc, so chunked builds (one call per
+   * `ExactlyOnceSink.readBetween` batch, appended to the index table)
+   * equal the single-batch build exactly — spec-asserted.
+   */
+  def postingsIncrement(chunk: DataFrame, docId: String, textCol: String): DataFrame =
+    chunk.select(col(docId).as("doc_id"), toks(col(textCol)).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast(LongType).as("dl"),
+        explode(col("ts")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+
+  /**
+   * Corpus statistics off the postings index (one aggregation pass over
+   * `(doc_id, dl)`, no raw text): 1 row `(n, s, avgdl_q)` with
+   * `avgdl_q = s div n`. A maintenance-time artifact: refresh per index
+   * append, broadcast at query time.
+   */
+  def statsOf(postings: DataFrame): DataFrame =
+    postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+      .select(col("n"), col("s"), expr("s div n").as("avgdl_q"))
+
+  /**
+   * Document frequency per term off the postings index (postings are one
+   * row per (doc, term), so `df = count(*)`). Maintenance-time artifact;
+   * at query time only the requested terms' rows are needed (semi-join
+   * before broadcast).
+   */
+  def termDf(postings: DataFrame): DataFrame =
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /**
+   * Query-term extraction: the DISTINCT terms among the first `maxTerms`
+   * tokens of each request text → `(request_id, term)`. Row-local, tiny,
+   * broadcast by [[bm25TopK]].
+   */
+  def queryTerms(requests: DataFrame, reqId: String, textCol: String,
+      maxTerms: Int): DataFrame =
+    requests.select(col(reqId).as("request_id"),
+        explode(slice(toks(col(textCol)), 1, maxTerms)).as("term"))
+      .distinct()
+
+  /**
+   * BM25 top-k served off the postings index: requests broadcast, one
+   * equi-join scan of postings on `term`, per-(request, doc) integer
+   * score sum, bounded-heap top-k (ties by doc id). `dfT`/`stats` are the
+   * maintenance artifacts ([[termDf]]/[[statsOf]]) — pass them persisted;
+   * the full index is never re-aggregated per request batch.
+   */
+  def bm25TopK(queryTerms: DataFrame, postings: DataFrame, dfT: DataFrame,
+      stats: DataFrame, k: Int): DataFrame = {
+    // df rows for the query's terms only — tiny after the semi-join
+    val qdf = dfT.join(queryTerms.select(col("term")).distinct(),
+      Seq("term"), "left_semi")
+    val contrib = postings
+      .join(broadcast(queryTerms), Seq("term"))
+      .join(broadcast(qdf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("request_id"), col("doc_id"),
+        (expr("(2*n - 2*df + 1) * 1000000 div (2*df + 1)") *
+         expr("(1000 * 22 * tf * avgdl_q) div (10 * avgdl_q * tf + 3 * avgdl_q + 9 * dl)"))
+          .as("c"))
+    val scored = contrib.groupBy(col("request_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_q"))
+    TopK.perKey(scored, "request_id", "doc_id", "score_q", k, "doc_id", "score_q")
+  }
+}
