@@ -148,6 +148,27 @@ object RequestService {
         .withColumnRenamed("query_id", "request_id"))
 
   /**
+   * Start the BM25 keyword-search service off the persisted inverted
+   * postings index — built by `TextSearch.postingsIncrement` per corpus
+   * epoch, with `dfT`/`stats` the maintenance-time artifacts
+   * (`TextSearch.termDf`/`statsOf`, refreshed per index append). Each
+   * trigger extracts the request batch's query terms (row-local, tiny,
+   * broadcast) and runs one postings equi-join — raw corpus text is
+   * never touched at query time. Cache/persist all three index
+   * DataFrames; they are re-used every trigger.
+   */
+  def startBm25Search(spark: SparkSession, requests: DataFrame,
+      postings: DataFrame, dfT: DataFrame, stats: DataFrame,
+      reqId: String, reqText: String,
+      responseTable: String, checkpoint: String,
+      k: Int = 5, maxTerms: Int = 8,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    startService(requests, responseTable, checkpoint, trigger) { batch =>
+      val qt = graft.operators.TextSearch.queryTerms(batch, reqId, reqText, maxTerms)
+      graft.operators.TextSearch.bm25TopK(qt, postings, dfT, stats, k)
+    }
+
+  /**
    * Start the embedding-match service: per micro-batch of requests
    * (`reqId`, `reqVec` columns), quantized-cosine top-k against the
    * corpus embeddings, committed to `responseTable`.

@@ -159,6 +159,61 @@ class RequestServiceSpec extends SparkSpec {
     assert(got.toSet == expected && expected.nonEmpty)
   }
 
+  test("bm25 service: persisted postings index ≡ batch bm25TopK, corpus never read, kill/resume") {
+    import spark.implicits._
+    import graft.operators.TextSearch
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    val corpus = docs.where($"doc_id" >= 5)
+    val reqRows = docs.where($"doc_id" < 5).collect()
+      .map(r => TextReq(r.getLong(0), r.getString(1))).sortBy(_.request_id)
+
+    // postings land over two commits (as readBetween would deliver them);
+    // df/stats are refreshed off the index, and ALL serving inputs come
+    // from their persisted parquet form
+    val dir = Files.createTempDirectory("bm25idx").toString
+    val idxSink = new ExactlyOnceSink(dir)
+    idxSink.write(TextSearch.postingsIncrement(
+      corpus.where($"doc_id" % 2 === 0), "doc_id", "text"), 0L)
+    idxSink.write(TextSearch.postingsIncrement(
+      corpus.where($"doc_id" % 2 === 1), "doc_id", "text"), 1L)
+    val postings = idxSink.read(spark).cache()
+    val dfT = TextSearch.termDf(postings).cache()
+    val stats = TextSearch.statsOf(postings).cache()
+
+    val servedPlan = TextSearch.bm25TopK(
+      TextSearch.queryTerms(reqRows.toSeq.toDF("request_id", "qtext"),
+        "request_id", "qtext", 8), postings, dfT, stats, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!servedPlan.contains("documents.parquet"),
+      "bm25 serving plan re-read the corpus table instead of the postings index")
+
+    val cp = Files.createTempDirectory("bm25cp").toString
+    val table = Files.createTempDirectory("bm25tbl").toString
+    val in = MemoryStream[TextReq](Encoders.product[TextReq], spark)
+    def start() = RequestService.startBm25Search(spark, in.toDF(), postings,
+      dfT, stats, "request_id", "qtext", table, cp, k = 4, maxTerms = 8)
+    var q = start()
+    in.addData(reqRows.take(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    q = start()
+    in.addData(reqRows.drop(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = new ExactlyOnceSink(table).read(spark)
+      .select($"request_id", $"doc_id", $"score_q", $"rk".cast("long").as("rk"))
+      .collect().map(_.toSeq)
+    assert(got.length == got.distinct.length, "duplicate responses after resume")
+    val expected = TextSearch.bm25TopK(
+      TextSearch.queryTerms(reqRows.toSeq.toDF("request_id", "qtext"),
+        "request_id", "qtext", 8), postings, dfT, stats, k = 4)
+      .select($"request_id", $"doc_id", $"score_q", $"rk".cast("long").as("rk"))
+      .collect().map(_.toSeq).toSet
+    assert(got.toSet == expected && expected.nonEmpty)
+  }
+
   test("near-dup probe service: stream off the persisted band index ≡ batch probe; planted twins verified") {
     import spark.implicits._
     import graft.operators.Dedup
