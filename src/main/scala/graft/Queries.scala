@@ -394,11 +394,10 @@ object Queries {
       FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
       WHERE floor(1000 * i / (sa.sz + sb.sz - i)) >= 500"""))
 
-  private val q21 = QueryDef("q21_minhash_lsh_pairs",
-    (s, d) => Dedup.minhashLshPairs(rd(s, d, "documents"), "doc_id", "text",
-      n = 3, bands = 8, minJaccQ = 500, maxDf = 50)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jacc_q")),
-    Some(s"""WITH $cappedShinglesSql,
+  // q21's full pair pipeline as a reusable CTE chain ending in `lshpairs`
+  // (doc_a, doc_b, jacc_q) — q57's transitive-closure oracle builds on it
+  private val lshPairsCtes =
+    s"""$cappedShinglesSql,
       mh AS (SELECT doc_id, b.band, min(md5(shingle || '|' || b.band)) AS sig
         FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b
         GROUP BY doc_id, b.band),
@@ -409,12 +408,19 @@ object Queries {
       inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         JOIN cand ON cand.ia = a.doc_id AND cand.ib = b.doc_id
-        GROUP BY 1, 2)
-      SELECT inter.ia AS doc_a, inter.ib AS doc_b,
+        GROUP BY 1, 2),
+      lshpairs AS (SELECT inter.ia AS doc_a, inter.ib AS doc_b,
         cast(floor(1000 * i / (sa.sz + sb.sz - i)) as bigint) AS jacc_q
       FROM inter JOIN sizes sa ON inter.ia = sa.doc_id
         JOIN sizes sb ON inter.ib = sb.doc_id
-      WHERE floor(1000 * i / (sa.sz + sb.sz - i)) >= 500"""))
+      WHERE floor(1000 * i / (sa.sz + sb.sz - i)) >= 500)"""
+
+  private val q21 = QueryDef("q21_minhash_lsh_pairs",
+    (s, d) => Dedup.minhashLshPairs(rd(s, d, "documents"), "doc_id", "text",
+      n = 3, bands = 8, minJaccQ = 500, maxDf = 50)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jacc_q")),
+    Some(s"""WITH $lshPairsCtes
+      SELECT doc_a, doc_b, jacc_q FROM lshpairs"""))
 
   // SimHash signatures are md5-derived (Md5Hash.hash64 per token), so the
   // oracle rebuilds them digit-by-digit from DuckDB's md5 and checks the
@@ -1512,10 +1518,80 @@ object Queries {
         cast(len(regexp_extract_all(chunk, '\S+')) AS BIGINT) AS chunk_toks,
         md5(chunk) AS chunk_md5 FROM ch"""))
 
+  // transitive duplicate clusters over the verified LSH pair graph: the
+  // dedup pipeline's last step (see operators.Components). Oracle is a
+  // recursive-CTE transitive closure over the SAME pair set (q21's CTEs).
+  private val q57 = QueryDef("q57_dup_clusters",
+    (s, d) => {
+      val pairs = Dedup.minhashLshPairs(rd(s, d, "documents"), "doc_id", "text",
+        n = 3, bands = 8, minJaccQ = 500, maxDf = 50)
+      Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    },
+    Some(s"""WITH RECURSIVE $lshPairsCtes,
+      e AS (SELECT doc_a AS a, doc_b AS b FROM lshpairs
+        UNION SELECT doc_b AS a, doc_a AS b FROM lshpairs),
+      reach(id, lab) AS (
+        SELECT DISTINCT a AS id, a AS lab FROM e
+        UNION
+        SELECT r.id, e.b AS lab FROM reach r JOIN e ON e.a = r.lab)
+      SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id"""))
+
+  // deterministic training-shard export: shard + dense within-shard
+  // position as pure functions of the doc id (see Sampling.shardAssign);
+  // oracle rebuilds the 48-bit md5 hash digit-wise like q47's
+  private val q58 = QueryDef("q58_shard_export",
+    (s, d) => Sampling.shardAssign(
+        rd(s, d, "documents").select(col("doc_id")), "doc_id", nShards = 16)
+      .select(col("doc_id"), col("shard"), col("pos")),
+    Some("""WITH h AS (SELECT doc_id,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) AS hu
+        FROM documents)
+      SELECT doc_id, hu % 16 AS shard,
+        row_number() OVER (PARTITION BY hu % 16 ORDER BY hu, doc_id) AS pos
+      FROM h"""))
+
+  // exact phrase search off the positional index: requests are the first
+  // 3 tokens of docs 0-4, corpus is ALL docs (so each request matches at
+  // least its own doc); index built in two chunks to exercise the
+  // union-composable increment contract
+  private val q59 = QueryDef("q59_phrase_search",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val positions = TextSearch.positionsIncrement(
+          docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+        .unionByName(TextSearch.positionsIncrement(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text"))
+      val reqs = docs.where(col("doc_id") < 5)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 3)).as("phrase"))
+      TextSearch.phraseMatches(
+          TextSearch.phraseQueryTerms(reqs, "doc_id", "phrase"), positions)
+        .select(col("request_id"), col("doc_id"), col("n_occ"), col("first_pos"))
+    },
+    Some("""WITH dt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        FROM documents),
+      pos AS (SELECT doc_id, ts[i] AS term, cast(i AS BIGINT) AS pos
+        FROM dt, unnest(generate_series(1, len(ts))) AS t(i)),
+      ph AS (SELECT doc_id AS request_id, ts[1:3] AS pts FROM dt WHERE doc_id < 5),
+      qt AS (SELECT request_id, cast(o - 1 AS BIGINT) AS off, pts[o] AS term,
+          cast(len(pts) AS BIGINT) AS plen
+        FROM ph, unnest(generate_series(1, len(pts))) AS t(o)),
+      starts AS (SELECT q.request_id, p.doc_id, p.pos - q.off AS start, q.plen,
+          count(DISTINCT q.off) AS hits
+        FROM qt q JOIN pos p ON p.term = q.term
+        GROUP BY 1, 2, 3, 4 HAVING count(DISTINCT q.off) = q.plen)
+      SELECT request_id, doc_id, count(*) AS n_occ, min(start) AS first_pos
+      FROM starts GROUP BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56)
+    q56, q57, q58, q59)
 }

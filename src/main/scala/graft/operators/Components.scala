@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components over a candidate-pair graph — the missing last
+ * step of every near-duplicate pipeline: pair finders ([[Dedup]]'s
+ * MinHash-LSH / SimHash / embedding-LSH) emit *edges*; deduplication at
+ * corpus scale needs *cluster ids* (keep one doc per component, not one
+ * per pair — pairwise keeper-picking over chains A-B, B-C keeps A and
+ * drops both B and C even though A~C was never verified; component
+ * labeling keeps exactly one per transitive group).
+ *
+ * Reference analog: StormCV's `FeatureMatcherTopology` stops at pairwise
+ * match results (`FeatureMatchResultOp.java`) — the transitive grouping
+ * a dedup pipeline needs on top is exactly this operator.
+ *
+ * Algorithm: iterative min-label propagation to the fixpoint (each node
+ * takes the min label over itself and its neighbors; identical to what
+ * GraphX's `connectedComponents` Pregel program computes). Rounds needed
+ * = graph diameter; near-duplicate graphs are dense low-diameter blobs
+ * (components are cliques-with-holes around a shared template), so this
+ * converges in a handful of rounds — the per-round cost is ONE hash
+ * equi-join of the edge list against the (node-sized) label table plus
+ * one min-aggregation, nothing quadratic, nothing driver-side but the
+ * convergence counter (a 1-row aggregate per round, same shape as any
+ * Lloyd/Pregel step). For adversarially long chain graphs (diameter
+ * ≫ log n — not a near-dup shape) the escalation is the alternating
+ * large-star/small-star rewriting of Kiveris et al. (MR'14), which
+ * squares the convergence rate at the price of rewriting the edge list
+ * per round; not needed for the dedup workload this engine targets.
+ *
+ * Determinism: the label lattice (min over a fixed id set) has one
+ * fixpoint regardless of iteration order or partitioning, so results are
+ * bit-identical at any parallelism — spec-asserted, and oracle-checked
+ * end-to-end against a recursive-CTE transitive closure in DuckDB (q57).
+ *
+ * Failure tolerance mirrors [[Similarity.refineCentroids]]: per-round
+ * label tables are pinned with `localCheckpoint` (fast, lost on executor
+ * failure) or, given `checkpointDir`, a durable parquet round-trip whose
+ * completed rounds (`_SUCCESS`) are reused verbatim on rerun.
+ */
+object Components {
+
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+
+  /** Pin an iteration artifact: executor-local blocks by default, or a
+    * durable parquet round-trip under `checkpointDir/name` (resumable —
+    * an existing `_SUCCESS` is reused as-is; every artifact here is
+    * deterministic, so reuse is bit-exact). */
+  private def mat(df: DataFrame, checkpointDir: Option[String], name: String): DataFrame =
+    checkpointDir match {
+      case None => df.localCheckpoint()
+      case Some(dir) =>
+        val spark = df.sparkSession
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+        val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p.toString)
+        spark.read.parquet(p.toString)
+    }
+
+  /**
+   * Component labels for every node of the undirected graph given as a
+   * pair list: returns `(id, cluster_id)` with `cluster_id` = the min
+   * node id in the component (any id type with a total order). Nodes are
+   * exactly the ids appearing in `pairs`; isolated docs (no candidate
+   * pair) are their own trivial component and are deliberately NOT
+   * materialized — at corpus scale the pair graph is a sliver of the
+   * corpus and the output should be too (left-join it back and coalesce
+   * to own id for a full-corpus labeling).
+   *
+   * Scale shape per round: `edges ⋈ labels` is a hash equi-join on the
+   * node id — edge list shuffled on src, label table shuffled on id,
+   * then one partial-aggregated min per node. The edge list is pinned
+   * once (localCheckpoint / parquet) and re-shuffled per round; labels
+   * shrink to one row per node immediately. Nothing driver-side except
+   * the empty-check that detects the fixpoint.
+   */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", checkpointDir: Option[String] = None,
+      maxIters: Int = 50): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val sym = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val edges = mat(sym, checkpointDir, "edges")
+    var labels = mat(
+      edges.select($"src".as("id")).distinct().select($"id", $"id".as("cluster_id")),
+      checkpointDir, "labels-0")
+    var it = 0
+    var done = labels.isEmpty // empty graph: nothing to propagate
+    while (!done && it < maxIters) {
+      it += 1
+      val prop = edges
+        .join(labels.select($"id".as("src"), $"cluster_id"), "src")
+        .select($"dst".as("id"), $"cluster_id")
+      val next = mat(
+        labels.union(prop).groupBy($"id").agg(min($"cluster_id").as("cluster_id")),
+        checkpointDir, s"labels-$it")
+      // min-propagation is monotone, so the fixpoint test is exact:
+      // unchanged round => unchanged forever
+      done = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .where($"cluster_id" =!= $"prev").isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    require(done, s"connectedComponents did not converge in $maxIters rounds — " +
+      "graph diameter exceeds the near-dup shape this operator targets; " +
+      "raise maxIters or switch to a star-contraction variant")
+    edges.unpersist()
+    labels
+  }
+}

@@ -60,4 +60,30 @@ object Sampling {
         (-hashUniform48(col(idCol))).as("neg_hu")), // TopK ranks score DESC ⇒ hash ASC
       stratumCol, idCol, "neg_hu", n, idCol, "neg_hu")
       .drop("neg_hu")
+
+  /**
+   * Deterministic training-shard export: assigns every row a shard in
+   * `[0, nShards)` and a dense position within its shard, both pure
+   * functions of the row id — the reproducible global shuffle a training
+   * run needs (shard boundaries AND within-shard order identical on every
+   * rerun, engine, partitioning, and input arrival order, so a data
+   * loader can resume mid-epoch by (shard, pos)). Returns the input
+   * columns plus `(shard, pos)` with pos = 1-based rank of
+   * `(hash48(id), id)` within the shard.
+   *
+   * Physical shape IS the export plan: the window is one hash exchange on
+   * `shard` (`nShards` write groups) + an in-partition sort — exactly
+   * what `df.repartition($"shard").sortWithinPartitions(...)` before a
+   * per-shard writer would do, no global sort, no driver involvement.
+   * Shards are hash-balanced (±√ noise), so no writer is a straggler.
+   */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("hu"), col(idCol))
+    df.withColumn("hu", hashUniform48(col(idCol)))
+      .withColumn("shard", col("hu") % nShards)
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .drop("hu")
+  }
 }

@@ -114,4 +114,58 @@ object TextSearch {
       .agg(sum(col("c")).as("score_q"))
     TopK.perKey(scored, "request_id", "doc_id", "score_q", k, "doc_id", "score_q")
   }
+
+  // ==========================================================================
+  // Positional index + phrase search
+  // ==========================================================================
+
+  /**
+   * Positional postings for a corpus chunk: `(doc_id, pos, term)` with
+   * 1-based token position — the second index flavor next to the
+   * tf-postings of [[postingsIncrement]], enabling exact phrase queries.
+   * Row-local per doc like every `*Increment` here, so chunked builds
+   * (one call per `ExactlyOnceSink.readBetween` batch, appended) equal
+   * the single-batch build exactly. At 100 TB this table is bucketed by
+   * `term` (same locality story as the tf index); it is ~`dl` rows per
+   * doc instead of ~distinct-terms, the classic positional-index size
+   * trade.
+   */
+  def positionsIncrement(chunk: DataFrame, docId: String, textCol: String): DataFrame =
+    chunk.select(col(docId).as("doc_id"), posexplode(toks(col(textCol))).as(Seq("p0", "term")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("term"))
+
+  /**
+   * Phrase-request decomposition: `(request_id, offset, term, plen)` —
+   * one row per token of the phrase with its 0-based in-phrase offset and
+   * the phrase length denormalized on. Row-local, tiny, broadcast by
+   * [[phraseMatches]].
+   */
+  def phraseQueryTerms(requests: DataFrame, reqId: String, phraseCol: String): DataFrame =
+    requests.select(col(reqId).as("request_id"), toks(col(phraseCol)).as("ts"))
+      .select(col("request_id"), size(col("ts")).cast(LongType).as("plen"),
+        posexplode(col("ts")).as(Seq("offset", "term")))
+      .select(col("request_id"), col("offset").cast(LongType).as("offset"),
+        col("term"), col("plen"))
+
+  /**
+   * Exact phrase occurrences served off the positional index, purely
+   * relationally: a token at position `pos` matching phrase offset `o`
+   * votes for candidate start `pos − o`; a start where ALL `plen`
+   * offsets voted is an occurrence. One broadcast equi-join of the
+   * (tiny) phrase-term table against the positions index on `term`, one
+   * aggregation per candidate start, one per (request, doc) — the raw
+   * text is never rescanned and nothing quadratic forms (`countDistinct`
+   * on `offset` makes repeated-word phrases count each start once per
+   * offset, not per matching-token pair). Returns
+   * `(request_id, doc_id, n_occ, first_pos)` for docs with ≥1 occurrence.
+   */
+  def phraseMatches(phraseTerms: DataFrame, positions: DataFrame): DataFrame =
+    positions.join(broadcast(phraseTerms), Seq("term"))
+      .select(col("request_id"), col("doc_id"), (col("pos") - col("offset")).as("start"),
+        col("offset"), col("plen"))
+      .groupBy(col("request_id"), col("doc_id"), col("start"), col("plen"))
+      .agg(countDistinct(col("offset")).as("hits"))
+      .where(col("hits") === col("plen"))
+      .groupBy(col("request_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"), min(col("start")).as("first_pos"))
 }

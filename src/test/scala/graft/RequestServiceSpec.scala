@@ -214,6 +214,58 @@ class RequestServiceSpec extends SparkSpec {
     assert(got.toSet == expected && expected.nonEmpty)
   }
 
+  test("phrase service: persisted positional index ≡ batch phraseMatches, corpus never read, kill/resume") {
+    import spark.implicits._
+    import graft.operators.TextSearch
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    // requests: the 3-token prefix of docs 0-4 (each matches ≥ its own doc)
+    val reqRows = docs.where($"doc_id" < 5)
+      .select($"doc_id",
+        concat_ws(" ", slice(split(trim($"text"), "\\s+"), 1, 3)))
+      .collect().map(r => TextReq(r.getLong(0), r.getString(1))).sortBy(_.request_id)
+
+    // positional index lands over two commits; serving reads the persisted form
+    val dir = Files.createTempDirectory("posidx").toString
+    val idxSink = new ExactlyOnceSink(dir)
+    idxSink.write(TextSearch.positionsIncrement(
+      docs.where($"doc_id" % 2 === 0), "doc_id", "text"), 0L)
+    idxSink.write(TextSearch.positionsIncrement(
+      docs.where($"doc_id" % 2 === 1), "doc_id", "text"), 1L)
+    val positions = idxSink.read(spark).cache()
+
+    val batchDf = TextSearch.phraseMatches(
+      TextSearch.phraseQueryTerms(reqRows.toSeq.toDF("request_id", "qtext"),
+        "request_id", "qtext"), positions)
+    assert(!batchDf.queryExecution.executedPlan.toString.contains("documents.parquet"),
+      "phrase serving plan re-read the corpus table instead of the positional index")
+
+    val cp = Files.createTempDirectory("phrcp").toString
+    val table = Files.createTempDirectory("phrtbl").toString
+    val in = MemoryStream[TextReq](Encoders.product[TextReq], spark)
+    def start() = RequestService.startPhraseSearch(spark, in.toDF(), positions,
+      "request_id", "qtext", table, cp)
+    var q = start()
+    in.addData(reqRows.take(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    q = start()
+    in.addData(reqRows.drop(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = new ExactlyOnceSink(table).read(spark)
+      .select($"request_id", $"doc_id", $"n_occ", $"first_pos")
+      .collect().map(_.toSeq)
+    assert(got.length == got.distinct.length, "duplicate responses after resume")
+    val expected = batchDf
+      .select($"request_id", $"doc_id", $"n_occ", $"first_pos")
+      .collect().map(_.toSeq).toSet
+    assert(got.toSet == expected && expected.nonEmpty)
+    // every request found at least its own document
+    assert(got.count(r => r.head == r(1)) == reqRows.length)
+  }
+
   test("near-dup probe service: stream off the persisted band index ≡ batch probe; planted twins verified") {
     import spark.implicits._
     import graft.operators.Dedup

@@ -122,4 +122,55 @@ class TextSearchSpec extends SparkSpec {
       .select($"chunk_text").as[String].collect().toSeq
     assert(dj == Seq("one", "two"))
   }
+
+  test("positional postings built in increments equal the single-batch build") {
+    import spark.implicits._
+    val batch = TextSearch.positionsIncrement(docs, "doc_id", "text")
+    val chunked = TextSearch.positionsIncrement(
+        docs.where($"doc_id" % 2 === 0), "doc_id", "text")
+      .unionByName(TextSearch.positionsIncrement(
+        docs.where($"doc_id" % 2 === 1), "doc_id", "text"))
+    assert(batch.exceptAll(chunked).isEmpty && chunked.exceptAll(batch).isEmpty)
+  }
+
+  test("phrase search: exact adjacency, overlapping occurrences, repeated words") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b a b a"),        // "a b a" at 1 and 3 (overlap); "b a b" at 2
+      (2L, "x y z x"),          // words of "x z" present but never adjacent
+      (3L, "a b c a b c"),      // "a b c" at 1 and 4, disjoint
+      (4L, "b a")               // phrase longer than prefix present
+    ).toDF("doc_id", "text")
+    val positions = TextSearch.positionsIncrement(corpus, "doc_id", "text")
+    val reqs = Seq((100L, "a b a"), (101L, "x z"), (102L, "a b c"), (103L, "b a b"))
+      .toDF("req_id", "phrase")
+    val got = TextSearch.phraseMatches(
+        TextSearch.phraseQueryTerms(reqs, "req_id", "phrase"), positions)
+      .select($"request_id", $"doc_id", $"n_occ", $"first_pos")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (100L, 1L, 2L, 1L),  // overlapping starts 1,3 both count
+      (102L, 3L, 2L, 1L),
+      (103L, 1L, 1L, 2L))  // "b a b" once at 2; NOT in doc 4 ("b a" only)
+    assert(got == want, got.toString) // 101 ("x z") matches nothing
+  }
+
+  test("phrase search: results invariant under index chunking and partitioning") {
+    import spark.implicits._
+    val reqs = docs.where($"doc_id" < 5)
+      .select($"doc_id".as("req_id"),
+        concat_ws(" ", slice(split(trim($"text"), "\\s+"), 1, 3)).as("phrase"))
+    val qt = TextSearch.phraseQueryTerms(reqs, "req_id", "phrase")
+    val whole = TextSearch.phraseMatches(qt,
+      TextSearch.positionsIncrement(docs, "doc_id", "text"))
+    val pieces = TextSearch.phraseMatches(qt,
+      TextSearch.positionsIncrement(docs.where($"doc_id" % 3 === 0), "doc_id", "text")
+        .unionByName(TextSearch.positionsIncrement(
+          docs.where($"doc_id" % 3 =!= 0), "doc_id", "text"))
+        .repartition(11))
+    assert(whole.exceptAll(pieces).isEmpty && pieces.exceptAll(whole).isEmpty)
+    // every request's own document is among its matches (phrase = its prefix)
+    val self = whole.where($"request_id" === $"doc_id").count()
+    assert(self == reqs.count(), s"self matches $self")
+  }
 }
