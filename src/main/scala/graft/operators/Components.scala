@@ -112,4 +112,31 @@ object Components {
     edges.unpersist()
     labels
   }
+
+  /**
+   * Incremental component maintenance — the 100 TB shape, pairing with
+   * [[graft.streaming.IndexMaintenance]]: as corpus epochs append, the
+   * pair finder emits only NEW candidate pairs (e.g.
+   * [[Dedup.incrementalNearDupKeepers]]'s probe of the persisted band
+   * index); cluster labels are then caught up from the previous labeling
+   * plus the new edges alone, never re-propagating over the historical
+   * edge list.
+   *
+   * Correctness: a labeling is a contraction of its graph that preserves
+   * both connectivity and the component-min (each node's label IS the min
+   * of its component), so running [[connectedComponents]] over
+   * `{(id, prev_label)} ∪ newPairs` yields exactly the labels of the full
+   * union graph — including transitive merges where one new edge fuses
+   * two old clusters (the fused cluster takes the global min) —
+   * spec-asserted chunked ≡ batch. Cost: the star edges are one row per
+   * previously-clustered node (not per historical pair), and rounds
+   * restart from a graph whose old regions have diameter 1.
+   */
+  def ccIncrement(prevLabels: DataFrame, newPairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b",
+      checkpointDir: Option[String] = None, maxIters: Int = 50): DataFrame = {
+    val star = prevLabels.select(col("id").as(idA), col("cluster_id").as(idB))
+    connectedComponents(star.unionByName(newPairs.select(col(idA), col(idB))),
+      idA, idB, checkpointDir, maxIters)
+  }
 }

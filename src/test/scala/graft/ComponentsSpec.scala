@@ -71,6 +71,34 @@ class ComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("converge"))
   }
 
+  test("ccIncrement: new edge fusing two old clusters takes the global min") {
+    import spark.implicits._
+    val old1 = Components.connectedComponents(
+      Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b"))
+    // increment 1: fuse {1,2} with {3,4}; increment 2: extend with a new node
+    val after1 = Components.ccIncrement(old1, Seq((2L, 3L)).toDF("id_a", "id_b"))
+    assert(after1.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    val after2 = Components.ccIncrement(after1, Seq((4L, 0L)).toDF("id_a", "id_b"))
+    assert(after2.as[(Long, Long)].collect().toMap ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("ccIncrement: chunked pair arrival equals the single-batch labeling") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 8, minJaccQ = 500, maxDf = 50)
+      .select($"id_a", $"id_b").localCheckpoint()
+    val batch = Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val c1 = pairs.where(($"id_a" + $"id_b") % 2 === 0)
+    val c2 = pairs.where(($"id_a" + $"id_b") % 2 === 1)
+    val chunked = Components.ccIncrement(Components.connectedComponents(c1), c2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(batch.nonEmpty && batch == chunked)
+  }
+
   test("shardAssign: positions dense per shard, assignment is a pure id function") {
     import spark.implicits._
     val ids = (0L until 500L).toDF("doc_id")
