@@ -1588,10 +1588,91 @@ object Queries {
       SELECT request_id, doc_id, count(*) AS n_occ, min(start) AS first_pos
       FROM starts GROUP BY 1, 2"""))
 
+  // PII redaction gate (C4/CCNet scrub stage): deterministic PII-bearing
+  // text derived from the documents table (the synthetic corpus carries no
+  // addresses of its own), redacted with TextAnalysis.redactPii, audited
+  // per language. Every count and the redacted char total are value-checked
+  // digit-for-digit — the regexes are engine-portable by construction.
+  private val q60 = QueryDef("q60_pii_redaction",
+    (s, d) => {
+      val (em, ip, ph) = TextAnalysis.piiCounts(col("ptext"))
+      rd(s, d, "documents")
+        .withColumn("ptext", concat(
+          col("text"), lit(" contact admin"),
+          col("doc_id").cast(StringType), lit("@example.com from 10."),
+          (col("doc_id") % 256).cast(StringType), lit(".0.7"),
+          when(col("doc_id") % 3 === 0, lit(" call 555-123-4567"))
+            .otherwise(lit(""))))
+        .select(col("lang"), TextAnalysis.redactPii(col("ptext")).as("red"),
+          em.as("em"), ip.as("ip"), ph.as("ph"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("em")).as("n_emails"),
+          sum(col("ip")).as("n_ips"),
+          sum(col("ph")).as("n_phones"),
+          sum(length(col("red")).cast(LongType)).as("red_chars"))
+    },
+    Some("""WITH p AS (SELECT lang,
+        text || ' contact admin' || doc_id::VARCHAR || '@example.com from 10.'
+          || (doc_id % 256)::VARCHAR || '.0.7'
+          || (CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END)
+          AS ptext FROM documents),
+      r AS (SELECT lang,
+        regexp_replace(regexp_replace(regexp_replace(ptext,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+          '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS red,
+        len(regexp_extract_all(ptext,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS em,
+        len(regexp_extract_all(ptext, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS ip,
+        len(regexp_extract_all(ptext, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS ph
+      FROM p)
+      SELECT lang, count(*) AS docs, cast(sum(em) AS BIGINT) AS n_emails,
+        cast(sum(ip) AS BIGINT) AS n_ips, cast(sum(ph) AS BIGINT) AS n_phones,
+        cast(sum(length(red)) AS BIGINT) AS red_chars
+      FROM r GROUP BY lang"""))
+
+  // word-repetition quality signals (Gopher-style repetition filters):
+  // most-frequent-word count and duplicated-word count per doc, rolled up
+  // per source with a "top word >= 10% of all words" repetitive-doc flag.
+  // Row-local HOFs over one shared split — no shuffle before the rollup.
+  private val q61 = QueryDef("q61_repetition_signals",
+    (s, d) => {
+      val sig = rd(s, d, "documents")
+        .select(col("source"), TextAnalysis.wordArray(col("text")).as("w"))
+        .select(col("source"), size(col("w")).as("n"),
+          size(array_distinct(col("w"))).as("dn"),
+          TextAnalysis.topWordCount(col("w")).as("topn"),
+          TextAnalysis.dupWordCount(col("w")).as("dupn"))
+      sig.groupBy(col("source")).agg(
+        count(lit(1)).as("docs"),
+        sum(col("n")).as("sum_words"),
+        sum(col("dn")).as("sum_distinct"),
+        max(col("topn")).cast(LongType).as("max_top_word"),
+        sum(col("dupn")).as("sum_dup_words"),
+        sum(when(col("topn") * 10 >= col("n"), 1L).otherwise(0L))
+          .as("n_repetitive"))
+    },
+    Some("""WITH w AS (SELECT source,
+        string_split_regex(trim(text), '\s+') AS l FROM documents),
+      f AS (SELECT source, len(l) AS n, len(list_distinct(l)) AS dn,
+        list_max(list_transform(list_distinct(l),
+          x -> len(list_filter(l, y -> y = x)))) AS topn,
+        len(l) - len(list_filter(list_distinct(l),
+          x -> len(list_filter(l, y -> y = x)) = 1)) AS dupn
+      FROM w)
+      SELECT source, count(*) AS docs, cast(sum(n) AS BIGINT) AS sum_words,
+        cast(sum(dn) AS BIGINT) AS sum_distinct,
+        cast(max(topn) AS BIGINT) AS max_top_word,
+        cast(sum(dupn) AS BIGINT) AS sum_dup_words,
+        cast(sum(CASE WHEN topn * 10 >= n THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_repetitive
+      FROM f GROUP BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59)
+    q56, q57, q58, q59, q60, q61)
 }

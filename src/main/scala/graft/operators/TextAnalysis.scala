@@ -172,6 +172,71 @@ object TextAnalysis {
       .select(col(idCol), col("pos").cast(LongType).as("chunk_idx"),
         col("col").as("chunk_text"))
   }
+
+  // ==========================================================================
+  // PII scrubbing (C4/CCNet-style redaction gate)
+  // ==========================================================================
+
+  /** Email / IPv4 / NANP-phone patterns. Engine-portable by construction —
+    * no lookaround, no backreferences, ASCII classes only, so Java regex
+    * (Spark) and RE2 (the DuckDB oracle) match identically. Mirrored
+    * verbatim in the q60 oracle SQL. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val phonePattern = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+
+  /**
+   * Redact PII with typed placeholders, in a fixed order — emails first
+   * (an address can embed a dotted-digit run the IPv4 rule would half
+   * match), then IPs, then phones. A pure `regexp_replace` chain of
+   * codegen'd builtins: pipelined inside the scan stage, nothing
+   * shuffled, safe in a stream — the redaction gate runs where the
+   * quality/langId gates already run (before any state is paid for).
+   */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** PII hit counts over the raw text — the audit statistics a redaction
+    * job must log per partition (count BEFORE redacting; the placeholders
+    * themselves never re-match). */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(emailPattern)),
+      regexp_count(text, lit(ipv4Pattern)),
+      regexp_count(text, lit(phonePattern)))
+
+  // ==========================================================================
+  // Word-repetition signals (Gopher-style repetition filters)
+  // ==========================================================================
+
+  /** Whitespace word array — the shared input of the repetition signals
+    * (compute once per row, feed all three). `split(trim(s), "\s+")` of a
+    * blank document is `[""]`, identically in Spark and DuckDB
+    * `string_split_regex`. */
+  def wordArray(text: Column): Column = split(trim(text), "\\s+")
+
+  /**
+   * Occurrence count of the most frequent word — `top_word_count/n_words`
+   * is the "fraction of words that are the single most common word"
+   * repetition filter. Row-local higher-order functions (no shuffle, no
+   * state): O(distinct·n) per document, which is the right trade below
+   * ~10⁴ words/doc (webtext after chunking); for pathological documents
+   * the explode → groupBy(id, word) twin is the escalation, at the price
+   * of a corpus-scale shuffle.
+   */
+  def topWordCount(words: Column): Column =
+    array_max(transform(array_distinct(words),
+      x => size(filter(words, y => y === x))))
+
+  /** Number of word positions whose word occurs more than once (counted
+    * with multiplicity) — `dup_word_count/n_words` is the duplicated-word
+    * fraction filter. Same row-local HOF shape as [[topWordCount]]. */
+  def dupWordCount(words: Column): Column =
+    size(words) - size(filter(array_distinct(words),
+      x => size(filter(words, y => y === x)) === 1))
 }
 
 /**

@@ -193,4 +193,54 @@ class TextFeaturesSpec extends SparkSpec {
       .limit(5).collect()
     assert(bad.isEmpty, s"divergence: ${bad.mkString("; ")}")
   }
+
+  test("PII redaction: placeholders, order, counts") {
+    import spark.implicits._
+    val cases = Seq(
+      ("mail a.b+x@sub.example.co now", "mail <EMAIL> now", 1, 0, 0),
+      ("at 10.0.0.1 and 192.168.255.7.", "at <IP> and <IP>.", 0, 2, 0),
+      ("call 555-123-4567 or 555 123 4567", "call <PHONE> or <PHONE>", 0, 0, 2),
+      // email redacted FIRST: its dotted-digit host never reaches the IP
+      // pass (though the raw-text audit count does see it — counts are
+      // per-pattern over the unredacted text)
+      ("x user@1.2.3.4.com y", "x <EMAIL> y", 1, 1, 0),
+      // 5 dotted octets: leftmost 4 win, the 5th is left as text (Java and
+      // RE2 agree: leftmost match, then continue after it)
+      ("ip 1.2.3.4.5 end", "ip <IP>.5 end", 0, 1, 0),
+      // word-adjacent digits break \b: no phone inside v555-123-4567x
+      ("v555-123-4567x", "v555-123-4567x", 0, 0, 0),
+      ("no pii here", "no pii here", 0, 0, 0),
+      ("", "", 0, 0, 0))
+    val (em, ip, ph) = TextAnalysis.piiCounts(col("t"))
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), TextAnalysis.redactPii(col("t")).as("red"),
+        em.as("em"), ip.as("ip"), ph.as("ph"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getInt(2), r.getInt(3), r.getInt(4)))
+    cases.zip(got).foreach { case (want, have) =>
+      assert((want._2, want._3, want._4, want._5) ===
+        (have._2, have._3, have._4, have._5), s"input: '${want._1}'")
+    }
+  }
+
+  test("repetition signals match an independent Scala reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val vocab = Seq("a", "b", "c", "dd", "eee", "the", "spark")
+    val cases = (0 until 500).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    } ++ Seq("", " ", "x", "x x", "x y x y x")
+    def ref(s: String): (Int, Int) = {
+      val w = s.trim.split("\\s+", -1).toSeq // [""] for blank, like split()
+      val counts = w.groupBy(identity).map(_._2.size)
+      (counts.max, w.size - counts.count(_ == 1))
+    }
+    val got = cases.toDF("t")
+      .select(col("t"), TextAnalysis.wordArray(col("t")).as("w"))
+      .select(col("t"), TextAnalysis.topWordCount(col("w")).as("topn"),
+        TextAnalysis.dupWordCount(col("w")).as("dupn"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    cases.foreach { s => assert(got(s) === ref(s), s"input: '$s'") }
+  }
 }
