@@ -1669,10 +1669,77 @@ object Queries {
           AS n_repetitive
       FROM f GROUP BY source"""))
 
+  // URL canonicalization (URL-level dedup pre-pass): deterministic
+  // mixed-case / default-port / shuffled-query / fragment URL variants
+  // derived from events, canonicalized with UrlOps.canonicalizeUrl. The
+  // canonical strings themselves are value-checked (min/max/char totals),
+  // and canon_distinct < raw_distinct shows the dedup win.
+  private val q62 = QueryDef("q62_url_canonical",
+    (s, d) => {
+      val url = concat(
+        lit("HTTP://WWW.Site"), (col("user_id") % 50).cast(StringType),
+        lit(".Example.COM"),
+        when(col("event_id") % 4 === 0, lit(":80")).otherwise(lit("")),
+        when(col("event_id") % 3 === 0, lit("")).otherwise(
+          concat(lit("/p/"), (col("event_id") % 7).cast(StringType))),
+        when(col("event_id") % 2 === 0,
+          concat(lit("?b="), (col("user_id") % 5).cast(StringType), lit("&a=1&")))
+          .otherwise(concat(lit("?a=1&b="), (col("user_id") % 5).cast(StringType))),
+        lit("#sec"))
+      rd(s, d, "events")
+        .select(col("event_type"),
+          when(col("event_id") % 97 === 0, lit("not a url")).otherwise(url).as("url"))
+        .select(col("event_type"), col("url"),
+          UrlOps.canonicalizeUrl(col("url")).as("canon"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("raw_distinct"),
+          countDistinct(col("canon")).as("canon_distinct"),
+          sum(when(col("canon").isNull, 1L).otherwise(0L)).as("n_invalid"),
+          sum(length(col("canon")).cast(LongType)).as("canon_chars"),
+          min(col("canon")).as("min_canon"),
+          max(col("canon")).as("max_canon"))
+    },
+    Some("""WITH u AS (SELECT event_type,
+        CASE WHEN event_id % 97 = 0 THEN 'not a url' ELSE
+          'HTTP://WWW.Site' || (user_id % 50)::VARCHAR || '.Example.COM'
+          || (CASE WHEN event_id % 4 = 0 THEN ':80' ELSE '' END)
+          || (CASE WHEN event_id % 3 = 0 THEN ''
+              ELSE '/p/' || (event_id % 7)::VARCHAR END)
+          || (CASE WHEN event_id % 2 = 0
+              THEN '?b=' || (user_id % 5)::VARCHAR || '&a=1&'
+              ELSE '?a=1&b=' || (user_id % 5)::VARCHAR END)
+          || '#sec' END AS url FROM events),
+      nf_t AS (SELECT event_type, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
+      p AS (SELECT event_type, url,
+        lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS rawhost,
+        regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        regexp_extract(nf, '\?([^#]*)', 1) AS q0
+      FROM nf_t),
+      c AS (SELECT event_type, url,
+        CASE WHEN scheme = '' OR rawhost = '' THEN NULL ELSE
+          scheme || '://'
+          || (CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+              ELSE rawhost END)
+          || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+          || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
+        END AS canon
+      FROM (SELECT *, array_to_string(list_sort(list_filter(
+          string_split(q0, '&'), x -> x <> '')), '&') AS qs FROM p))
+      SELECT event_type, count(*) AS n_urls,
+        count(DISTINCT url) AS raw_distinct,
+        count(DISTINCT canon) AS canon_distinct,
+        cast(sum(CASE WHEN canon IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+        cast(sum(length(canon)) AS BIGINT) AS canon_chars,
+        min(canon) AS min_canon, max(canon) AS max_canon
+      FROM c GROUP BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61)
+    q56, q57, q58, q59, q60, q61, q62)
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/**
+ * URL canonicalization — the normalization pre-pass of URL-level
+ * deduplication. A crawl dedups by canonical URL before any content
+ * hashing (re-crawls of `http://HOST:80/a?b=2&a=1#x` and
+ * `http://host/a?a=1&b=2` are the same fetch), the URL-keyed analog of
+ * the reference keying every frame by its `streamId`
+ * (`model/CVParticle.java:41-49`).
+ *
+ * Semantics (the RFC 3986 normalizations that are safe without touching
+ * path bytes):
+ *   - scheme and host lowercased (case-insensitive by spec);
+ *   - default port stripped (`:80` for http, `:443` for https);
+ *   - empty path becomes `/`;
+ *   - query parameters sorted bytewise (order-insensitive dedup key),
+ *     empty params dropped, a now-empty query drops its `?`;
+ *   - fragment dropped (never sent to the server).
+ *
+ * Composed entirely from codegen'd builtins (`regexp_extract` / `split` /
+ * `array_sort` / `concat`) — row-local, no shuffle, pipelined inside the
+ * scan stage — and engine-portable: the q62 oracle rebuilds every step in
+ * DuckDB digit-for-digit (no lookaround, no backrefs; both engines sort
+ * strings bytewise). Returns NULL for strings with no
+ * `scheme://authority` prefix (not a fetchable absolute URL).
+ */
+object UrlOps {
+
+  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val authorityRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  private val queryRe = "\\?([^#]*)"
+
+  def canonicalizeUrl(url: Column): Column = {
+    // strip the fragment FIRST: a '?' inside a fragment must not be
+    // mistaken for a query on fragment-only URLs like http://h/p#a?b
+    val u = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(u, schemeRe, 1))
+    val rawHost = lower(regexp_extract(u, authorityRe, 1))
+    val host = when(scheme === "http", regexp_replace(rawHost, ":80$", ""))
+      .when(scheme === "https", regexp_replace(rawHost, ":443$", ""))
+      .otherwise(rawHost)
+    val path0 = regexp_extract(u, pathRe, 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val qSorted = array_join(
+      array_sort(filter(split(regexp_extract(u, queryRe, 1), "&"),
+        x => x =!= "")), "&")
+    val query = when(qSorted === "", lit("")).otherwise(concat(lit("?"), qSorted))
+    when(scheme === "" || rawHost === "", lit(null).cast(StringType))
+      .otherwise(concat(scheme, lit("://"), host, path, query))
+  }
+}
