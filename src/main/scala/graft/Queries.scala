@@ -1736,10 +1736,82 @@ object Queries {
         min(canon) AS min_canon, max(canon) AS max_canon
       FROM c GROUP BY event_type"""))
 
+  // language-rebalanced sampling: per-stratum keep rates (a ratebook dim
+  // broadcast against the corpus), membership still the stateless 48-bit
+  // md5 predicate. The kept SET is value-checked via sum(doc_id) — a
+  // fingerprint of exactly which rows survived.
+  private val q63 = QueryDef("q63_stratified_sample",
+    (s, d) => {
+      import s.implicits._
+      val rates = Seq(("en", 200), ("de", 500), ("fr", 700), ("es", 900),
+        ("zh", 350)).toDF("lang", "kpm")
+      val docs = rd(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("toks"))
+      Sampling.bernoulliByStratum(docs, "doc_id", "lang", rates)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("toks")).as("tok_sum"))
+    },
+    Some("""WITH h AS (SELECT lang, doc_id,
+        len(regexp_extract_all(text, '\S+')) AS toks,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) AS hu
+        FROM documents),
+      r AS (SELECT * FROM (VALUES ('en', 200), ('de', 500), ('fr', 700),
+        ('es', 900), ('zh', 350)) t(lang, kpm))
+      SELECT h.lang AS lang, count(*) AS kept,
+        cast(sum(doc_id) AS BIGINT) AS id_sum,
+        cast(sum(toks) AS BIGINT) AS tok_sum
+      FROM h JOIN r ON h.lang = r.lang
+      WHERE hu % 1000 < kpm GROUP BY h.lang"""))
+
+  // token-budget sequence packing over the deterministic shard order:
+  // per-(shard, pack) doc counts, token sums, first in-pack offset, and
+  // boundary-straddle counts — every number a pure function of
+  // (doc_id, tokens), rebuilt in SQL from the same md5 hash + windows.
+  private val q64 = QueryDef("q64_token_packing",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("toks"))
+      Sampling.packByTokenBudget(docs, "doc_id", "toks", budget = 512L, nShards = 8)
+        .groupBy(col("shard"), col("pack"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("pack_tokens"),
+          min(col("pack_off")).as("first_off"),
+          sum(when(col("pack_off") + col("toks") > 512, 1L).otherwise(0L))
+            .as("n_straddle"))
+    },
+    Some("""WITH h AS (SELECT doc_id,
+        len(regexp_extract_all(text, '\S+')) AS toks,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) AS hu
+        FROM documents),
+      s AS (SELECT doc_id, toks, hu % 8 AS shard,
+        row_number() OVER (PARTITION BY hu % 8 ORDER BY hu ASC, doc_id ASC) AS pos
+      FROM h),
+      c AS (SELECT shard, toks,
+        coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY pos ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM s)
+      SELECT shard, cb // 512 AS pack, count(*) AS n_docs,
+        cast(sum(toks) AS BIGINT) AS pack_tokens,
+        cast(min(cb % 512) AS BIGINT) AS first_off,
+        cast(sum(CASE WHEN cb % 512 + toks > 512 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_straddle
+      FROM c GROUP BY shard, cb // 512"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62)
+    q56, q57, q58, q59, q60, q61, q62, q63, q64)
 }

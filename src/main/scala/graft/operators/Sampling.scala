@@ -86,4 +86,55 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast(LongType))
       .drop("hu")
   }
+
+  /**
+   * Per-stratum-rate Bernoulli sample — the language/domain REBALANCING
+   * verb (a web corpus is resampled per language/domain to a target mix;
+   * the rate is a property of the stratum, not the corpus). `rates` is a
+   * tiny `(stratum, keep_per_mille)` dim broadcast against the corpus;
+   * membership stays the stateless [[hashUniform48]] predicate, so the
+   * plan is scan → broadcast-hash-join → filter — the corpus is never
+   * shuffled, and the kept SET for a given ratebook is identical on
+   * every rerun, engine, and partitioning (downsampling a stratum later
+   * keeps a subset of the earlier sample: `hu mod 1000 < p` nests by p).
+   * A stratum absent from `rates` keeps nothing (inner join — explicit
+   * allowlist semantics; pass rate 1000 to keep a stratum whole).
+   */
+  def bernoulliByStratum(df: DataFrame, idCol: String, stratumCol: String,
+      rates: DataFrame): DataFrame = {
+    val r = rates.toDF("_stratum", "_kpm")
+    df.join(broadcast(r), df(stratumCol) === col("_stratum"))
+      .where(hashUniform48(col(idCol)) % 1000 < col("_kpm"))
+      .drop("_stratum", "_kpm")
+  }
+
+  /**
+   * Token-budget sequence packing ("concat then chunk") — the step that
+   * turns a deduped, sampled corpus into fixed-budget training sequences:
+   * documents are laid out in [[shardAssign]]'s deterministic (shard,
+   * pos) order and cut into consecutive `budget`-token packs. Returns the
+   * input plus `(shard, pos, pack, pack_off)` where `pack_off` is the
+   * token offset of the document inside its pack; a document may straddle
+   * a pack boundary (GPT-style packing keeps the tail in the next pack
+   * rather than padding).
+   *
+   * Everything is a pure function of (id, tokens): `pack = floor(tokens
+   * before this doc in its shard / budget)`. Physical shape: ONE hash
+   * exchange on `shard` + an in-partition sort feeding both the rank and
+   * the running sum — no global sort, no driver state; loaders resume
+   * mid-epoch by (shard, pack).
+   */
+  def packByTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shardAssign(df, idCol, nShards)
+      .withColumn("cum_before",
+        coalesce(sum(col(tokensCol)).over(w).cast(LongType), lit(0L)))
+      .withColumn("pack", expr(s"cum_before div $budget"))
+      .withColumn("pack_off", col("cum_before") % budget)
+      .drop("cum_before")
+  }
 }

@@ -115,4 +115,47 @@ class ComponentsSpec extends SparkSpec {
     // all shards populated (hash-balanced) and assignment within range
     assert(a.select(countDistinct($"shard")).as[Long].head() == 8L)
   }
+
+  test("bernoulliByStratum: rates nest, allowlist drops, partitioning-invariant") {
+    import spark.implicits._
+    val docs = (0L until 600L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val loRates = Seq(("en", 200), ("de", 600)).toDF("lang", "kpm")
+    val hiRates = Seq(("en", 500), ("de", 900)).toDF("lang", "kpm")
+    val lo = Sampling.bernoulliByStratum(docs, "doc_id", "lang", loRates)
+    val hi = Sampling.bernoulliByStratum(docs, "doc_id", "lang", hiRates)
+    // hu mod 1000 < p nests by p: the low-rate sample is a subset
+    assert(lo.exceptAll(hi).isEmpty && lo.count() < hi.count())
+    // absent stratum keeps nothing
+    val enOnly = Sampling.bernoulliByStratum(docs, "doc_id", "lang",
+      Seq(("en", 1000)).toDF("lang", "kpm"))
+    assert(enOnly.select($"lang").distinct().as[String].collect().toSeq == Seq("en"))
+    assert(enOnly.count() == docs.where($"lang" === "en").count())
+    // deterministic across partitioning/input order
+    val lo2 = Sampling.bernoulliByStratum(
+      docs.orderBy(rand(7)).repartition(13), "doc_id", "lang", loRates)
+    assert(lo.exceptAll(lo2).isEmpty && lo2.exceptAll(lo).isEmpty)
+  }
+
+  test("packByTokenBudget: contiguous cover per shard, straddle contract") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, 1 + (i % 37).toInt)).toDF("doc_id", "toks")
+    val p = Sampling.packByTokenBudget(docs, "doc_id", "toks", budget = 100L, nShards = 4)
+    // within a shard, packs tile the token stream: next doc's global
+    // offset (pack*budget + pack_off) = previous offset + previous toks
+    val gaps = p.withColumn("goff", $"pack" * 100 + $"pack_off")
+      .withColumn("prev_end",
+        lag($"goff" + $"toks", 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"shard").orderBy($"pos")))
+      .where($"prev_end".isNotNull && $"prev_end" =!= $"goff")
+    assert(gaps.isEmpty)
+    // pack ids dense from 0 per shard; offsets inside the budget
+    assert(p.where($"pack_off" < 0 || $"pack_off" >= 100).isEmpty)
+    assert(p.groupBy($"shard").agg(min($"pack").as("mn")).where($"mn" =!= 0).isEmpty)
+    // deterministic across partitioning
+    val p2 = Sampling.packByTokenBudget(
+      docs.orderBy(rand(5)).repartition(11), "doc_id", "toks", 100L, 4)
+    assert(p.exceptAll(p2).isEmpty && p2.exceptAll(p).isEmpty)
+  }
 }
