@@ -1808,10 +1808,81 @@ object Queries {
           AS n_straddle
       FROM c GROUP BY shard, cb // 512"""))
 
+  // the whole corpus → training-sequences chain as ONE declarative plan
+  // (gates → exact dedup → per-language rebalance → shard → pack): the
+  // E1-topology idea applied to the LLM export job. The oracle replays
+  // every stage (q45's gate/dedup CTEs, q63's ratebook, q64's packing
+  // windows) and fingerprints the kept set via sum(doc_id); last_pos ==
+  // n_docs doubles as a density check on the shard layout.
+  private val q65 = QueryDef("q65_corpus_export",
+    (s, d) => {
+      import s.implicits._
+      val rates = Seq(("en", 200), ("de", 500), ("fr", 700), ("es", 900),
+        ("zh", 350)).toDF("lang", "kpm")
+      TrainingExport.corpusToPacks(rd(s, d, "documents"), rates,
+          minQuality = 60, budget = 512L, nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("pack")).as("n_packs"),
+          sum(col("toks")).as("sum_toks"),
+          sum(col("doc_id")).as("id_sum"),
+          max(col("pos")).as("last_pos"))
+    },
+    Some(s"""WITH f AS (SELECT doc_id, source, text,
+        len(regexp_extract_all(text, '\\S+')) AS toks,
+        length(regexp_replace(text, '\\s', '', 'g')) AS chars,
+        len(regexp_extract_all(text, '\\b(the|a|and|of|is|to|in)\\b')) AS stop,
+        len(regexp_extract_all(text, '${TextAnalysis.cjkPattern}')) AS cjk,
+        len(regexp_extract_all(text, '\\b(the|and|of|is|was|this|that|with)\\b')) AS s_en,
+        len(regexp_extract_all(text, '\\b(und|der|die|nicht|werden|eine?)\\b')) AS s_de,
+        len(regexp_extract_all(text, '\\b(vous|dans|pour|faire|avec|les?)\\b')) AS s_fr,
+        len(regexp_extract_all(text, '\\b(como|haber|tener|para|el|una?)\\b')) AS s_es
+      FROM documents),
+      g AS (SELECT doc_id, source, text, toks,
+        (CASE WHEN toks >= 32 THEN 40 ELSE 0 END) +
+        (CASE WHEN chars >= 200 THEN 20 ELSE 0 END) +
+        (CASE WHEN toks > 0 AND floor((chars*10)/toks) BETWEEN 30 AND 90 THEN 20 ELSE 0 END) +
+        (CASE WHEN stop >= 2 THEN 20 ELSE 0 END) AS q,
+        CASE WHEN cjk >= 3 THEN 'zh'
+          WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+          WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+          WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+          WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+          ELSE 'es' END AS pred
+      FROM f),
+      gated AS (SELECT *, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        FROM g WHERE q >= 60 AND pred <> 'und'),
+      keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp),
+      kept AS (SELECT gated.* FROM gated JOIN keep USING (fp, doc_id)),
+      h AS (SELECT doc_id, toks, pred,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) AS hu
+        FROM kept),
+      r AS (SELECT * FROM (VALUES ('en', 200), ('de', 500), ('fr', 700),
+        ('es', 900), ('zh', 350)) t(lang, kpm)),
+      b AS (SELECT h.* FROM h JOIN r ON h.pred = r.lang
+        WHERE hu % 1000 < kpm),
+      s AS (SELECT doc_id, toks, hu % 8 AS shard,
+        row_number() OVER (PARTITION BY hu % 8 ORDER BY hu ASC, doc_id ASC) AS pos
+      FROM b),
+      c AS (SELECT shard, doc_id, toks, pos,
+        coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY pos ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM s)
+      SELECT shard, count(*) AS n_docs,
+        count(distinct cb // 512) AS n_packs,
+        cast(sum(toks) AS BIGINT) AS sum_toks,
+        cast(sum(doc_id) AS BIGINT) AS id_sum,
+        cast(max(pos) AS BIGINT) AS last_pos
+      FROM c GROUP BY shard"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The end-to-end corpus → training-sequences plan: every step of the
+ * ingest-to-export chain composed into ONE declarative DataFrame, so
+ * Catalyst sees (and pipelines) the whole thing:
+ *
+ *   quality/language gates  →  exact dedup (first doc per fingerprint)
+ *   →  per-language rebalancing sample  →  deterministic shard layout
+ *   →  token-budget sequence packing
+ *
+ * This is the reference's topology idea — a fetcher→op→op→sink chain
+ * wired once and executed as a unit (stormcv `E1_FaceDetectionTopology
+ * .java:66-90` builds the whole graph before submitting) — applied to
+ * the LLM-corpus export job. Physical shape at 100 TB: the gates and
+ * the fingerprint are single-pass codegen'd expressions evaluated in
+ * the scan stage (rows die before anything is shuffled); dedup is one
+ * hash exchange on the 16-byte fingerprint; the rebalance is a
+ * broadcast-join + stateless filter (no shuffle); the shard/pack layout
+ * is one hash exchange on `shard` + an in-partition sort. Two shuffles
+ * total, both on bounded-width keys, and every intermediate column the
+ * sink does not need is pruned before the first exchange.
+ *
+ * Determinism: gates, fingerprint, sample membership, shard id, and
+ * in-shard order are all pure functions of the row (md5-derived), so
+ * the exported (shard, pack, pos) layout is bit-identical across
+ * reruns, partitionings, and engines — the property that lets a
+ * 1000-loader training job resume mid-epoch by (shard, pack).
+ */
+object TrainingExport {
+
+  /**
+   * `docs` needs (doc_id, source, text); `rates` is the
+   * `(stratum, keep_per_mille)` ratebook over PREDICTED language (a
+   * stratum absent from the ratebook is dropped — explicit allowlist,
+   * see [[Sampling.bernoulliByStratum]]). Returns one row per kept
+   * document with `(doc_id, source, lang_pred, q, toks, shard, pos,
+   * pack, pack_off)`.
+   */
+  def corpusToPacks(docs: DataFrame, rates: DataFrame, minQuality: Int,
+      budget: Long, nShards: Int): DataFrame = {
+    val gated = docs
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.tokenCount(col("text")).as("toks"))
+      .where(col("q") >= minQuality && col("lang_pred") =!= "und")
+    // first-doc-per-fingerprint via row_number: the gate chain is
+    // evaluated once, one shuffle on fp (the q45 lesson)
+    val keepers = gated
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+      .drop("rn", "fp")
+    val balanced =
+      Sampling.bernoulliByStratum(keepers, "doc_id", "lang_pred", rates)
+    Sampling.packByTokenBudget(balanced, "doc_id", "toks", budget, nShards)
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Sampling}
+import graft.operators.{Components, Sampling, TrainingExport}
 
 /** Dup-cluster assignment (connected components over a candidate-pair
   * graph) and the deterministic shard export — round-4 additions. */
@@ -157,5 +157,27 @@ class ComponentsSpec extends SparkSpec {
     val p2 = Sampling.packByTokenBudget(
       docs.orderBy(rand(5)).repartition(11), "doc_id", "toks", 100L, 4)
     assert(p.exceptAll(p2).isEmpty && p2.exceptAll(p).isEmpty)
+  }
+
+  test("corpusToPacks: gates drop junk, dedup keeps min id, layout invariant") {
+    import spark.implicits._
+    val body = "the cat and the dog is happy to be in the warm house with food " * 4
+    val good = (0L until 50L).map(i => (i, "web", s"document number $i $body"))
+    val dups = (0L until 50L).map(i => (i + 100L, "web", s"document number $i $body"))
+    val junk = (90L until 100L).map(i => (i + 900L, "web", "short text"))
+    val docs = (good ++ dups ++ junk).toDF("doc_id", "source", "text")
+    val rates = Seq(("en", 1000)).toDF("lang", "kpm")
+    val out = TrainingExport.corpusToPacks(docs, rates,
+      minQuality = 60, budget = 64L, nShards = 4)
+    // junk gated out, duplicate texts collapse to the min doc_id
+    assert(out.count() == 50L)
+    assert(out.where($"doc_id" >= 50L).isEmpty)
+    assert(out.columns.toSet ==
+      Set("doc_id", "source", "lang_pred", "q", "toks",
+        "shard", "pos", "pack", "pack_off"))
+    // the exported layout is a pure function of the rows
+    val out2 = TrainingExport.corpusToPacks(
+      docs.orderBy(rand(3)).repartition(17), rates, 60, 64L, 4)
+    assert(out.exceptAll(out2).isEmpty && out2.exceptAll(out).isEmpty)
   }
 }
