@@ -1879,10 +1879,41 @@ object Queries {
         cast(max(pos) AS BIGINT) AS last_pos
       FROM c GROUP BY shard"""))
 
+  // substring-level exact dedup (Lee et al. 2021): spans repeating across
+  // distinct docs, rolled up per source. The oracle rebuilds every 8-token
+  // window hash and the span document-frequency count verbatim.
+  private val q66 = QueryDef("q66_dup_spans",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      Dedup.duplicatedSpanStats(docs, "doc_id", "text", n = 8)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_with_dup"),
+          sum(col("dup_spans")).as("sum_dup_spans"),
+          sum(col("dup_mass")).as("sum_dup_mass"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS ts FROM documents),
+      sp AS (SELECT DISTINCT doc_id, unnest(list_transform(
+          generate_series(1, greatest(len(ts)-7, 0)),
+          i -> md5(ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||
+                   ts[i+4]||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7])))
+          AS span_hash
+        FROM t),
+      sdf AS (SELECT span_hash, count(*) AS n_docs FROM sp
+        GROUP BY span_hash HAVING count(*) >= 2),
+      per AS (SELECT sp.doc_id, count(*) AS dup_spans,
+          sum(n_docs) AS dup_mass
+        FROM sp JOIN sdf USING (span_hash) GROUP BY sp.doc_id)
+      SELECT source, count(*) AS docs_with_dup,
+        cast(sum(dup_spans) AS BIGINT) AS sum_dup_spans,
+        cast(sum(dup_mass) AS BIGINT) AS sum_dup_mass
+      FROM per JOIN documents USING (doc_id) GROUP BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
+    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 }

@@ -347,6 +347,45 @@ object Dedup {
    * (doc, bench) hit count — rows exist only where a shingle actually
    * collides. No corpus self-join anywhere (contrast [[minhashLshPairs]]).
    */
+  /**
+   * Exact duplicated-span statistics — substring-level dedup (the "exact
+   * substring dedup" of Lee et al. 2021, span granularity instead of doc
+   * granularity: boilerplate, licenses, and templated passages repeat
+   * across otherwise-distinct pages). Every n-token window is reduced to
+   * its md5 ROWWISE inside the scan projection (window text never leaves
+   * the row); a span hash appearing in ≥ 2 distinct documents is
+   * corpus-duplicated. Returns per-doc `(id, dup_spans, dup_mass)`:
+   * the count of distinct duplicated spans the doc contains and, as a
+   * severity weight, the sum over those spans of how many docs share
+   * them.
+   *
+   * Scale shape: explode factor = tokens/doc (same as [[shingles]]), but
+   * what crosses the exchange is (id, 32-hex-char hash) only; the span
+   * document-frequency count is ONE shuffle on the hash, and the
+   * flag-back join is hash-partitioned on the same key (exchange
+   * reuse). A pathologically hot span ("lorem ipsum…" across half the
+   * corpus) skews only its count task — AQE skew split applies; the
+   * flag-back side stays one row per (doc, span).
+   */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, "span width must be >= 2 tokens")
+    val sp = df
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col(idCol), explode(when(size($"toks") >= n,
+          transform(sequence(lit(0), size($"toks") - n),
+            i => md5(concat_ws(" ",
+              (0 until n).map(k => element_at($"toks", i + k + 1)): _*)
+              .cast(BinaryType))))
+        .otherwise(array().cast("array<string>"))).as("span_hash"))
+      .distinct()
+    val dupDf = sp.groupBy($"span_hash")
+      .agg(count(lit(1)).as("n_docs")).where($"n_docs" >= 2)
+    sp.join(dupDf, Seq("span_hash"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_spans"), sum($"n_docs").as("dup_mass"))
+  }
+
   def contaminationTag(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, benchIdCol: String, benchTextCol: String,
       n: Int = 3, minContainQ: Long = 500L): DataFrame = {

@@ -21,6 +21,24 @@ class OperatorSpec extends SparkSpec {
     assert(keepers.sameElements(Array(0L, 1L, 2L)), "keeper must be the min id")
   }
 
+  test("duplicated spans: shared passage counted once per doc, within-doc repeats don't") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$shared alpha beta gamma"),
+      (2L, s"delta $shared epsilon"),
+      (3L, "entirely unique words one two three four five six seven eight"),
+      (4L, shared),          // exactly the shared passage
+      (5L, s"$rep $rep")     // 8-token window repeats WITHIN one doc only
+    ).toDF("doc_id", "text")
+    val st = Dedup.duplicatedSpanStats(corpus, "doc_id", "text", n = 8)
+    val got = st.as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // the 3 pure-shared 8-token windows of `shared` sit in docs 1, 2, 4
+    // (n_docs = 3 each); nothing else crosses docs
+    assert(got == Map(1L -> (3L, 9L), 2L -> (3L, 9L), 4L -> (3L, 9L)), got.toString)
+  }
+
   test("minhash LSH recall: near-identical docs are found with verified jaccard") {
     import spark.implicits._
     // append one word to each of 5 docs -> ~95%+ shingle overlap
