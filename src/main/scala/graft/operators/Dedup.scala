@@ -369,9 +369,20 @@ object Dedup {
    */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    val sp = spanHashRows(df, idCol, textCol, n)
+    val dupDf = sp.groupBy($"span_hash")
+      .agg(count(lit(1)).as("n_docs")).where($"n_docs" >= 2)
+    sp.join(dupDf, Seq("span_hash"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_spans"), sum($"n_docs").as("dup_mass"))
+  }
+
+  /** One row per distinct (id, n-token-window md5) — the hashing is
+    * rowwise inside the scan projection; see [[duplicatedSpanStats]]. */
+  def spanHashRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     require(n >= 2, "span width must be >= 2 tokens")
-    val sp = df
-      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
       .select(col(idCol), explode(when(size($"toks") >= n,
           transform(sequence(lit(0), size($"toks") - n),
             i => md5(concat_ws(" ",
@@ -379,11 +390,43 @@ object Dedup {
               .cast(BinaryType))))
         .otherwise(array().cast("array<string>"))).as("span_hash"))
       .distinct()
-    val dupDf = sp.groupBy($"span_hash")
-      .agg(count(lit(1)).as("n_docs")).where($"n_docs" >= 2)
-    sp.join(dupDf, Seq("span_hash"))
+  }
+
+  /** Span document-frequency table `(span_hash, n_docs)` — the persisted
+    * index behind span-level dedup at scale (keep every hash, not just
+    * df ≥ 2: an increment can promote a unique span to duplicated). */
+  def spanDf(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    spanHashRows(df, idCol, textCol, n)
+      .groupBy($"span_hash").agg(count(lit(1)).as("n_docs"))
+
+  /**
+   * Incremental span-df maintenance + flagging of the fresh docs only —
+   * the [[incrementalNearDupKeepers]] shape at span granularity: history
+   * is represented by its persisted `(span_hash, n_docs)` table and is
+   * never re-tokenized; an increment hashes ONLY the fresh docs, merges
+   * counts (union + one sum-groupBy on the hash — both sides already
+   * hash-partitioned by span_hash), and flags fresh docs against the
+   * MERGED counts (a fresh span is duplicated when history + fresh
+   * occurrences reach 2, so an increment can promote a span that was
+   * unique in history). Returns (freshStats = what
+   * [[duplicatedSpanStats]] says about the fresh docs against the corpus
+   * AS OF this increment — later arrivals can raise a doc's mass, as in
+   * any df-style index — , updatedSpanDf to persist). Per-span counts
+   * are associative ⇒ the UPDATED TABLE after chunked arrival ≡ one
+   * batch build (spec-asserted).
+   */
+  def spanStatsIncrement(historySpanDf: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String, n: Int): (DataFrame, DataFrame) = {
+    val freshRows = spanHashRows(fresh, idCol, textCol, n)
+    val updated = historySpanDf
+      .unionByName(freshRows.groupBy($"span_hash")
+        .agg(count(lit(1)).as("n_docs")))
+      .groupBy($"span_hash").agg(sum($"n_docs").as("n_docs"))
+    val freshStats = freshRows
+      .join(updated.where($"n_docs" >= 2), Seq("span_hash"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("dup_spans"), sum($"n_docs").as("dup_mass"))
+    (freshStats, updated)
   }
 
   def contaminationTag(corpus: DataFrame, bench: DataFrame,

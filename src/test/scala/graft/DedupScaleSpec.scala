@@ -68,6 +68,41 @@ class DedupScaleSpec extends SparkSpec {
       s"inc-only=${(got.toSet -- batchKeepers).take(5)} batch-only=${(batchKeepers.toSet -- got).take(5)}")
   }
 
+  test("incremental span-df: chunked arrival equals batch, final-chunk stats exact") {
+    import spark.implicits._
+    val corpus = docs.select($"doc_id", $"text")
+    val batchDf = Dedup.spanDf(corpus, "doc_id", "text", 8)
+    var index = batchDf.limit(0)
+    var lastStats = batchDf.limit(0) // placeholder, overwritten below
+    val splits = Seq($"doc_id" < 60, $"doc_id" >= 60 && $"doc_id" < 140, $"doc_id" >= 140)
+    for (cond <- splits) {
+      val (stats, updated) = Dedup.spanStatsIncrement(
+        index, corpus.where(cond), "doc_id", "text", 8)
+      lastStats = stats
+      index = updated.localCheckpoint()
+    }
+    // merged counts after chunked arrival == the single-batch build
+    assert(index.exceptAll(batchDf).isEmpty && batchDf.exceptAll(index).isEmpty)
+    // by the last chunk every doc has arrived, so its stats are final
+    val batchStats = Dedup.duplicatedSpanStats(corpus, "doc_id", "text", 8)
+      .where($"doc_id" >= 140)
+    assert(lastStats.exceptAll(batchStats).isEmpty &&
+      batchStats.exceptAll(lastStats).isEmpty)
+  }
+
+  test("incremental span-df: a span unique in history is promoted by a fresh repeat") {
+    import spark.implicits._
+    val history = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val (stats, updated) = Dedup.spanStatsIncrement(
+      Dedup.spanDf(history, "doc_id", "text", 8),
+      Seq((2L, "a b c d e f g h tail")).toDF("doc_id", "text"),
+      "doc_id", "text", 8)
+    // doc 2's first window matches history's only span: df 1 -> 2
+    assert(stats.as[(Long, Long, Long)].collect().toSeq == Seq((2L, 1L, 2L)))
+    assert(updated.where($"n_docs" === 2).count() == 1L &&
+      updated.count() == 2L) // promoted span + doc 2's unique second window
+  }
+
   test("incremental near-dup: ANY random id-ordered split reproduces single-batch") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
