@@ -109,6 +109,37 @@ object RequestResponse {
    * the LSH candidate definition (bucket mates), not an unverified
    * sketch.
    */
+  /**
+   * Span-duplication probe — the span-level ingest-gate question "how
+   * much of this candidate document already exists VERBATIM in the
+   * corpus?", answered off the persisted `(span_hash, n_docs)` table
+   * that [[Dedup.spanStatsIncrement]] maintains. One row per request
+   * that has at least one n-token span: `(request_id, n_spans,
+   * dup_spans, dup_q = floor(1000·dup_spans/n_spans))` — dup_q 1000
+   * means every window of the request already exists somewhere.
+   *
+   * 100 TB shape: request spans are hashed rowwise (tiny side,
+   * BROADCAST); the one join is a hash-equi probe into the index scan —
+   * corpus text is never touched, nothing corpus-scale shuffles.
+   * Requests shorter than n tokens produce no row (no spans to gate on —
+   * the caller's length gate fires first anyway).
+   */
+  def spanDupProbe(requests: DataFrame, spanDf: DataFrame,
+      reqId: String, reqText: String, n: Int = 8): DataFrame = {
+    val req = requests.select(col(reqId).as("request_id"),
+      col(reqText).as("text"))
+    val spans = Dedup.spanHashRows(req, "request_id", "text", n)
+    val sz = spans.groupBy(col("request_id")).agg(count(lit(1)).as("n_spans"))
+    val hits = spanDf.select(col("span_hash"))
+      .join(broadcast(spans), Seq("span_hash"))
+      .groupBy(col("request_id")).agg(count(lit(1)).as("hit_spans"))
+    sz.join(hits, Seq("request_id"), "left")
+      .select(col("request_id"), col("n_spans"),
+        coalesce(col("hit_spans"), lit(0L)).as("dup_spans"),
+        floor(lit(1000) * coalesce(col("hit_spans"), lit(0L)) / col("n_spans"))
+          .cast(LongType).as("dup_q"))
+  }
+
   def nearDupProbe(requests: DataFrame, bandIndex: DataFrame, corpus: DataFrame,
       reqId: String, reqText: String, docId: String, docText: String,
       n: Int = 3, bands: Int = 8, minJaccQ: Long = 500L): DataFrame = {

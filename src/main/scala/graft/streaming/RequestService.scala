@@ -103,6 +103,21 @@ object RequestService {
         reqId, reqText, docId, docText, n, bands, minJaccQ))
 
   /**
+   * Start the span-duplication probe service off the persisted
+   * `(span_hash, n_docs)` table (`Dedup.spanStatsIncrement` maintains it
+   * as corpus epochs commit) — the streaming form of the span-level
+   * ingest gate: each candidate document in the request stream gets its
+   * verbatim-overlap permille against the corpus without the corpus ever
+   * being read. Cache/persist `spanDf`; it is re-used every trigger.
+   */
+  def startSpanProbe(spark: SparkSession, requests: DataFrame,
+      spanDf: DataFrame, reqId: String, reqText: String,
+      responseTable: String, checkpoint: String, n: Int = 8,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    startService(requests, responseTable, checkpoint, trigger)(batch =>
+      RequestResponse.spanDupProbe(batch, spanDf, reqId, reqText, n))
+
+  /**
    * Start the embedding-match service against a PRE-BUILT IVF index —
    * the 100 TB serving shape: the index `(corpus_id, cv, cn, centroid)`
    * (built once via `Similarity.assignIncrement` and appended as new

@@ -266,6 +266,53 @@ class RequestServiceSpec extends SparkSpec {
     assert(got.count(r => r.head == r(1)) == reqRows.length)
   }
 
+  test("span probe service: stream off the persisted span-df ≡ batch probe, kill/resume") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    val corpus = docs.where($"doc_id" >= 5)
+    // the persisted index spanStatsIncrement maintains
+    val spanDf = Dedup.spanDf(corpus, "doc_id", "text", 8).cache()
+    // verbatim copies of corpus docs (every window present, dup_q 1000)
+    // + two docs the corpus never saw
+    val planted = corpus.orderBy($"doc_id").limit(2).collect()
+      .map(r => TextReq(9000L + r.getLong(0), r.getString(1)))
+    val fresh = docs.where($"doc_id" < 2).collect()
+      .map(r => TextReq(r.getLong(0), r.getString(1)))
+    val reqRows = (planted ++ fresh).sortBy(_.request_id)
+
+    val cp = Files.createTempDirectory("spcp").toString
+    val table = Files.createTempDirectory("sptbl").toString
+    val in = MemoryStream[TextReq](Encoders.product[TextReq], spark)
+    def start() = RequestService.startSpanProbe(spark, in.toDF(), spanDf,
+      "request_id", "qtext", table, cp, n = 8)
+    var q = start()
+    in.addData(reqRows.take(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    q = start()
+    in.addData(reqRows.drop(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = new ExactlyOnceSink(table).read(spark)
+      .select($"request_id", $"n_spans", $"dup_spans", $"dup_q")
+      .collect().map(_.toSeq)
+    assert(got.length == got.distinct.length, "duplicate responses after resume")
+    val expected = RequestResponse.spanDupProbe(
+      reqRows.toSeq.map(r => (r.request_id, r.qtext)).toDF("request_id", "qtext"),
+      spanDf, "request_id", "qtext", n = 8)
+      .select($"request_id", $"n_spans", $"dup_spans", $"dup_q")
+      .collect().map(_.toSeq).toSet
+    assert(got.toSet == expected && expected.nonEmpty)
+    // every planted verbatim copy is fully covered by corpus spans
+    planted.foreach { p =>
+      assert(got.exists(s => s.head == p.request_id && s(3) == 1000L),
+        s"planted copy ${p.request_id} not fully duplicated: ${got.toSeq}")
+    }
+  }
+
   test("near-dup probe service: stream off the persisted band index ≡ batch probe; planted twins verified") {
     import spark.implicits._
     import graft.operators.Dedup
