@@ -1551,7 +1551,7 @@ object Queries {
             * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
                 16777216,1048576,65536,4096,256,16,1])[j])) AS hu
         FROM documents)
-      SELECT doc_id, hu % 16 AS shard,
+      SELECT doc_id, cast(hu % 16 AS BIGINT) AS shard,
         row_number() OVER (PARTITION BY hu % 16 ORDER BY hu, doc_id) AS pos
       FROM h"""))
 
@@ -1794,14 +1794,14 @@ object Queries {
             * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
                 16777216,1048576,65536,4096,256,16,1])[j])) AS hu
         FROM documents),
-      s AS (SELECT doc_id, toks, hu % 8 AS shard,
+      s AS (SELECT doc_id, toks, cast(hu % 8 AS BIGINT) AS shard,
         row_number() OVER (PARTITION BY hu % 8 ORDER BY hu ASC, doc_id ASC) AS pos
       FROM h),
       c AS (SELECT shard, toks,
         coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY pos ASC
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
       FROM s)
-      SELECT shard, cb // 512 AS pack, count(*) AS n_docs,
+      SELECT shard, cast(cb // 512 AS BIGINT) AS pack, count(*) AS n_docs,
         cast(sum(toks) AS BIGINT) AS pack_tokens,
         cast(min(cb % 512) AS BIGINT) AS first_off,
         cast(sum(CASE WHEN cb % 512 + toks > 512 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1865,7 +1865,7 @@ object Queries {
         ('es', 900), ('zh', 350)) t(lang, kpm)),
       b AS (SELECT h.* FROM h JOIN r ON h.pred = r.lang
         WHERE hu % 1000 < kpm),
-      s AS (SELECT doc_id, toks, hu % 8 AS shard,
+      s AS (SELECT doc_id, toks, cast(hu % 8 AS BIGINT) AS shard,
         row_number() OVER (PARTITION BY hu % 8 ORDER BY hu ASC, doc_id ASC) AS pos
       FROM b),
       c AS (SELECT shard, doc_id, toks, pos,

@@ -378,9 +378,31 @@ object Dedup {
   }
 
   /** One row per distinct (id, n-token-window md5) — the hashing is
-    * rowwise inside the scan projection; see [[duplicatedSpanStats]]. */
+    * rowwise inside the scan projection via the codegen'd [[SpanHashes]]
+    * expression (one tokenizer pass, one reused digest, within-doc
+    * dedup in a hash set instead of a shuffle-visible `.distinct()`);
+    * see [[duplicatedSpanStats]]. Assumes `idCol` is unique per row
+    * (true of every corpus table here) — with duplicate ids the HOF twin
+    * additionally deduped ACROSS rows, this form only within a row. */
   def spanHashRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    require(n >= 2, "span width must be >= 2 tokens")
+    df.select(col(idCol), explode(span_hashes(col(textCol), n)).as("span_hash"))
+  }
+
+  /** `span_hashes(text, n): array<string>` Column over [[SpanHashes]]. */
+  def span_hashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.Bridge.column(
+      SpanHashes(org.apache.spark.sql.graftshim.Bridge.expression(text), n))
+
+  /** Interpreted higher-order-function twin of [[spanHashRows]] — kept as
+    * the spec'd semantic oracle for [[SpanHashes]] (value-identical by
+    * construction; asserted in DedupSpec over adversarial whitespace).
+    * 10–20× slower than the expression form (interpreted HOF chain —
+    * same measurement as the minhash note above), so nothing in the
+    * serving path uses it. */
+  private[graft] def spanHashRowsHof(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     require(n >= 2, "span width must be >= 2 tokens")
     df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
       .select(col(idCol), explode(when(size($"toks") >= n,
@@ -414,6 +436,13 @@ object Dedup {
    * any df-style index — , updatedSpanDf to persist). Per-span counts
    * are associative ⇒ the UPDATED TABLE after chunked arrival ≡ one
    * batch build (spec-asserted).
+   *
+   * PRECONDITION: `fresh` must be DISJOINT from the docs already folded
+   * into `historySpanDf` — a re-delivered doc permanently inflates
+   * `n_docs` (false duplicated-span promotions). The streaming callers
+   * get this for free from the sink manifest's re-delivered-epoch
+   * detection (exactly-once epochs); batch callers must feed each doc
+   * exactly once.
    */
   def spanStatsIncrement(historySpanDf: DataFrame, fresh: DataFrame,
       idCol: String, textCol: String, n: Int): (DataFrame, DataFrame) = {
@@ -598,5 +627,111 @@ object MinHashBandSigs {
       b += 1
     }
     new GenericArrayData(hex)
+  }
+}
+
+/**
+ * All distinct n-token-window md5 hex digests of a text in ONE row-local
+ * pass — the codegen'd form of the `transform(sequence(...), i =>
+ * md5(concat_ws(" ", window)))` HOF tree in [[Dedup.spanHashRowsHof]]
+ * (same trim/split/join/md5 semantics, so the two forms are
+ * interchangeable and both match the DuckDB oracle fragment; asserted in
+ * DedupSpec with adversarial-whitespace fuzz).
+ *
+ * Why an expression: the span pass reads EVERY token of the corpus —
+ * at 100 TB the interpreted-HOF tax (measured 10–20× on the minhash
+ * twin, see [[MinHashBandSigs]]) is the difference between one pass and
+ * a cluster-week. This keeps span hashing a stateless projection inside
+ * whole-stage codegen: one tokenizer pass, one reused MD5 instance, one
+ * StringBuilder, within-doc dedup in a local hash set (the HOF form
+ * needed a plan-level `.distinct()` for that).
+ *
+ * Dedup key is the digest hex (exactly what the HOF `.distinct()`
+ * deduped on), not the shingle string; a repeated shingle is skipped
+ * before hashing via a separate shingle set, so repeats cost a set probe,
+ * not an MD5 compression.
+ *
+ * Returns `array<string>` of 32-hex-char digests in first-occurrence
+ * order (order is irrelevant downstream — every consumer explodes into a
+ * groupBy); empty array when the doc has < n tokens.
+ */
+case class SpanHashes(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  require(n >= 2, "span width must be >= 2 tokens")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "span_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"span_hashes requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SpanHashes.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.SpanHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): SpanHashes =
+    copy(child = newChild)
+}
+
+object SpanHashes {
+  import java.nio.charset.StandardCharsets
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val HEX = "0123456789abcdef".toCharArray
+  private val splitter = java.util.regex.Pattern.compile("\\s+")
+
+  /** Static so generated code and interpreted eval share one body. */
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    // UTF8String.trim() strips 0x20 only — same as Spark's trim(col);
+    // Pattern.split(s, -1) keeps leading/trailing empties — same as
+    // Spark's split(str, "\\s+") with its default limit of -1
+    val s = text.trim().toString
+    val toks = splitter.split(s, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seenShingle = new java.util.HashSet[String]()
+    // LinkedHashSet on the hex digest = the HOF .distinct() key, kept in
+    // first-occurrence order; the shingle set above just saves the MD5
+    // work for repeats (distinct shingle ⇒ distinct digest modulo md5
+    // collision, which the digest set absorbs either way)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val md = Md5Hash.local()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+      val shingle = sb.toString
+      if (seenShingle.add(shingle)) {
+        md.reset()
+        md.update(shingle.getBytes(StandardCharsets.UTF_8))
+        val d = md.digest()
+        val cs = new Array[Char](32)
+        var j = 0
+        while (j < 16) {
+          cs(2 * j) = HEX((d(j) >> 4) & 0xf); cs(2 * j + 1) = HEX(d(j) & 0xf)
+          j += 1
+        }
+        out.add(UTF8String.fromString(new String(cs)))
+      }
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
   }
 }

@@ -115,14 +115,20 @@ object RequestResponse {
    * corpus?", answered off the persisted `(span_hash, n_docs)` table
    * that [[Dedup.spanStatsIncrement]] maintains. One row per request
    * that has at least one n-token span: `(request_id, n_spans,
-   * dup_spans, dup_q = floor(1000·dup_spans/n_spans))` — dup_q 1000
-   * means every window of the request already exists somewhere.
+   * dup_spans, dup_q = floor(1000·dup_spans/n_spans))`. Counts are over
+   * the request's DISTINCT n-token windows ([[Dedup.spanHashRows]]
+   * dedups within doc) — dup_q 1000 means every distinct window of the
+   * request already exists somewhere.
    *
-   * 100 TB shape: request spans are hashed rowwise (tiny side,
-   * BROADCAST); the one join is a hash-equi probe into the index scan —
-   * corpus text is never touched, nothing corpus-scale shuffles.
-   * Requests shorter than n tokens produce no row (no spans to gate on —
-   * the caller's length gate fires first anyway).
+   * 100 TB shape: request spans are hashed rowwise and BROADCAST — note
+   * that is requests × distinct-windows rows, sized for the streaming
+   * per-trigger use (a handful of candidate docs per trigger); a batch
+   * caller probing many long documents at once should drop the hint and
+   * let the probe run as a shuffled equi-join instead. The one join is a
+   * hash-equi probe into the index scan — corpus text is never touched,
+   * nothing corpus-scale shuffles. Requests shorter than n tokens
+   * produce no row (no spans to gate on — the caller's length gate
+   * fires first anyway).
    */
   def spanDupProbe(requests: DataFrame, spanDf: DataFrame,
       reqId: String, reqText: String, n: Int = 8): DataFrame = {

@@ -99,13 +99,28 @@ object Sampling {
    * keeps a subset of the earlier sample: `hu mod 1000 < p` nests by p).
    * A stratum absent from `rates` keeps nothing (inner join — explicit
    * allowlist semantics; pass rate 1000 to keep a stratum whole).
+   *
+   * The ratebook is POSITIONAL: column 1 is the stratum key, column 2
+   * the keep-per-mille rate (validated: exactly 2 columns, rate column
+   * numeric — a swapped ratebook fails fast instead of sampling by
+   * stratum-as-rate). Join-side names are mangled internally so a corpus
+   * column can never collide with or be dropped by the ratebook's.
    */
   def bernoulliByStratum(df: DataFrame, idCol: String, stratumCol: String,
       rates: DataFrame): DataFrame = {
-    val r = rates.toDF("_stratum", "_kpm")
-    df.join(broadcast(r), df(stratumCol) === col("_stratum"))
-      .where(hashUniform48(col(idCol)) % 1000 < col("_kpm"))
-      .drop("_stratum", "_kpm")
+    require(rates.columns.length == 2,
+      s"ratebook must be exactly (stratum, keep_per_mille); got ${rates.columns.toSeq}")
+    require(rates.schema(1).dataType.isInstanceOf[NumericType],
+      s"ratebook column 2 (keep_per_mille) must be numeric; got " +
+        s"${rates.schema(1).dataType.simpleString} — swapped column order?")
+    val Array(c0, c1) = rates.columns
+    val sc = "__graft_stratum"; val kc = "__graft_kpm"
+    require(!df.columns.contains(sc) && !df.columns.contains(kc),
+      s"corpus must not carry reserved columns $sc/$kc")
+    val r = rates.select(col(c0).as(sc), col(c1).cast(LongType).as(kc))
+    df.join(broadcast(r), df(stratumCol) === col(sc))
+      .where(hashUniform48(col(idCol)) % 1000 < col(kc))
+      .drop(sc, kc)
   }
 
   /**

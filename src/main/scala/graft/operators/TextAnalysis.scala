@@ -180,7 +180,18 @@ object TextAnalysis {
   /** Email / IPv4 / NANP-phone patterns. Engine-portable by construction —
     * no lookaround, no backreferences, ASCII classes only, so Java regex
     * (Spark) and RE2 (the DuckDB oracle) match identically. Mirrored
-    * verbatim in the q60 oracle SQL. */
+    * verbatim in the q60 oracle SQL.
+    *
+    * COVERAGE LIMITS — these are deliberately narrow, oracle-pinned
+    * demonstration patterns, NOT a production-grade scrubber: the phone
+    * rule is dash/space-delimited NANP only (misses `(555) 123-4567` and
+    * `555.123.4567`); the IPv4 rule accepts out-of-range octets
+    * (`999.999.999.999`) and redacts dotted version strings like
+    * `1.2.3.4`; a dotted-digit host inside an email is consumed by the
+    * email pass (order below), so it is counted/redacted as EMAIL, never
+    * as IP. Tightening octet ranges (`25[0-5]|2[0-4]\d|1?\d?\d`) stays
+    * RE2-portable if a deployment needs it — change the oracle SQL in
+    * lockstep. */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Pattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
   val phonePattern = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"

@@ -90,6 +90,43 @@ class DedupScaleSpec extends SparkSpec {
       batchStats.exceptAll(lastStats).isEmpty)
   }
 
+  test("codegen'd SpanHashes equals the interpreted HOF twin on real docs") {
+    import spark.implicits._
+    val corpus = docs.select($"doc_id", $"text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expr = rows(Dedup.spanHashRows(corpus, "doc_id", "text", 8))
+    val hof = rows(Dedup.spanHashRowsHof(corpus, "doc_id", "text", 8))
+    assert(expr == hof,
+      s"only-expr=${(expr -- hof).take(3)} only-hof=${(hof -- expr).take(3)}")
+    assert(expr.nonEmpty)
+  }
+
+  test("SpanHashes equals HOF twin on adversarial whitespace/unicode corpora") {
+    import spark.implicits._
+    // same risk surface as MinHashBandSigs: MY replication of Spark's
+    // trim (0x20 only) + split("\\s+", -1) + concat_ws(" ") semantics —
+    // exercise non-space leading/trailing whitespace (kept by trim ⇒
+    // empty tokens), unicode spaces, CJK, combining marks, empties, and
+    // REPEATED spans (the within-doc dedup path)
+    val frags = Array("word", "Wort", "été", "中文", "a", "",
+      " ", "\t", "\n", "\r", "", " ", " ", "　",
+      "x́", "end.", "  ", "\t\n", "tok-en", "123", "a a a a a a")
+    val cases = (0 until 300).map { caseI =>
+      val len = ((graft.sources.PageGen.rnd(31L, 0, caseI) >>> 1) % 24).toInt
+      val s = (0 until len).map(i =>
+        frags(((graft.sources.PageGen.rnd(31L, 1, caseI, i) >>> 1) % frags.length).toInt))
+        .mkString("")
+      (caseI.toLong, s)
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expr = rows(Dedup.spanHashRows(cases, "doc_id", "text", 2))
+    val hof = rows(Dedup.spanHashRowsHof(cases, "doc_id", "text", 2))
+    assert(expr == hof,
+      s"only-expr=${(expr -- hof).take(3)} only-hof=${(hof -- expr).take(3)}")
+  }
+
   test("incremental span-df: a span unique in history is promoted by a fresh repeat") {
     import spark.implicits._
     val history = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")

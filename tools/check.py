@@ -53,10 +53,12 @@ def main():
             print(f"{name}: NO SPARK OUTPUT"); n_fail += 1; continue
         sres = con.execute(f"SELECT * FROM '{qdir}/*.parquet'")
         scols = [d[0] for d in sres.description]
-        # capture NOW: con.execute returns the connection itself, so
-        # .description is overwritten by the next execute (the oracle)
-        sdesc = [d[1] for d in sres.description]
         srows = sres.fetchall()
+        # DESCRIBE gives DuckDB's real type NAMES (the DBAPI description
+        # collapses HUGEINT/BIGINT into one NUMBER code and let the
+        # q58/q64/q65 type slips ship in round 4)
+        stypes = dict(con.execute(
+            f"SELECT column_name, column_type FROM (DESCRIBE SELECT * FROM '{qdir}/*.parquet')").fetchall())
         if name not in oracle:
             print(f"{name}: rows-only ({len(srows)} rows)"); n_rowsonly += 1
             if len(srows) == 0:
@@ -73,11 +75,13 @@ def main():
         if sc != dc:
             print(f"{name}: SCHEMA MISMATCH spark={sc} duck={dc}"); n_fail += 1; continue
         # driver's hasher is TYPE-sensitive (HUGEINT != BIGINT): compare
-        # the DuckDB-visible column types too, sorted by column name
-        stypes = sorted(zip(scols, sdesc))
-        dtypes = sorted(zip(dcols, [d[1] for d in dres.description]))
+        # DuckDB's own type names for both sides, keyed by column name
+        dtypes = dict(con.execute(
+            f"SELECT column_name, column_type FROM (DESCRIBE {oracle[name]})").fetchall())
         if stypes != dtypes:
-            print(f"{name}: TYPE MISMATCH spark={stypes} duck={dtypes}"); n_fail += 1; continue
+            diff = {c: (stypes.get(c), dtypes.get(c))
+                    for c in set(stypes) | set(dtypes) if stypes.get(c) != dtypes.get(c)}
+            print(f"{name}: TYPE MISMATCH {diff}"); n_fail += 1; continue
         if sr == dr:
             print(f"{name}: OK ({len(sr)} rows)"); n_pass += 1
         else:
