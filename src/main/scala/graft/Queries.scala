@@ -1910,10 +1910,54 @@ object Queries {
         cast(sum(dup_mass) AS BIGINT) AS sum_dup_mass
       FROM per JOIN documents USING (doc_id) GROUP BY source"""))
 
+  // corpus rewrite: duplicated 8-token spans CUT from every doc (the Lee
+  // et al. exact-substring-dedup output — see Dedup.removeDuplicatedSpans).
+  // Output fingerprints the rewritten text per doc (token count + md5) so
+  // the oracle re-derives kept-token ranges digit-for-digit in SQL:
+  // positional windows → cross-doc-duplicated hashes → NOT-EXISTS
+  // coverage test → ordered string_agg rejoin. Untouched docs must hash
+  // to their ORIGINAL text (byte-identity property, asserted here, not
+  // just in the spec).
+  private val q67 = QueryDef("q67_span_removal",
+    (s, d) => {
+      val docs = rd(s, d, "documents").select(col("doc_id"), col("text"))
+      val sdf = Dedup.spanDf(docs, "doc_id", "text", n = 8)
+      Dedup.removeDuplicatedSpans(docs, sdf, "doc_id", "text", n = 8)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("kept_toks"),
+          md5(col("text").cast(BinaryType)).as("text_md5"))
+    },
+    Some("""WITH t AS (SELECT doc_id, text,
+        string_split_regex(trim(text), '\s+') AS ts FROM documents),
+      w AS (SELECT doc_id, i - 1 AS pos,
+          md5(ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||
+              ts[i+4]||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7]) AS h
+        FROM t, unnest(generate_series(1, greatest(len(ts)-7, 0))) AS u(i)),
+      dup AS (SELECT h FROM w GROUP BY h
+        HAVING count(DISTINCT doc_id) >= 2),
+      d AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)),
+      cd AS (SELECT DISTINCT doc_id FROM d),
+      k AS (SELECT t.doc_id, g.j, ts[g.j + 1] AS tok
+        FROM t JOIN cd USING (doc_id),
+          unnest(generate_series(0, len(ts) - 1)) AS g(j)
+        WHERE NOT EXISTS (SELECT 1 FROM d
+          WHERE d.doc_id = t.doc_id AND d.pos <= g.j AND g.j < d.pos + 8)),
+      agg AS (SELECT doc_id, count(*) AS kept,
+          string_agg(tok, ' ' ORDER BY j) AS newtext
+        FROM k GROUP BY doc_id)
+      SELECT t.doc_id,
+        cast(CASE WHEN cd.doc_id IS NOT NULL THEN coalesce(agg.kept, 0)
+          ELSE len(regexp_extract_all(t.text, '\S+')) END AS BIGINT) AS kept_toks,
+        md5(CASE WHEN cd.doc_id IS NOT NULL THEN coalesce(agg.newtext, '')
+          ELSE t.text END) AS text_md5
+      FROM t
+      LEFT JOIN cd ON t.doc_id = cd.doc_id
+      LEFT JOIN agg ON t.doc_id = agg.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
+    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
 }

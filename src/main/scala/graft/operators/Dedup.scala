@@ -390,10 +390,22 @@ object Dedup {
     df.select(col(idCol), explode(span_hashes(col(textCol), n)).as("span_hash"))
   }
 
+  /** One row per (id, window-start pos, window md5) — the POSITIONAL
+    * (non-deduped) twin of [[spanHashRows]], feeding span REMOVAL where
+    * every occurrence of a duplicated span must be located, not just its
+    * existence. Explode factor = tokens/doc. */
+  private[graft] def positionalSpanHashRows(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 2, "span width must be >= 2 tokens")
+    df.select(col(idCol),
+      posexplode(span_hashes(col(textCol), n, dedup = false))
+        .as(Seq("pos", "span_hash")))
+  }
+
   /** `span_hashes(text, n): array<string>` Column over [[SpanHashes]]. */
-  def span_hashes(text: Column, n: Int): Column =
+  def span_hashes(text: Column, n: Int, dedup: Boolean = true): Column =
     org.apache.spark.sql.graftshim.Bridge.column(
-      SpanHashes(org.apache.spark.sql.graftshim.Bridge.expression(text), n))
+      SpanHashes(org.apache.spark.sql.graftshim.Bridge.expression(text), n, dedup))
 
   /** Interpreted higher-order-function twin of [[spanHashRows]] — kept as
     * the spec'd semantic oracle for [[SpanHashes]] (value-identical by
@@ -457,6 +469,50 @@ object Dedup {
       .agg(count(lit(1)).as("dup_spans"), sum($"n_docs").as("dup_mass"))
     (freshStats, updated)
   }
+
+  /**
+   * Span removal — the corpus REWRITE that exact-substring dedup exists
+   * for (Lee et al. 2021 "Deduplicating Training Data Makes Language
+   * Models Better": the output is the corpus with duplicated substrings
+   * CUT, not a report). Every n-token window of `textCol` whose hash is
+   * corpus-duplicated (`n_docs ≥ 2` in `spanDf` — the table [[spanDf]]
+   * builds and [[spanStatsIncrement]] maintains) is removed from the
+   * doc: overlapping duplicated windows merge into one cut range
+   * (token-granular), surviving tokens are rejoined with single spaces.
+   * Returns `df` with `textCol` rewritten; a doc with NO duplicated
+   * span keeps its ORIGINAL text byte-identical (whitespace is only
+   * normalized where a cut actually happened); a fully-duplicated doc
+   * becomes the empty string (the caller's length gate drops it).
+   *
+   * 100 TB shape: positions are located by one codegen'd projection
+   * ([[SpanHashes]] positional mode, explode factor tokens/doc) whose
+   * rows are (id, pos, 32-hex hash) only; the duplicated-hash probe is
+   * one equi-join on the hash against the persisted span-df table
+   * (hash-partitioned both sides); cut lists come back as one
+   * groupBy(id) of ints; and the rewrite itself is a row-local
+   * codegen'd expression ([[RemoveSpans]]) after an equi-join of the
+   * cut lists back to the corpus on id. Corpus text crosses exactly one
+   * exchange (the cut-list join) — never keyed by span.
+   */
+  def removeDuplicatedSpans(df: DataFrame, spanDf: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val dup = spanDf.where($"n_docs" >= 2).select($"span_hash")
+    val cuts = positionalSpanHashRows(df, idCol, textCol, n)
+      .join(dup, Seq("span_hash"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list($"pos")).as("__cut_starts"))
+    df.join(cuts, Seq(idCol), "left")
+      .withColumn(textCol, when($"__cut_starts".isNotNull,
+          remove_spans(col(textCol), $"__cut_starts", n))
+        .otherwise(col(textCol)))
+      .drop("__cut_starts")
+  }
+
+  /** `remove_spans(text, starts, n): string` Column over [[RemoveSpans]]. */
+  def remove_spans(text: Column, starts: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.Bridge.column(
+      RemoveSpans(org.apache.spark.sql.graftshim.Bridge.expression(text),
+        org.apache.spark.sql.graftshim.Bridge.expression(starts), n))
 
   def contaminationTag(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, benchIdCol: String, benchTextCol: String,
@@ -654,9 +710,15 @@ object MinHashBandSigs {
  * Returns `array<string>` of 32-hex-char digests in first-occurrence
  * order (order is irrelevant downstream — every consumer explodes into a
  * groupBy); empty array when the doc has < n tokens.
+ *
+ * With `dedup = false` the dedup sets are skipped and EVERY window's
+ * digest is emitted in window order — element i is the hash of the
+ * window starting at 0-based token i (`posexplode` recovers positions;
+ * this is the form span REMOVAL consumes, see
+ * [[Dedup.removeDuplicatedSpans]]).
  */
 case class SpanHashes(child: org.apache.spark.sql.catalyst.expressions.Expression,
-    n: Int)
+    n: Int, dedup: Boolean = true)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -674,10 +736,10 @@ case class SpanHashes(child: org.apache.spark.sql.catalyst.expressions.Expressio
   }
 
   override def nullSafeEval(input: Any): Any =
-    SpanHashes.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    SpanHashes.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, dedup)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.operators.SpanHashes.compute($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.operators.SpanHashes.compute($c, $n, $dedup)")
 
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): SpanHashes =
@@ -693,19 +755,21 @@ object SpanHashes {
   private val splitter = java.util.regex.Pattern.compile("\\s+")
 
   /** Static so generated code and interpreted eval share one body. */
-  def compute(text: UTF8String, n: Int): GenericArrayData = {
+  def compute(text: UTF8String, n: Int, dedup: Boolean): GenericArrayData = {
     // UTF8String.trim() strips 0x20 only — same as Spark's trim(col);
     // Pattern.split(s, -1) keeps leading/trailing empties — same as
     // Spark's split(str, "\\s+") with its default limit of -1
     val s = text.trim().toString
     val toks = splitter.split(s, -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seenShingle = new java.util.HashSet[String]()
-    // LinkedHashSet on the hex digest = the HOF .distinct() key, kept in
-    // first-occurrence order; the shingle set above just saves the MD5
-    // work for repeats (distinct shingle ⇒ distinct digest modulo md5
-    // collision, which the digest set absorbs either way)
-    val out = new java.util.LinkedHashSet[UTF8String]()
+    val seenShingle = if (dedup) new java.util.HashSet[String]() else null
+    // dedup mode: LinkedHashSet on the hex digest = the HOF .distinct()
+    // key, kept in first-occurrence order; the shingle set above just
+    // saves the MD5 work for repeats (distinct shingle ⇒ distinct digest
+    // modulo md5 collision, which the digest set absorbs either way).
+    // positional mode: plain per-window append, element i = window at i.
+    val outSet = if (dedup) new java.util.LinkedHashSet[UTF8String]() else null
+    val outArr = if (dedup) null else new Array[Any](toks.length - n + 1)
     val md = Md5Hash.local()
     val sb = new java.lang.StringBuilder()
     var i = 0
@@ -714,7 +778,7 @@ object SpanHashes {
       var k = 0
       while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
       val shingle = sb.toString
-      if (seenShingle.add(shingle)) {
+      if (!dedup || seenShingle.add(shingle)) {
         md.reset()
         md.update(shingle.getBytes(StandardCharsets.UTF_8))
         val d = md.digest()
@@ -724,14 +788,97 @@ object SpanHashes {
           cs(2 * j) = HEX((d(j) >> 4) & 0xf); cs(2 * j + 1) = HEX(d(j) & 0xf)
           j += 1
         }
-        out.add(UTF8String.fromString(new String(cs)))
+        val hex = UTF8String.fromString(new String(cs))
+        if (dedup) outSet.add(hex) else outArr(i) = hex
       }
       i += 1
     }
-    val arr = new Array[Any](out.size)
-    val it = out.iterator()
+    if (!dedup) return new GenericArrayData(outArr)
+    val arr = new Array[Any](outSet.size)
+    val it = outSet.iterator()
     var j = 0
     while (it.hasNext) { arr(j) = it.next(); j += 1 }
     new GenericArrayData(arr)
+  }
+}
+
+/**
+ * Row-local span cutter behind [[Dedup.removeDuplicatedSpans]]:
+ * `remove_spans(text, starts, n)` tokenizes `text` exactly like
+ * [[SpanHashes]] (trim-0x20 + `\s+` split, so a position produced by the
+ * positional hash pass addresses the same token here), marks every token
+ * in `[p, p+n)` for each 0-based window start `p` in `starts` (overlaps
+ * merge naturally in the boolean coverage array), and rejoins the
+ * surviving tokens with single spaces. Empty `starts` returns the input
+ * byte-identical; cutting every token returns `""`. Out-of-range starts
+ * are clamped (a doc edited between passes cannot crash the rewrite).
+ *
+ * Codegen'd projection — the rewrite pass streams through the corpus
+ * inside whole-stage codegen with one boolean array + one StringBuilder
+ * per row, no shuffle of its own.
+ */
+case class RemoveSpans(left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  require(n >= 2, "span width must be >= 2 tokens")
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "remove_spans"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"remove_spans requires (string, array<int>), got ($l, $r)")
+  }
+
+  override def nullSafeEval(text: Any, starts: Any): Any =
+    RemoveSpans.compute(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      starts.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) => s"graft.operators.RemoveSpans.compute($t, $s, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): RemoveSpans =
+    copy(left = newLeft, right = newRight)
+}
+
+object RemoveSpans {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val splitter = java.util.regex.Pattern.compile("\\s+")
+
+  /** Static so generated code and interpreted eval share one body. */
+  def compute(text: UTF8String, starts: ArrayData, n: Int): UTF8String = {
+    val m = starts.numElements()
+    if (m == 0) return text
+    val s = text.trim().toString
+    val toks = splitter.split(s, -1)
+    val cut = new Array[Boolean](toks.length)
+    var i = 0
+    while (i < m) {
+      var j = math.max(starts.getInt(i), 0)
+      val end = math.min(j.toLong + n, toks.length.toLong).toInt
+      while (j < end) { cut(j) = true; j += 1 }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder()
+    var first = true
+    var k = 0
+    while (k < toks.length) {
+      if (!cut(k)) {
+        if (!first) sb.append(' ')
+        sb.append(toks(k))
+        first = false
+      }
+      k += 1
+    }
+    UTF8String.fromString(sb.toString)
   }
 }

@@ -127,6 +127,59 @@ class DedupScaleSpec extends SparkSpec {
       s"only-expr=${(expr -- hof).take(3)} only-hof=${(hof -- expr).take(3)}")
   }
 
+  test("removeDuplicatedSpans: overlap merge, doc boundaries, identity, full cut") {
+    import spark.implicits._
+    val corpus = Seq(
+      // A/B share the 4-token span s1..s4: at doc START in A, doc END in B
+      (1L, "s1 s2 s3 s4 a1 a2 a3 a4 a5"),
+      (2L, "b1 b2 s1 s2 s3 s4"),
+      // C/D share the 5-token run s5..s9 ⇒ TWO overlapping dup windows in
+      // C (starts 1 and 2) that must merge into one cut of tokens 1..5
+      (3L, "x s5 s6 s7 s8 s9 y z w v"),
+      (4L, "s5 s6 s7 s8 s9"),
+      // E untouched: must come back BYTE-identical, odd whitespace and all
+      (5L, "  hello\tworld  untouched unique tokens"),
+      // F/G identical single-window docs ⇒ fully cut to ""
+      (6L, "f1 f2 f3 f4"), (7L, "f1 f2 f3 f4"),
+      // H repeats a span only WITHIN itself ⇒ df counts distinct docs ⇒
+      // n_docs = 1 ⇒ untouched
+      (8L, "h1 h2 h3 h4 z h1 h2 h3 h4")
+    ).toDF("doc_id", "text")
+    val sdf = Dedup.spanDf(corpus, "doc_id", "text", 4)
+    val got = Dedup.removeDuplicatedSpans(corpus, sdf, "doc_id", "text", 4)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "a1 a2 a3 a4 a5", got(1L))
+    assert(got(2L) == "b1 b2", got(2L))
+    assert(got(3L) == "x y z w v", got(3L))
+    assert(got(4L) == "", got(4L))
+    assert(got(5L) == "  hello\tworld  untouched unique tokens", got(5L))
+    assert(got(6L) == "" && got(7L) == "")
+    assert(got(8L) == "h1 h2 h3 h4 z h1 h2 h3 h4", got(8L))
+  }
+
+  test("removeDuplicatedSpans leaves zero duplicated spans behind (fixpoint-free rewrite)") {
+    import spark.implicits._
+    // the rewrite cuts every occurrence of every duplicated window, so a
+    // re-run of the detector over the REWRITTEN corpus may only flag
+    // spans that became adjacent after cutting — on real docs assert the
+    // much stronger practical property: rewritten dup mass is gone
+    val corpus = docs.select($"doc_id", $"text")
+    val sdf = Dedup.spanDf(corpus, "doc_id", "text", 8)
+    val rewritten = Dedup.removeDuplicatedSpans(corpus, sdf, "doc_id", "text", 8)
+    // every ORIGINAL duplicated span hash is absent from the rewritten corpus
+    val leftover = Dedup.spanHashRows(rewritten, "doc_id", "text", 8)
+      .join(sdf.where($"n_docs" >= 2).select($"span_hash"), Seq("span_hash"))
+      .count()
+    assert(leftover == 0L, s"$leftover duplicated spans survived the rewrite")
+    // and docs without any dup span are byte-identical
+    val dupIds = Dedup.duplicatedSpanStats(corpus, "doc_id", "text", 8)
+      .select($"doc_id")
+    val changed = corpus.join(dupIds, Seq("doc_id"), "left_anti")
+      .join(rewritten.select($"doc_id", $"text".as("new_text")), Seq("doc_id"))
+      .where($"text" =!= $"new_text").count()
+    assert(changed == 0L, s"$changed untouched docs were altered")
+  }
+
   test("incremental span-df: a span unique in history is promoted by a fresh repeat") {
     import spark.implicits._
     val history = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
