@@ -1814,21 +1814,9 @@ object Queries {
   // every stage (q45's gate/dedup CTEs, q63's ratebook, q64's packing
   // windows) and fingerprints the kept set via sum(doc_id); last_pos ==
   // n_docs doubles as a density check on the shard layout.
-  private val q65 = QueryDef("q65_corpus_export",
-    (s, d) => {
-      import s.implicits._
-      val rates = Seq(("en", 200), ("de", 500), ("fr", 700), ("es", 900),
-        ("zh", 350)).toDF("lang", "kpm")
-      TrainingExport.corpusToPacks(rd(s, d, "documents"), rates,
-          minQuality = 60, budget = 512L, nShards = 8)
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("pack")).as("n_packs"),
-          sum(col("toks")).as("sum_toks"),
-          sum(col("doc_id")).as("id_sum"),
-          max(col("pos")).as("last_pos"))
-    },
-    Some(s"""WITH f AS (SELECT doc_id, source, text,
+  // q65/q68's shared gate chain (quality + langId gates, then exact
+  // dedup = first doc per fingerprint) ending in `kept`
+  private val exportGateCtes = s"""f AS (SELECT doc_id, source, text,
         len(regexp_extract_all(text, '\\S+')) AS toks,
         length(regexp_replace(text, '\\s', '', 'g')) AS chars,
         len(regexp_extract_all(text, '\\b(the|a|and|of|is|to|in)\\b')) AS stop,
@@ -1853,7 +1841,23 @@ object Queries {
       gated AS (SELECT *, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
         FROM g WHERE q >= 60 AND pred <> 'und'),
       keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp),
-      kept AS (SELECT gated.* FROM gated JOIN keep USING (fp, doc_id)),
+      kept AS (SELECT gated.* FROM gated JOIN keep USING (fp, doc_id))"""
+
+  private val q65 = QueryDef("q65_corpus_export",
+    (s, d) => {
+      import s.implicits._
+      val rates = Seq(("en", 200), ("de", 500), ("fr", 700), ("es", 900),
+        ("zh", 350)).toDF("lang", "kpm")
+      TrainingExport.corpusToPacks(rd(s, d, "documents"), rates,
+          minQuality = 60, budget = 512L, nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("pack")).as("n_packs"),
+          sum(col("toks")).as("sum_toks"),
+          sum(col("doc_id")).as("id_sum"),
+          max(col("pos")).as("last_pos"))
+    },
+    Some(s"""WITH $exportGateCtes,
       h AS (SELECT doc_id, toks, pred,
         list_sum(list_transform(generate_series(1, 12),
           j -> cast(strpos('0123456789abcdef',
@@ -1954,10 +1958,70 @@ object Queries {
       LEFT JOIN cd ON t.doc_id = cd.doc_id
       LEFT JOIN agg ON t.doc_id = agg.doc_id"""))
 
+  // cluster-resolved dedup export: q57's transitive clusters composed
+  // into the q65 export chain — exactly ONE gated member of every
+  // near-dup cluster survives into the packed layout (n_exported is
+  // hash-checked to be 1 for every cluster with a gated member, and the
+  // survivor is the min-id GATED member, so a cluster whose graph-min
+  // failed the quality gate still exports). Ratebook all-1000 keeps the
+  // focus on the dedup stage (the rebalance filter passes everything, so
+  // the oracle can skip the r/b CTEs of q65).
+  private val q68 = QueryDef("q68_dedup_export",
+    (s, d) => {
+      import s.implicits._
+      val docs = rd(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 8, minJaccQ = 500, maxDf = 50)
+      val labels = Components.connectedComponents(pairs, "id_a", "id_b")
+      val rates = Seq(("en", 1000), ("de", 1000), ("fr", 1000), ("es", 1000),
+        ("zh", 1000)).toDF("lang", "kpm")
+      TrainingExport.corpusToPacks(docs, rates, minQuality = 60,
+          budget = 512L, nShards = 8, nearDupLabels = Some(labels))
+        .join(labels.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_exported"),
+          min(col("doc_id")).as("kept_doc"),
+          min(col("shard")).as("shard"),
+          min(col("pos")).as("pos"),
+          min(col("toks")).cast(LongType).as("toks"))
+    },
+    Some(s"""WITH RECURSIVE $lshPairsCtes,
+      e AS (SELECT doc_a AS a, doc_b AS b FROM lshpairs
+        UNION SELECT doc_b AS a, doc_a AS b FROM lshpairs),
+      reach(id, lab) AS (
+        SELECT DISTINCT a AS id, a AS lab FROM e
+        UNION
+        SELECT r.id, e.b AS lab FROM reach r JOIN e ON e.a = r.lab),
+      lab2 AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+      $exportGateCtes,
+      ck AS (SELECT lab2.cluster_id, min(kept.doc_id) AS keeper
+        FROM kept JOIN lab2 ON kept.doc_id = lab2.id
+        GROUP BY lab2.cluster_id),
+      surv AS (SELECT kept.doc_id, kept.toks
+        FROM kept LEFT JOIN lab2 ON kept.doc_id = lab2.id
+        WHERE lab2.id IS NULL OR kept.doc_id IN (SELECT keeper FROM ck)),
+      h AS (SELECT doc_id, toks,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) AS hu
+        FROM surv),
+      s AS (SELECT doc_id, toks, cast(hu % 8 AS BIGINT) AS shard,
+        row_number() OVER (PARTITION BY hu % 8 ORDER BY hu ASC, doc_id ASC) AS pos
+      FROM h)
+      SELECT lab2.cluster_id, count(*) AS n_exported,
+        min(s.doc_id) AS kept_doc, min(s.shard) AS shard,
+        cast(min(s.pos) AS BIGINT) AS pos,
+        cast(min(s.toks) AS BIGINT) AS toks
+      FROM s JOIN lab2 ON s.doc_id = lab2.id
+      GROUP BY lab2.cluster_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
 }

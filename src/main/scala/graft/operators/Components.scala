@@ -139,4 +139,35 @@ object Components {
     connectedComponents(star.unionByName(newPairs.select(col(idA), col(idB))),
       idA, idB, checkpointDir, maxIters)
   }
+
+  /**
+   * One keeper per cluster — the selection step between a labeling and a
+   * corpus rewrite. Default: the min id (== `cluster_id` itself for
+   * labelings this object produces, but computed, so labels from any
+   * source work). With `scores` (an `(id, score)` table, higher = keep):
+   * the highest-scoring member, ties broken by min id — fully
+   * deterministic either way, so incremental label maintenance
+   * ([[ccIncrement]]) followed by keeper selection equals batch
+   * (spec-asserted).
+   *
+   * Returns `(cluster_id, keeper)`. Scale: labels are pair-graph-sized
+   * (a sliver of the corpus); min-id keepers are one partial-aggregated
+   * groupBy, score-ranked keepers one shuffle on cluster_id + an
+   * in-partition top-1.
+   */
+  def keeperPerCluster(labels: DataFrame,
+      scores: Option[DataFrame] = None): DataFrame = scores match {
+    case None =>
+      labels.groupBy($"cluster_id").agg(min($"id").as("keeper"))
+    case Some(sc) =>
+      val scored = labels.join(
+        sc.select($"id", $"score"), Seq("id"))
+      scored
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"cluster_id")
+            .orderBy($"score".desc, $"id".asc)))
+        .where($"__rn" === 1)
+        .select($"cluster_id", $"id".as("keeper"))
+  }
 }

@@ -42,7 +42,23 @@ object TrainingExport {
    * pack, pack_off)`.
    */
   def corpusToPacks(docs: DataFrame, rates: DataFrame, minQuality: Int,
-      budget: Long, nShards: Int): DataFrame = {
+      budget: Long, nShards: Int): DataFrame =
+    corpusToPacks(docs, rates, minQuality, budget, nShards, None)
+
+  /**
+   * As above, with an optional TRANSITIVE near-dup dedup stage: given a
+   * `(id, cluster_id)` labeling of the candidate-pair graph (from
+   * [[Components.connectedComponents]] / [[Components.ccIncrement]] over
+   * any [[Dedup]] pair finder), exactly one gated member of each cluster
+   * survives into the export — the min-id GATED member, so a cluster
+   * whose graph-min doc failed the quality gate still exports its best-id
+   * surviving member rather than vanishing. Unclustered docs (the vast
+   * majority — the pair graph is a sliver of the corpus) pass through on
+   * an anti-join; only clustered docs pay the keeper row_number, so there
+   * is no giant NULL-cluster partition to skew on.
+   */
+  def corpusToPacks(docs: DataFrame, rates: DataFrame, minQuality: Int,
+      budget: Long, nShards: Int, nearDupLabels: Option[DataFrame]): DataFrame = {
     val gated = docs
       .select(col("doc_id"), col("source"),
         TextAnalysis.qualityScore(col("text")).as("q"),
@@ -52,11 +68,24 @@ object TrainingExport {
       .where(col("q") >= minQuality && col("lang_pred") =!= "und")
     // first-doc-per-fingerprint via row_number: the gate chain is
     // evaluated once, one shuffle on fp (the q45 lesson)
-    val keepers = gated
+    val exactKept = gated
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .where(col("rn") === 1)
       .drop("rn", "fp")
+    val keepers = nearDupLabels match {
+      case None => exactKept
+      case Some(labels) =>
+        val lbl = labels.select(col("id").as("doc_id"), col("cluster_id"))
+        val clustered = exactKept.join(lbl, Seq("doc_id"))
+        val clusterKeepers = clustered
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))))
+          .where(col("rn") === 1)
+          .drop("rn", "cluster_id")
+        exactKept.join(lbl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(clusterKeepers)
+    }
     val balanced =
       Sampling.bernoulliByStratum(keepers, "doc_id", "lang_pred", rates)
     Sampling.packByTokenBudget(balanced, "doc_id", "toks", budget, nShards)

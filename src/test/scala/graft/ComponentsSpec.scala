@@ -99,6 +99,67 @@ class ComponentsSpec extends SparkSpec {
     assert(batch.nonEmpty && batch == chunked)
   }
 
+  test("keeperPerCluster: min-id default; incremental labels give the same keepers as batch") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 8, minJaccQ = 500, maxDf = 50)
+      .select($"id_a", $"id_b").localCheckpoint()
+    val batchKeepers = Components.keeperPerCluster(
+        Components.connectedComponents(pairs))
+      .as[(Long, Long)].collect().sorted.toSeq
+    // min-id keeper of a connectedComponents labeling IS the cluster id
+    assert(batchKeepers.nonEmpty && batchKeepers.forall { case (c, k) => c == k })
+    // same keepers when the labels were maintained incrementally
+    val c1 = pairs.where(($"id_a" + $"id_b") % 2 === 0)
+    val c2 = pairs.where(($"id_a" + $"id_b") % 2 === 1)
+    val incKeepers = Components.keeperPerCluster(
+        Components.ccIncrement(Components.connectedComponents(c1), c2))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(incKeepers == batchKeepers)
+  }
+
+  test("keeperPerCluster: score-ranked keeper, deterministic tie-break by min id") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "cluster_id")
+    val scores = Seq((1L, 10L), (2L, 90L), (3L, 90L), (7L, 5L), (9L, 5L))
+      .toDF("id", "score")
+    val got = Components.keeperPerCluster(labels, Some(scores))
+      .as[(Long, Long)].collect().toMap
+    // cluster 1: 2 and 3 tie at 90 -> min id 2; cluster 7: tie at 5 -> 7
+    assert(got == Map(1L -> 2L, 7L -> 7L), got.toString)
+  }
+
+  test("corpusToPacks transitive dedup: one gated member per cluster, gated-min survives") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 8, minJaccQ = 500, maxDf = 50)
+    val labels = Components.connectedComponents(pairs, "id_a", "id_b")
+      .localCheckpoint()
+    val rates = Seq(("en", 1000), ("de", 1000), ("fr", 1000), ("es", 1000),
+      ("zh", 1000)).toDF("lang", "kpm")
+    val exported = graft.operators.TrainingExport.corpusToPacks(
+      docs, rates, minQuality = 60, budget = 512L, nShards = 8,
+      nearDupLabels = Some(labels))
+    val lbl = labels.select($"id".as("doc_id"), $"cluster_id")
+    // every cluster with >=1 exported member exports EXACTLY one
+    val perCluster = exported.join(lbl, Seq("doc_id"))
+      .groupBy($"cluster_id").agg(count(lit(1)).as("n"))
+    assert(perCluster.where($"n" =!= 1).isEmpty)
+    // and that one is the min-id member among the docs the gates kept:
+    // recompute the no-dedup export (same gates) and compare per-cluster
+    val gatedOnly = graft.operators.TrainingExport.corpusToPacks(
+      docs, rates, minQuality = 60, budget = 512L, nShards = 8)
+    val expectedKeeper = gatedOnly.join(lbl, Seq("doc_id"))
+      .groupBy($"cluster_id").agg(min($"doc_id").as("doc_id"))
+    val gotKeeper = exported.join(lbl, Seq("doc_id"))
+      .select($"cluster_id", $"doc_id")
+    assert(gotKeeper.exceptAll(expectedKeeper.select($"cluster_id", $"doc_id")).isEmpty &&
+      expectedKeeper.select($"cluster_id", $"doc_id").exceptAll(gotKeeper).isEmpty)
+  }
+
   test("shardAssign: positions dense per shard, assignment is a pure id function") {
     import spark.implicits._
     val ids = (0L until 500L).toDF("doc_id")
