@@ -2018,10 +2018,54 @@ object Queries {
       FROM s JOIN lab2 ON s.doc_id = lab2.id
       GROUP BY lab2.cluster_id"""))
 
+  // packed-sequence MATERIALIZATION: the actual budget-token training
+  // sequences cut from the q64 layout, straddling docs split token-exactly
+  // across pack boundaries. The oracle replays the layout and rebuilds
+  // every sequence's text (ordered string_agg of per-pack slices) — the
+  // md5 check means every token landed in the right pack in the right
+  // order; seq_toks == 512 for all but the final pack per shard.
+  private val q69 = QueryDef("q69_packed_sequences",
+    (s, d) => {
+      val docs = rd(s, d, "documents").select(col("doc_id"), col("text"))
+      TrainingExport.packedSequences(docs, "doc_id", "text",
+          budget = 512L, nShards = 8)
+        .select(col("shard"), col("pack"), col("seq_toks"),
+          md5(col("seq_text").cast(BinaryType)).as("seq_md5"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        regexp_extract_all(text, '\S+') AS ts FROM documents),
+      h AS (SELECT doc_id, ts, len(ts) AS toks,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) AS hu
+        FROM t),
+      s AS (SELECT doc_id, ts, toks, cast(hu % 8 AS BIGINT) AS shard,
+        row_number() OVER (PARTITION BY hu % 8 ORDER BY hu ASC, doc_id ASC) AS pos
+      FROM h),
+      c AS (SELECT shard, ts, toks, pos,
+        coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY pos ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM s),
+      p AS (SELECT shard, pos, ts, toks,
+          cast(cb // 512 AS BIGINT) AS pack0, cast(cb % 512 AS BIGINT) AS off
+        FROM c WHERE toks > 0),
+      x AS (SELECT shard, pos, pack0 + u.rel AS pack,
+          greatest(0, u.rel * 512 - off) AS lo,
+          least(toks, (u.rel + 1) * 512 - off) AS hi, ts
+        FROM p, unnest(generate_series(0,
+          cast((off + toks - 1) // 512 AS BIGINT))) AS u(rel))
+      SELECT shard, pack,
+        cast(sum(hi - lo) AS BIGINT) AS seq_toks,
+        md5(string_agg(array_to_string(ts[lo+1:hi], ' '), ' ' ORDER BY pos))
+          AS seq_md5
+      FROM x GROUP BY shard, pack"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
+    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
 }

@@ -90,4 +90,73 @@ object TrainingExport {
       Sampling.bernoulliByStratum(keepers, "doc_id", "lang_pred", rates)
     Sampling.packByTokenBudget(balanced, "doc_id", "toks", budget, nShards)
   }
+
+  /**
+   * Materialize the ACTUAL training sequences from the
+   * [[Sampling.packByTokenBudget]] layout — the step that turns the
+   * (shard, pos, pack, pack_off) bookkeeping into `budget`-token rows a
+   * loader memory-maps. Documents are laid out in deterministic (shard,
+   * pos) order and the token stream is cut every `budget` tokens; a doc
+   * straddling one or more pack boundaries is SPLIT token-exactly (its
+   * head finishes pack p, its middle fills packs p+1.., its tail opens
+   * the last one — no padding, GPT-style). Returns one row per (shard,
+   * pack): `(shard, pack, seq_toks, seq_text)` with `seq_toks == budget`
+   * for every pack except the final one of each shard, and `seq_text` =
+   * the pack's tokens joined by single spaces (doc boundaries are also
+   * single spaces; insert EOS markers upstream as ordinary tokens if the
+   * tokenizer needs them).
+   *
+   * Tokenization is `regexp_extract_all(text, '\\S+')` — exactly the
+   * token definition [[TextAnalysis.tokenCount]] counts, so the layout's
+   * arithmetic and the materialized slices can never disagree.
+   *
+   * Physical shape at 100 TB: the layout is q64's (one hash exchange on
+   * `shard` + in-partition sort); splitting is a row-local explode whose
+   * fan-out is `1 + straddled boundaries` (≈ 1 + toks/budget, bounded);
+   * sequence assembly is ONE groupBy on (shard, pack) whose input rows
+   * already live in the right partitions when `nShards` aligns with the
+   * shuffle partitioning. Nothing is ever keyed by the sequence text.
+   */
+  def packedSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val base = docs.select(col(idCol),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks_arr"))
+      .withColumn("__toks", size(col("__toks_arr")).cast("long"))
+    val layout = Sampling.packByTokenBudget(base, idCol, "__toks", budget, nShards)
+    val pieces = layout
+      .where(col("__toks") > 0) // zero-token docs hold their layout slot but emit nothing
+      .withColumn("__rel", explode(sequence(lit(0L),
+        expr(s"(pack_off + __toks - 1) div $budget"))))
+      .select(col("shard"), (col("pack") + col("__rel")).as("pack"), col("pos"),
+        greatest(lit(0L), col("__rel") * budget - col("pack_off")).as("__lo"),
+        least(col("__toks"), (col("__rel") + 1) * budget - col("pack_off")).as("__hi"),
+        col("__toks_arr"))
+      .select(col("shard"), col("pack"), col("pos"),
+        (col("__hi") - col("__lo")).as("piece_toks"),
+        array_join(slice(col("__toks_arr"), (col("__lo") + 1).cast("int"),
+          (col("__hi") - col("__lo")).cast("int")), " ").as("piece"))
+    pieces
+      .groupBy(col("shard"), col("pack"))
+      .agg(sum(col("piece_toks")).as("seq_toks"),
+        sort_array(collect_list(struct(col("pos"), col("piece")))).as("__ps"))
+      .select(col("shard"), col("pack"), col("seq_toks"),
+        array_join(transform(col("__ps"), x => x.getField("piece")), " ")
+          .as("seq_text"))
+  }
+
+  /**
+   * Write materialized sequences as a loader-friendly `shard=NN/` layout:
+   * one directory per shard (Hive partitioning — shard pruning is free on
+   * read), rows sorted by `pack` within each shard's files so a loader
+   * resuming at (shard, pack) seeks, not scans. One file per shard at
+   * this writer's parallelism; the streaming path writes through
+   * [[graft.streaming.ExactlyOnceSink]] with `bucket_col = shard`
+   * instead (epochs + manifest), this is the one-shot batch form.
+   */
+  def writePackedSequences(seqs: DataFrame, dir: String): Unit =
+    seqs.repartition(col("shard"))
+      .sortWithinPartitions(col("pack"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(dir)
 }

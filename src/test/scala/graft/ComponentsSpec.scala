@@ -220,6 +220,80 @@ class ComponentsSpec extends SparkSpec {
     assert(p.exceptAll(p2).isEmpty && p2.exceptAll(p).isEmpty)
   }
 
+  test("packedSequences: budget-exact packs, token-exact straddle splits, text round-trip") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select($"doc_id", $"text")
+    val seqs = graft.operators.TrainingExport.packedSequences(
+      docs, "doc_id", "text", budget = 512L, nShards = 8).cache()
+    // every pack except the LAST of its shard holds exactly 512 tokens
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"shard")
+    val bad = seqs.withColumn("last", max($"pack").over(w))
+      .where($"pack" =!= $"last" && $"seq_toks" =!= 512L)
+    assert(bad.isEmpty, bad.collect().take(3).mkString(";"))
+    // seq_toks is honest: re-counting the materialized text agrees
+    val lying = seqs.where(
+      graft.operators.TextAnalysis.tokenCount($"seq_text") =!= $"seq_toks")
+    assert(lying.isEmpty)
+    // packs are dense from 0 per shard
+    val dense = seqs.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), min($"pack").as("mn"), max($"pack").as("mx"))
+      .where($"mn" =!= 0 || $"mx" =!= $"n" - 1)
+    assert(dense.isEmpty)
+    // token conservation: nothing lost or duplicated by the splitting
+    val totalIn = docs.select(
+      sum(graft.operators.TextAnalysis.tokenCount($"text"))).as[Long].head()
+    val totalOut = seqs.select(sum($"seq_toks")).as[Long].head()
+    assert(totalIn == totalOut, s"$totalIn != $totalOut")
+    seqs.unpersist()
+  }
+
+  test("packedSequences: a doc longer than the budget spans several packs intact") {
+    import spark.implicits._
+    // one giant doc (1300 tokens) + a few small ones: the giant must be
+    // split across >= 3 packs and concatenating its shard's sequences
+    // must reproduce the token stream exactly
+    val giant = (0 until 1300).map(i => s"g$i").mkString(" ")
+    val docs = (Seq((100L, giant)) ++ (0L until 6L).map(i =>
+      (i, (0 until 40).map(j => s"d${i}_$j").mkString(" ")))).toDF("doc_id", "text")
+    val seqs = graft.operators.TrainingExport.packedSequences(
+      docs, "doc_id", "text", budget = 256L, nShards = 2)
+    val perShard = seqs.orderBy($"shard", $"pack")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._4).mkString(" ")).toMap
+    // rebuild the expected stream per shard from the layout
+    val layout = graft.operators.Sampling.packByTokenBudget(
+      docs.withColumn("toks",
+        graft.operators.TextAnalysis.tokenCount($"text").cast("long")),
+      "doc_id", "toks", 256L, 2)
+      .orderBy($"shard", $"pos").select($"shard", $"text")
+      .as[(Long, String)].collect()
+    val expected = layout.groupBy(_._1).view
+      .mapValues(_.map(_._2.trim.split("\\s+").mkString(" ")).mkString(" ")).toMap
+    assert(perShard == expected)
+    // the giant doc straddles: it alone fills >= 4 packs somewhere
+    assert(seqs.count() >= 6)
+  }
+
+  test("writePackedSequences: shard=NN hive layout, pruned read, pack-sorted files") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select($"doc_id", $"text")
+    val seqs = graft.operators.TrainingExport.packedSequences(
+      docs, "doc_id", "text", budget = 512L, nShards = 4)
+    val dir = java.nio.file.Files.createTempDirectory("packs").toString
+    graft.operators.TrainingExport.writePackedSequences(seqs, dir)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shards.length == 4, shards.mkString(","))
+    // partition-pruned read returns exactly that shard, pack-readable
+    val one = spark.read.parquet(dir).where($"shard" === 2)
+    val expect = seqs.where($"shard" === 2)
+    assert(one.select($"pack", $"seq_toks", $"seq_text")
+      .exceptAll(expect.select($"pack", $"seq_toks", $"seq_text")).isEmpty)
+    assert(expect.count() == one.count() && one.count() > 0)
+  }
+
   test("corpusToPacks: gates drop junk, dedup keeps min id, layout invariant") {
     import spark.implicits._
     val body = "the cat and the dog is happy to be in the warm house with food " * 4
