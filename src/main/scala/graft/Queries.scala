@@ -1562,14 +1562,17 @@ object Queries {
   private val q59 = QueryDef("q59_phrase_search",
     (s, d) => {
       val docs = rd(s, d, "documents")
-      val positions = TextSearch.positionsIncrement(
+      // COMPACT layout (one row per (doc, term), sorted position array —
+      // see TextSearch.positionsCompactIncrement), built in two chunks to
+      // exercise the incremental path; same oracle as the row layout
+      val positions = TextSearch.positionsCompactIncrement(
           docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
-        .unionByName(TextSearch.positionsIncrement(
+        .unionByName(TextSearch.positionsCompactIncrement(
           docs.where(col("doc_id") % 2 === 1), "doc_id", "text"))
       val reqs = docs.where(col("doc_id") < 5)
         .select(col("doc_id"),
           concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 3)).as("phrase"))
-      TextSearch.phraseMatches(
+      TextSearch.phraseMatchesCompact(
           TextSearch.phraseQueryTerms(reqs, "doc_id", "phrase"), positions)
         .select(col("request_id"), col("doc_id"), col("n_occ"), col("first_pos"))
     },

@@ -135,6 +135,27 @@ object TextSearch {
       .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("term"))
 
   /**
+   * COMPACT positional postings: one row per (doc, term) with the sorted
+   * 1-based position ARRAY — the standard positional-index compression
+   * (one entry per distinct term instead of one per token, ~dl /
+   * distinct-terms smaller; on web text typically 2–4×, and the hot
+   * stopword rows collapse hardest). This is the layout to persist and
+   * bucket by `term` at 100 TB: what shuffles into the index build and
+   * what the phrase probe scans both shrink by the same factor.
+   *
+   * Still per-doc row-local in effect (the groupBy key includes doc_id,
+   * so partial aggregation completes map-side for docs that don't span
+   * input splits): chunked builds over disjoint doc sets equal the
+   * single-batch build exactly — spec-asserted, as is
+   * `phraseMatchesCompact` ≡ [[phraseMatches]] over the row layout.
+   */
+  def positionsCompactIncrement(chunk: DataFrame, docId: String,
+      textCol: String): DataFrame =
+    positionsIncrement(chunk, docId, textCol)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /**
    * Phrase-request decomposition: `(request_id, offset, term, plen)` —
    * one row per token of the phrase with its 0-based in-phrase offset and
    * the phrase length denormalized on. Row-local, tiny, broadcast by
@@ -160,9 +181,28 @@ object TextSearch {
    * `(request_id, doc_id, n_occ, first_pos)` for docs with ≥1 occurrence.
    */
   def phraseMatches(phraseTerms: DataFrame, positions: DataFrame): DataFrame =
-    positions.join(broadcast(phraseTerms), Seq("term"))
+    voteAndCount(positions.join(broadcast(phraseTerms), Seq("term"))
       .select(col("request_id"), col("doc_id"), (col("pos") - col("offset")).as("start"),
-        col("offset"), col("plen"))
+        col("offset"), col("plen")))
+
+  /**
+   * [[phraseMatches]] served off the COMPACT layout
+   * ([[positionsCompactIncrement]]): the broadcast equi-join on `term`
+   * FILTERS to the phrase's terms first, and only those survivors'
+   * position arrays are exploded back into votes — the token-level
+   * explode happens on a sliver (candidate terms only), never on the
+   * index scan. Same output as the row layout by construction.
+   */
+  def phraseMatchesCompact(phraseTerms: DataFrame, positions: DataFrame): DataFrame =
+    voteAndCount(positions.join(broadcast(phraseTerms), Seq("term"))
+      .select(col("request_id"), col("doc_id"),
+        explode(col("positions")).as("pos"), col("offset"), col("plen"))
+      .select(col("request_id"), col("doc_id"), (col("pos") - col("offset")).as("start"),
+        col("offset"), col("plen")))
+
+  /** Shared vote tail: starts where ALL plen offsets voted → occurrences. */
+  private def voteAndCount(votes: DataFrame): DataFrame =
+    votes
       .groupBy(col("request_id"), col("doc_id"), col("start"), col("plen"))
       .agg(countDistinct(col("offset")).as("hits"))
       .where(col("hits") === col("plen"))

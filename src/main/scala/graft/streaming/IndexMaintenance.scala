@@ -63,4 +63,36 @@ object IndexMaintenance {
     }
     todo
   }
+
+  /**
+   * The whole BM25 maintenance loop in one call — index catch-up AND the
+   * scoring-artifact refresh that [[graft.operators.TextSearch.bm25TopK]]
+   * depends on. Before this existed the stats refresh was the caller's
+   * job, which is exactly the kind of job that gets forgotten: a service
+   * that caught the postings up but kept serving last week's
+   * `(n, avgdl_q)` silently mis-scores every query (df and avgdl shift
+   * with the corpus). This ties the three artifacts to one call: after
+   * it returns, `dfT`/`stats` are consistent with the postings to the
+   * same epoch horizon.
+   *
+   * Returns `(epochs indexed by this call, dfT, stats)` — the latter two
+   * as plans over the index table for the caller to persist/broadcast
+   * (they are one aggregation pass over the compact postings rows, no
+   * raw text; both are associative sums, so a deployment that wants to
+   * avoid even that pass can maintain them as their own epoch-aligned
+   * sink tables with the same [[catchUp]] mechanics).
+   *
+   * When nothing new committed, the refresh plans are still returned —
+   * computing them is the caller's existing cost model, and skipping
+   * "no-op" refreshes is how stale stats shipped in the first place.
+   */
+  def bm25CatchUp(spark: SparkSession, corpus: ExactlyOnceSink,
+      index: ExactlyOnceSink, docId: String, textCol: String)
+      : (Seq[Long], DataFrame, DataFrame) = {
+    import graft.operators.TextSearch
+    val done = catchUp(spark, corpus, index)(
+      TextSearch.postingsIncrement(_, docId, textCol))
+    val postings = index.read(spark)
+    (done, TextSearch.termDf(postings), TextSearch.statsOf(postings))
+  }
 }

@@ -185,20 +185,26 @@ object RequestService {
 
   /**
    * Start the exact-phrase-search service off the persisted POSITIONAL
-   * index (`TextSearch.positionsIncrement` per corpus epoch — the second
-   * index flavor next to the tf postings). Each trigger decomposes the
-   * request batch's phrases (row-local, tiny, broadcast) and runs one
-   * positions equi-join on `term`; raw corpus text is never touched.
-   * Persist `positions`; it is re-used every trigger.
+   * index — either layout: the row form (`TextSearch.positionsIncrement`
+   * per corpus epoch, `(doc_id, pos, term)`) or the compact form
+   * (`TextSearch.positionsCompactIncrement`, `(doc_id, term, positions)`
+   * — the one to prefer at scale), dispatched on the table's schema.
+   * Each trigger decomposes the request batch's phrases (row-local,
+   * tiny, broadcast) and runs one positions equi-join on `term`; raw
+   * corpus text is never touched. Persist `positions`; it is re-used
+   * every trigger.
    */
   def startPhraseSearch(spark: SparkSession, requests: DataFrame,
       positions: DataFrame, reqId: String, reqPhrase: String,
       responseTable: String, checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val compact = positions.schema.fieldNames.contains("positions")
     startService(requests, responseTable, checkpoint, trigger) { batch =>
       val qt = graft.operators.TextSearch.phraseQueryTerms(batch, reqId, reqPhrase)
-      graft.operators.TextSearch.phraseMatches(qt, positions)
+      if (compact) graft.operators.TextSearch.phraseMatchesCompact(qt, positions)
+      else graft.operators.TextSearch.phraseMatches(qt, positions)
     }
+  }
 
   /**
    * Start the embedding-match service: per micro-batch of requests

@@ -80,4 +80,43 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(IndexMaintenance.catchUp(spark, corpus, index)(shingleInc) == Seq(hi + 1))
     assert(rows(index.read(spark).select("doc_id", "shingle")) == rows(shingleInc(docs)))
   }
+
+  test("bm25CatchUp: corpus appends refresh stats+df with the postings; serving ≡ full rebuild") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextSearch
+    val dir = Files.createTempDirectory("bm25mnt").toString
+    val corpus = new ExactlyOnceSink(s"$dir/corpus")
+    val index = new ExactlyOnceSink(s"$dir/index")
+    val reqs = docs.where(col("doc_id") < 5).select(col("doc_id"), col("text"))
+    val qt = TextSearch.queryTerms(reqs, "doc_id", "text", maxTerms = 6)
+      .localCheckpoint()
+
+    corpus.write(docs.where(col("doc_id") % 2 === 0), 0L)
+    val (e0, df0, st0) = IndexMaintenance.bm25CatchUp(
+      spark, corpus, index, "doc_id", "text")
+    assert(e0 == Seq(0L))
+    val served0 = rows(TextSearch.bm25TopK(qt, index.read(spark), df0, st0, k = 5))
+
+    // corpus APPENDS: one call must both index the new epoch and hand
+    // back stats/df consistent with the grown postings — serving off
+    // them equals a from-scratch single-batch build over the full corpus
+    corpus.write(docs.where(col("doc_id") % 2 === 1), 1L)
+    val (e1, df1, st1) = IndexMaintenance.bm25CatchUp(
+      spark, corpus, index, "doc_id", "text")
+    assert(e1 == Seq(1L))
+    val fullPostings = TextSearch.postingsIncrement(docs, "doc_id", "text")
+    val expect = rows(TextSearch.bm25TopK(qt, fullPostings,
+      TextSearch.termDf(fullPostings), TextSearch.statsOf(fullPostings), k = 5))
+    val served1 = rows(TextSearch.bm25TopK(qt, index.read(spark), df1, st1, k = 5))
+    assert(served1 == expect && served1.nonEmpty)
+    // and the stale artifacts would NOT have served this (the failure
+    // mode the composed loop closes): avgdl/df really did shift
+    assert(rows(st1.toDF()) != rows(st0.toDF()))
+    assert(served1 != served0)
+
+    // caught up: a re-run indexes nothing but still returns live plans
+    val (e2, _, st2) = IndexMaintenance.bm25CatchUp(
+      spark, corpus, index, "doc_id", "text")
+    assert(e2.isEmpty && rows(st2.toDF()) == rows(st1.toDF()))
+  }
 }

@@ -133,6 +133,35 @@ class TextSearchSpec extends SparkSpec {
     assert(batch.exceptAll(chunked).isEmpty && chunked.exceptAll(batch).isEmpty)
   }
 
+  test("compact positional index: smaller by construction, chunked ≡ batch, serving ≡ row layout") {
+    import spark.implicits._
+    val rowIdx = TextSearch.positionsIncrement(docs, "doc_id", "text")
+    val compact = TextSearch.positionsCompactIncrement(docs, "doc_id", "text")
+    // the size lever is real: ~distinct-terms rows instead of ~dl rows
+    val rowCnt = rowIdx.count(); val cCnt = compact.count()
+    assert(cCnt < rowCnt, s"compact $cCnt !< row $rowCnt")
+    // exact row-for-row: exploding the arrays back gives the row layout
+    val reExploded = compact.select($"doc_id", $"term",
+      explode($"positions").as("pos"))
+    assert(reExploded.exceptAll(rowIdx.select($"doc_id", $"term", $"pos")).isEmpty &&
+      rowIdx.select($"doc_id", $"term", $"pos").exceptAll(reExploded).isEmpty)
+    // chunked build equals single-batch
+    val chunked = TextSearch.positionsCompactIncrement(
+        docs.where($"doc_id" % 2 === 0), "doc_id", "text")
+      .unionByName(TextSearch.positionsCompactIncrement(
+        docs.where($"doc_id" % 2 === 1), "doc_id", "text"))
+    assert(compact.exceptAll(chunked).isEmpty && chunked.exceptAll(compact).isEmpty)
+    // and phrase serving off it equals the row layout
+    val reqs = docs.where($"doc_id" < 5)
+      .select($"doc_id".as("req_id"),
+        concat_ws(" ", slice(split(trim($"text"), "\\s+"), 1, 3)).as("phrase"))
+    val qt = TextSearch.phraseQueryTerms(reqs, "req_id", "phrase")
+    val viaCompact = TextSearch.phraseMatchesCompact(qt, compact)
+    val viaRows = TextSearch.phraseMatches(qt, rowIdx)
+    assert(viaCompact.exceptAll(viaRows).isEmpty &&
+      viaRows.exceptAll(viaCompact).isEmpty && viaRows.count() > 0)
+  }
+
   test("phrase search: exact adjacency, overlapping occurrences, repeated words") {
     import spark.implicits._
     val corpus = Seq(
