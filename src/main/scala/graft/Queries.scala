@@ -2065,10 +2065,157 @@ object Queries {
           AS seq_md5
       FROM x GROUP BY shard, pack"""))
 
+  // mixture planning: derive the ratebook that hits a target per-language
+  // mix (integer-exact: output size capped by the scarcest stratum), then
+  // CLOSE THE LOOP through bernoulliByStratum and report planned vs
+  // realized kept counts — the planned keep_docs/rate_pm and the realized
+  // kept set (fingerprinted by sum(doc_id)) all rebuilt digit-for-digit.
+  private val q70 = QueryDef("q70_mix_ratebook",
+    (s, d) => {
+      import s.implicits._
+      val targets = Seq(("en", 400), ("de", 250), ("fr", 200), ("es", 100),
+        ("zh", 50)).toDF("lang", "target_pm")
+      val docs = rd(s, d, "documents").select(col("doc_id"), col("lang"))
+      val rb = Sampling.ratebookForTargetMix(docs, "lang", targets)
+      val kept = Sampling.bernoulliByStratum(docs, "doc_id", "lang",
+          rb.select(col("lang"), col("rate_pm")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("id_sum"))
+      rb.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("target_pm"),
+          col("keep_docs"), col("rate_pm"),
+          coalesce(col("kept"), lit(0L)).as("kept"),
+          coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+        GROUP BY lang),
+      t AS (SELECT * FROM (VALUES ('en', 400), ('de', 250), ('fr', 200),
+        ('es', 100), ('zh', 50)) tt(lang, target_pm)),
+      j AS (SELECT c.lang, n_docs, cast(target_pm AS BIGINT) AS target_pm,
+          (1000 * n_docs) // target_pm AS cap
+        FROM c JOIN t USING (lang)),
+      m AS (SELECT min(cap) AS n_out FROM j),
+      r AS (SELECT lang, n_docs, target_pm,
+          (n_out * target_pm) // 1000 AS keep_docs,
+          (1000 * ((n_out * target_pm) // 1000)) // n_docs AS rate_pm
+        FROM j, m),
+      h AS (SELECT lang, doc_id,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) AS hu
+        FROM documents),
+      k AS (SELECT h.lang, count(*) AS kept, sum(doc_id) AS id_sum
+        FROM h JOIN r ON h.lang = r.lang
+        WHERE hu % 1000 < rate_pm GROUP BY h.lang)
+      SELECT r.lang AS lang, cast(n_docs AS BIGINT) AS n_docs, target_pm,
+        cast(keep_docs AS BIGINT) AS keep_docs,
+        cast(rate_pm AS BIGINT) AS rate_pm,
+        cast(coalesce(kept, 0) AS BIGINT) AS kept,
+        cast(coalesce(id_sum, 0) AS BIGINT) AS id_sum
+      FROM r LEFT JOIN k ON r.lang = k.lang"""))
+
+  // lexicon-based rare-token (OOV) gate: corpus term frequencies, then
+  // per-doc rare fraction (tf < 3, counted with multiplicity), rolled up
+  // per source — the doc side pre-reduced to (doc, term, cnt) before the
+  // lexicon equi-join (the 100 TB shape: vocabulary rows shuffle, tokens
+  // don't). Blank docs tokenize to [""] identically in both engines.
+  private val q71 = QueryDef("q71_rare_token_filter",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val lex = TextAnalysis.termFrequencies(docs, "text")
+      val stats = TextAnalysis.rareTokenStats(docs, "doc_id", "text", lex, 3L)
+      stats.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_toks")).as("n_toks"),
+          sum(col("rare_toks")).as("rare_toks"),
+          max(col("rare_q")).as("max_rare_q"))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+      lex AS (SELECT term, count(*) AS tf FROM w GROUP BY term),
+      pt AS (SELECT doc_id, term, count(*) AS cnt FROM w
+        GROUP BY doc_id, term),
+      st AS (SELECT doc_id, sum(cnt) AS n_toks,
+          coalesce(sum(CASE WHEN tf < 3 THEN cnt END), 0) AS rare_toks
+        FROM pt LEFT JOIN lex USING (term) GROUP BY doc_id)
+      SELECT source, count(*) AS docs,
+        cast(sum(n_toks) AS BIGINT) AS n_toks,
+        cast(sum(rare_toks) AS BIGINT) AS rare_toks,
+        cast(max((1000 * rare_toks) // n_toks) AS BIGINT) AS max_rare_q
+      FROM st JOIN documents USING (doc_id) GROUP BY source"""))
+
+  // per-epoch deterministic reshuffle: two different epochs' permutations
+  // of the same shard layout, each a pure function of (epoch, id) — the
+  // permutations are value-checked via the order-sensitive fingerprint
+  // sum(ord·doc_id) per shard (identical count, different fingerprints).
+  private val q72 = QueryDef("q72_epoch_shuffle",
+    (s, d) => {
+      val docs = rd(s, d, "documents").select(col("doc_id"))
+      val sa = Sampling.shardAssign(docs, "doc_id", 8).drop("pos")
+      val e7 = TrainingExport.epochOrder(sa, "shard", "doc_id", 7L)
+        .withColumnRenamed("ord", "ord7")
+      val e8 = TrainingExport.epochOrder(e7, "shard", "doc_id", 8L)
+        .withColumnRenamed("ord", "ord8")
+      e8.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ord7") * col("doc_id")).as("fp7"),
+          sum(col("ord8") * col("doc_id")).as("fp8"))
+    },
+    Some("""WITH h AS (SELECT doc_id,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) AS hu,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5('7:' || cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) AS e7,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5('8:' || cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) AS e8
+        FROM documents),
+      s AS (SELECT doc_id, cast(hu % 8 AS BIGINT) AS shard, e7, e8 FROM h),
+      x AS (SELECT shard, doc_id,
+          row_number() OVER (PARTITION BY shard ORDER BY e7 ASC, doc_id ASC)
+            AS ord7,
+          row_number() OVER (PARTITION BY shard ORDER BY e8 ASC, doc_id ASC)
+            AS ord8
+        FROM s)
+      SELECT shard, count(*) AS n,
+        cast(sum(ord7 * doc_id) AS BIGINT) AS fp7,
+        cast(sum(ord8 * doc_id) AS BIGINT) AS fp8
+      FROM x GROUP BY shard"""))
+
+  // group-level dup-rate blocklist (RefinedWeb-style): per-source doc and
+  // distinct-fingerprint counts, integer dup rate, and the block verdict
+  // at 100‰ — emitted as 0/1 so the driver's type-sensitive hasher sees
+  // BIGINT on both engines.
+  private val q73 = QueryDef("q73_source_blocklist",
+    (s, d) => Dedup.dupRateByGroup(rd(s, d, "documents"),
+        "doc_id", "text", "source", maxDupQ = 100)
+      .select(col("source"), col("n_docs"), col("n_distinct"), col("dup_q"),
+        col("blocked").cast(LongType).as("blocked")),
+    Some("""WITH g AS (SELECT source, count(*) AS n_docs,
+        count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))
+          AS n_distinct
+        FROM documents GROUP BY source)
+      SELECT source, n_docs, n_distinct,
+        cast((1000 * (n_docs - n_distinct)) // n_docs AS BIGINT) AS dup_q,
+        cast(CASE WHEN (1000 * (n_docs - n_distinct)) // n_docs >= 100
+          THEN 1 ELSE 0 END AS BIGINT) AS blocked
+      FROM g"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
+    q70, q71, q72, q73)
 }

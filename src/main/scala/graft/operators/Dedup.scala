@@ -33,6 +33,37 @@ object Dedup {
       .groupBy($"text_hash".asInstanceOf[Column])
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("dup_cnt"))
 
+  /**
+   * Per-group duplication rate — the GROUP-level dedup signal behind
+   * domain/source blocklists (RefinedWeb-style: a host whose pages are
+   * mostly copies of each other is a mirror, a template farm, or scraped
+   * boilerplate — drop the HOST, don't pay per-page dedup for it).
+   * Groups by `groupCol`, counts docs and distinct normalized-content
+   * fingerprints ([[TextAnalysis.fingerprint]] — layout-invariant, so
+   * trivial re-renderings count as dups), and returns
+   * `(group, n_docs, n_distinct, dup_q, blocked)` with
+   * `dup_q = floor(1000·(n_docs − n_distinct)/n_docs)` (integer) and
+   * `blocked = dup_q ≥ maxDupQ`.
+   *
+   * 100 TB shape: one partial-aggregated groupBy on the group key
+   * (count-distinct rewrites to two-level agg on (group, fp) — both
+   * exchanges are on bounded-width keys and the second input is already
+   * ~distinct-fp sized); the verdict feeds a broadcast anti-join at
+   * ingest, so blocked groups die in the scan stage of every later pass.
+   */
+  def dupRateByGroup(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, maxDupQ: Int): DataFrame = {
+    require(maxDupQ >= 0 && maxDupQ <= 1000, "maxDupQ in [0,1000]")
+    df.select(col(groupCol),
+        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__fp")).as("n_distinct"))
+      .withColumn("dup_q", floor(lit(1000) * (col("n_docs") - col("n_distinct"))
+        / col("n_docs")).cast(LongType))
+      .withColumn("blocked", col("dup_q") >= maxDupQ)
+  }
+
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

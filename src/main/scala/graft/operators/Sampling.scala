@@ -152,4 +152,49 @@ object Sampling {
       .withColumn("pack_off", col("cum_before") % budget)
       .drop("cum_before")
   }
+
+  /**
+   * Derive the [[bernoulliByStratum]] ratebook that hits a TARGET mix —
+   * the mixture-planning step upstream of rebalancing: given the corpus's
+   * actual per-stratum doc counts and a target share per stratum
+   * (per-mille of the output), compute the largest downsample-only output
+   * respecting the mix, and each stratum's keep rate for it. Closes the
+   * loop with [[bernoulliByStratum]]: plan the mix here, sample there.
+   *
+   * All arithmetic is INTEGER (exact on every engine): the output size is
+   * capped by the scarcest stratum, `n_out = min_s floor(1000·n_s/t_s)`
+   * (the largest total for which stratum s can still supply its share
+   * without upsampling), then `keep_s = floor(n_out·t_s/1000)` docs and
+   * `rate_pm_s = floor(1000·keep_s/n_s)`. A stratum absent from `targets`
+   * contributes nothing and gets no row (inner join — same allowlist
+   * semantics as [[bernoulliByStratum]]). `targets` is positional
+   * `(stratum, target_pm)` with the same validation; shares need not sum
+   * to 1000 (they are relative weights).
+   *
+   * Physical shape: one partial-agg count per stratum, a broadcast join
+   * of the (tiny) targets, one single-row scalar min broadcast back —
+   * the corpus is scanned once and never shuffled. `rate_pm` is the
+   * per-mille contract [[bernoulliByStratum]] consumes; realized counts
+   * differ from `keep_docs` only by the hash-Bernoulli ±√n noise.
+   */
+  def ratebookForTargetMix(df: DataFrame, stratumCol: String,
+      targets: DataFrame): DataFrame = {
+    require(targets.columns.length == 2,
+      s"targets must be exactly (stratum, target_pm); got ${targets.columns.toSeq}")
+    require(targets.schema(1).dataType.isInstanceOf[NumericType],
+      s"targets column 2 (target_pm) must be numeric; got " +
+        s"${targets.schema(1).dataType.simpleString} — swapped column order?")
+    val Array(c0, c1) = targets.columns
+    val t = targets.select(col(c0).as(stratumCol),
+      col(c1).cast(LongType).as("target_pm"))
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(t), Seq(stratumCol))
+      .withColumn("cap", expr("(1000 * n_docs) div target_pm"))
+    val nOut = counts.agg(min(col("cap")).as("n_out"))
+    counts.crossJoin(broadcast(nOut))
+      .withColumn("keep_docs", expr("(n_out * target_pm) div 1000"))
+      .withColumn("rate_pm", expr("(1000 * keep_docs) div n_docs"))
+      .select(col(stratumCol), col("n_docs"), col("target_pm"),
+        col("keep_docs"), col("rate_pm"))
+  }
 }

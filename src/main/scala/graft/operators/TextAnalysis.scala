@@ -248,6 +248,56 @@ object TextAnalysis {
   def dupWordCount(words: Column): Column =
     size(words) - size(filter(array_distinct(words),
       x => size(filter(words, y => y === x)) === 1))
+
+  // ==========================================================================
+  // Lexicon-based rare-token (OOV) quality gate
+  // ==========================================================================
+
+  /** Corpus term-frequency lexicon `(term, tf)` over whitespace tokens,
+    * counted WITH multiplicity — the persisted table behind the
+    * rare-token gate (and any unigram-LM-style scorer). Built once per
+    * corpus/epoch: explode is row-local, the only shuffle is the groupBy
+    * on `term` (map-side partial count first), and counts are associative
+    * so increments union+re-sum exactly like [[Dedup.spanStatsIncrement]].
+    * [[wordArray]] of a blank document is `[""]` — the empty term is a
+    * real lexicon row, identically in the DuckDB oracle. */
+  def termFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(wordArray(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+
+  /**
+   * Rare-token fraction per document — the CCNet-style "unknown/rare word
+   * ratio" quality signal: a document whose tokens are mostly absent from
+   * (or rare in) the reference lexicon is boilerplate, non-language, or
+   * encoding garbage. Returns `(id, n_toks, rare_toks, rare_q)` where a
+   * token is rare iff its lexicon `tf` is NULL or `< minTf`, counted with
+   * multiplicity, and `rare_q = floor(1000·rare_toks/n_toks)` (integer —
+   * exact on every engine).
+   *
+   * 100 TB shape: the doc side is pre-reduced to `(id, term, cnt)` —
+   * distinct terms per doc, not tokens — BEFORE the lexicon join, so the
+   * shuffle carries ~doc-vocabulary rows; the lexicon is corpus-vocabulary
+   * sized and must NOT be broadcast (it is a shuffled equi-join on `term`,
+   * both sides hash-partitioned the same way the lexicon build left it).
+   */
+  def rareTokenStats(docs: DataFrame, idCol: String, textCol: String,
+      lexicon: DataFrame, minTf: Long): DataFrame = {
+    require(minTf >= 1, "minTf must be >= 1")
+    val perTerm = docs
+      .select(col(idCol), explode(wordArray(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("cnt"))
+    // the lexicon scales with the corpus vocabulary: pin the sort-merge
+    // join so a small-sample size estimate can never "optimize" this into
+    // a broadcast that OOMs at corpus scale
+    perTerm.join(lexicon.select(col("term"), col("tf")).hint("merge"),
+        Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_toks"),
+        coalesce(sum(when(col("tf").isNull || col("tf") < minTf,
+          col("cnt"))), lit(0L)).as("rare_toks"))
+      .withColumn("rare_q",
+        floor(lit(1000) * col("rare_toks") / col("n_toks")).cast(LongType))
+  }
 }
 
 /**

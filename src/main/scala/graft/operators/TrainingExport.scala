@@ -159,4 +159,30 @@ object TrainingExport {
       .sortWithinPartitions(col("pack"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("shard").parquet(dir)
+
+  /**
+   * Per-epoch deterministic reshuffle of the pack order — training reads
+   * a DIFFERENT pseudo-random permutation each epoch, but the data is
+   * written once: the permutation is a pure function of (epoch, key), so
+   * no epoch ever rewrites or re-shuffles the corpus. Returns the input
+   * plus `ord` = 1-based rank of `(hash48(epoch + ":" + key), key)`
+   * within the shard — every loader, rerun, and engine derives the same
+   * epoch-e order, and resuming mid-epoch is a (shard, ord) seek.
+   *
+   * Physical shape: one hash exchange on `shard` + an in-partition sort
+   * (the same exchange the shard layout already established — with the
+   * corpus table bucketed by shard, the exchange is elided entirely and
+   * the epoch order costs one sort of each shard's pack INDEX, never the
+   * sequence bytes: keep `keyCol` projections narrow and join `ord` back
+   * by key if the loader needs the text).
+   */
+  def epochOrder(packs: DataFrame, shardCol: String, keyCol: String,
+      epoch: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col("__ehu"), col(keyCol))
+    packs
+      .withColumn("__ehu", Sampling.hashUniform48(
+        concat(lit(s"$epoch:"), col(keyCol).cast("string"))))
+      .withColumn("ord", row_number().over(w).cast("long"))
+      .drop("__ehu")
+  }
 }

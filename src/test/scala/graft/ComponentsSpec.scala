@@ -315,4 +315,73 @@ class ComponentsSpec extends SparkSpec {
       docs.orderBy(rand(3)).repartition(17), rates, 60, 64L, 4)
     assert(out.exceptAll(out2).isEmpty && out2.exceptAll(out).isEmpty)
   }
+
+  test("ratebookForTargetMix: integer plan, scarcest stratum caps, allowlist") {
+    import spark.implicits._
+    // en=600, de=300, zh=100 docs; targets 500/300/200 per-mille.
+    // caps = 1000·n/t: en 1200, de 1000, zh 500 → n_out = 500 (zh-bound)
+    // keep = n_out·t/1000: en 250, de 150, zh 100
+    // rate = 1000·keep/n:  en 416, de 500, zh 1000
+    val docs = ((0L until 600L).map(i => (i, "en")) ++
+      (600L until 900L).map(i => (i, "de")) ++
+      (900L until 1000L).map(i => (i, "zh")) ++
+      (1000L until 1050L).map(i => (i, "fr"))) // fr absent from targets
+      .toDF("doc_id", "lang")
+    val targets = Seq(("en", 500), ("de", 300), ("zh", 200))
+      .toDF("lang", "target_pm")
+    val got = Sampling.ratebookForTargetMix(docs, "lang", targets)
+      .select($"lang", $"n_docs", $"keep_docs", $"rate_pm")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("en", 600L, 250L, 416L), ("de", 300L, 150L, 500L),
+      ("zh", 100L, 100L, 1000L)), got.toString)
+    // downsample-only by construction: no rate exceeds 1000
+    // (zh keeps everything — the binding stratum is taken whole)
+    // validation: wrong arity and non-numeric rate column fail fast
+    intercept[IllegalArgumentException] {
+      Sampling.ratebookForTargetMix(docs, "lang",
+        Seq(("en", 1, 2)).toDF("a", "b", "c"))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.ratebookForTargetMix(docs, "lang",
+        Seq((500, "en")).toDF("target_pm", "lang"))
+    }
+    // composes with bernoulliByStratum: realized mix ≈ target shares
+    val rb = Sampling.ratebookForTargetMix(docs, "lang", targets)
+    val kept = Sampling.bernoulliByStratum(docs, "doc_id", "lang",
+      rb.select($"lang", $"rate_pm"))
+    val byLang = kept.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLang("zh") == 100L) // rate 1000 keeps the stratum whole
+    assert(math.abs(byLang("en") - 250L) < 60 &&
+      math.abs(byLang("de") - 150L) < 50, byLang.toString)
+  }
+
+  test("epochOrder: dense permutation per shard, epoch-keyed, md5-faithful") {
+    import spark.implicits._
+    val docs = (0L until 400L).toDF("doc_id")
+    val sa = Sampling.shardAssign(docs, "doc_id", 4).drop("pos")
+    val e1 = TrainingExport.epochOrder(sa, "shard", "doc_id", 1L)
+    // ord is exactly 1..n within every shard
+    val bad = e1.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), max($"ord").as("mx"), min($"ord").as("mn"),
+        countDistinct($"ord").as("d"))
+      .where($"mx" =!= $"n" || $"mn" =!= 1 || $"d" =!= $"n")
+    assert(bad.isEmpty)
+    // different epochs give different permutations of the same rows
+    val e2 = TrainingExport.epochOrder(sa, "shard", "doc_id", 2L)
+    assert(e1.join(e2, Seq("shard", "doc_id"))
+      .where(e1("ord") === e2("ord")).count() < 100L)
+    // bit-identical across partitioning / input order
+    val e1b = TrainingExport.epochOrder(
+      sa.orderBy(rand(9)).repartition(13), "shard", "doc_id", 1L)
+    assert(e1.exceptAll(e1b).isEmpty && e1b.exceptAll(e1).isEmpty)
+    // the order IS ascending (md5-hash48, id) — independent Scala md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+    val shard0 = e1.where($"shard" === 0).orderBy($"ord")
+      .select($"doc_id").as[Long].collect()
+    val expect = shard0.sortBy(id => (h48(s"1:$id"), id))
+    assert(shard0.toSeq == expect.toSeq)
+  }
 }

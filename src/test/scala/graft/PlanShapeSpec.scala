@@ -148,4 +148,58 @@ class PlanShapeSpec extends SparkSpec {
     // and the blob IS still present below (i.e. the test would catch it)
     assert(p.contains("html"), s"fixture lost the blob column:\n$p")
   }
+
+  test("ratebookForTargetMix: targets and scalar min broadcast, corpus never shuffled past the count") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val targets = Seq(("en", 500), ("de", 300), ("zh", 200))
+      .toDF("lang", "target_pm")
+    val rb = graft.operators.Sampling.ratebookForTargetMix(docs, "lang", targets)
+    val p = plan(rb)
+    // the targets dim and the single-row n_out scalar both broadcast
+    assert(p.split("BroadcastExchange").length - 1 >= 2,
+      s"targets/scalar-min not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"ratebook derivation shuffled a join side:\n$p")
+    // downstream sampling keeps the SAME shape: corpus scan → broadcast
+    // join → filter, no corpus exchange for membership
+    val kept = graft.operators.Sampling.bernoulliByStratum(
+      docs, "doc_id", "lang", rb.select($"lang", $"rate_pm"))
+    val kp = plan(kept.select($"doc_id"))
+    assert(kp.contains("BroadcastHashJoin"), s"ratebook not broadcast:\n$kp")
+  }
+
+  test("rareTokenStats: lexicon join is shuffled (NOT broadcast), doc side pre-reduced") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val lex = graft.operators.TextAnalysis.termFrequencies(docs, "text")
+    val p = plan(graft.operators.TextAnalysis.rareTokenStats(
+      docs, "doc_id", "text", lex, 3L))
+    // the corpus-vocabulary lexicon must NOT be broadcast (it scales with
+    // the corpus): the join is a shuffled equi-join on term
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"lexicon join not a shuffled equi-join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"lexicon was broadcast:\n$p")
+    // the doc side is reduced to (doc, term, cnt) BEFORE the join: a
+    // partial aggregate sits below the term exchange
+    val lines = p.linesIterator.toSeq
+    val joinAt = lines.indexWhere(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(lines.drop(joinAt + 1).exists(_.contains("HashAggregate")),
+      s"doc side not pre-reduced before the lexicon join:\n$p")
+  }
+
+  test("epochOrder: one exchange on shard, sort is in-partition") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select($"doc_id")
+    val sa = graft.operators.Sampling.shardAssign(docs, "doc_id", 8).drop("pos")
+    val p = plan(graft.operators.TrainingExport.epochOrder(
+      sa, "shard", "doc_id", 3L))
+    // the epoch permutation must not introduce a global sort: every sort
+    // in the plan is the in-partition kind under a hash exchange on shard
+    assert(!p.contains("rangepartitioning"), s"global sort leaked in:\n$p")
+    assert(p.contains("Exchange hashpartitioning(shard"),
+      s"no hash exchange on shard:\n$p")
+  }
 }

@@ -243,4 +243,41 @@ class TextFeaturesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
     cases.foreach { s => assert(got(s) === ref(s), s"input: '$s'") }
   }
+
+  test("rareTokenStats: multiplicity, self-lexicon, missing-term = rare, blank doc") {
+    import spark.implicits._
+    // tf over the corpus: a=3, b=2, c=1, d=2, ""=1 (the blank doc)
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b d d"), (4L, ""))
+      .toDF("doc_id", "text")
+    val lex = TextAnalysis.termFrequencies(docs, "text")
+    assert(lex.as[(String, Long)].collect().toMap ==
+      Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "d" -> 2L, "" -> 1L))
+    // minTf=2: rare iff tf < 2 → c and "" are rare
+    val got = TextAnalysis.rareTokenStats(docs, "doc_id", "text", lex, 2L)
+      .select($"doc_id", $"n_toks", $"rare_toks", $"rare_q")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 0L, 0L), (2L, 2L, 1L, 500L),
+      (3L, 3L, 0L, 0L), (4L, 1L, 1L, 1000L)), got.toString)
+    // a term ABSENT from an external lexicon counts rare (null tf),
+    // with multiplicity: doc3's two d's both count
+    val external = lex.where($"term" =!= "d")
+    val got3 = TextAnalysis.rareTokenStats(docs, "doc_id", "text", external, 2L)
+      .where($"doc_id" === 3L).select($"n_toks", $"rare_toks", $"rare_q")
+      .as[(Long, Long, Long)].head()
+    assert(got3 == ((3L, 2L, 666L)), got3.toString)
+  }
+
+  test("dupRateByGroup: layout-invariant fingerprints, integer rate, verdict") {
+    import spark.implicits._
+    // g1: 4 docs, 2 distinct fingerprints ("X"≡"x!" after normalization)
+    val docs = Seq((1L, "g1", "X"), (2L, "g1", "x!"), (3L, "g1", "Y"),
+      (4L, "g1", "Y"), (5L, "g2", "p"), (6L, "g2", "q"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.Dedup
+      .dupRateByGroup(docs, "doc_id", "text", "source", maxDupQ = 100)
+      .select($"source", $"n_docs", $"n_distinct", $"dup_q", $"blocked")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(("g1", 4L, 2L, 500L, true), ("g2", 2L, 2L, 0L, false)),
+      got.toString)
+  }
 }
