@@ -2211,11 +2211,39 @@ object Queries {
           THEN 1 ELSE 0 END AS BIGINT) AS blocked
       FROM g"""))
 
+  // the rare-token SERVING path: lexicon built INCREMENTALLY in-query
+  // (two lexiconIncrement chunks — the oracle rebuilds it from scratch,
+  // so chunked ≡ batch is value-checked here too), then the broadcast
+  // probe gates a small request batch against it (the q52/q53 pattern:
+  // registry-check the batch twin of the streaming service).
+  private val q74 = QueryDef("q74_rare_token_probe",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val lexicon = TextAnalysis.lexiconIncrement(
+        TextAnalysis.termFrequencies(
+          docs.where(col("doc_id") % 2 === 0), "text"),
+        docs.where(col("doc_id") % 2 === 1), "text")
+      RequestResponse.rareTokenProbe(docs.where(col("doc_id") < 12),
+        lexicon, "doc_id", "text", minTf = 3L)
+    },
+    Some("""WITH w AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+      lex AS (SELECT term, count(*) AS tf FROM w GROUP BY term),
+      pt AS (SELECT doc_id, term, count(*) AS cnt FROM w
+        WHERE doc_id < 12 GROUP BY doc_id, term),
+      st AS (SELECT doc_id, sum(cnt) AS n_toks,
+          coalesce(sum(CASE WHEN tf >= 3 THEN cnt END), 0) AS known
+        FROM pt LEFT JOIN lex USING (term) GROUP BY doc_id)
+      SELECT doc_id AS request_id, cast(n_toks AS BIGINT) AS n_toks,
+        cast(n_toks - known AS BIGINT) AS rare_toks,
+        cast((1000 * (n_toks - known)) // n_toks AS BIGINT) AS rare_q
+      FROM st"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73)
+    q70, q71, q72, q73, q74)
 }

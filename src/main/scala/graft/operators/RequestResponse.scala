@@ -146,6 +146,43 @@ object RequestResponse {
           .cast(LongType).as("dup_q"))
   }
 
+  /**
+   * Rare-token (OOV) gate probe — the ingest-time form of
+   * [[TextAnalysis.rareTokenStats]]: "how much of this candidate
+   * document is vocabulary the corpus lexicon has never (or rarely)
+   * seen?", answered off the persisted `(term, tf)` table that
+   * [[TextAnalysis.lexiconIncrement]] maintains. One row per request:
+   * `(request_id, n_toks, rare_toks, rare_q = floor(1000·rare/n))`,
+   * tokens counted WITH multiplicity; a token is rare iff its lexicon
+   * `tf` is absent or `< minTf` — identical semantics to the batch
+   * operator (spec-asserted on the same inputs).
+   *
+   * 100 TB shape: the request batch's distinct (request, term, cnt)
+   * rows are BROADCAST into the frequent slice of the lexicon scan —
+   * sized for the streaming per-trigger use (a handful of candidate
+   * docs per trigger); a batch caller probing a large request set
+   * should use [[TextAnalysis.rareTokenStats]]'s shuffled join instead.
+   * The lexicon itself is never shuffled or broadcast.
+   */
+  def rareTokenProbe(requests: DataFrame, lexicon: DataFrame,
+      reqId: String, reqText: String, minTf: Long): DataFrame = {
+    require(minTf >= 1, "minTf must be >= 1")
+    val req = requests.select(col(reqId).as("request_id"),
+      col(reqText).as("text"))
+    val terms = req.select(col("request_id"),
+        explode(TextAnalysis.wordArray(col("text"))).as("term"))
+      .groupBy(col("request_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val sz = terms.groupBy(col("request_id")).agg(sum(col("cnt")).as("n_toks"))
+    val known = lexicon.where(col("tf") >= minTf).select(col("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy(col("request_id")).agg(sum(col("cnt")).as("known_toks"))
+    sz.join(known, Seq("request_id"), "left")
+      .select(col("request_id"), col("n_toks"),
+        (col("n_toks") - coalesce(col("known_toks"), lit(0L))).as("rare_toks"))
+      .withColumn("rare_q",
+        floor(lit(1000) * col("rare_toks") / col("n_toks")).cast(LongType))
+  }
+
   def nearDupProbe(requests: DataFrame, bandIndex: DataFrame, corpus: DataFrame,
       reqId: String, reqText: String, docId: String, docText: String,
       n: Int = 3, bands: Int = 8, minJaccQ: Long = 500L): DataFrame = {

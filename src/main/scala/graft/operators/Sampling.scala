@@ -176,9 +176,17 @@ object Sampling {
    * the corpus is scanned once and never shuffled. `rate_pm` is the
    * per-mille contract [[bernoulliByStratum]] consumes; realized counts
    * differ from `keep_docs` only by the hash-Bernoulli ±√n noise.
+   *
+   * `weightCol`: mixes are usually specified over TOKENS, not documents
+   * — pass a per-row weight column (e.g. a token count) and the whole
+   * plan runs on summed weights instead of doc counts (`n_docs` then
+   * holds the stratum's total weight and `keep_docs` the weight to
+   * keep); Bernoulli keep probability is still per DOCUMENT, so the
+   * realized token mix matches the target in expectation (exactly what
+   * uniform-rate token sampling can promise without splitting docs).
    */
   def ratebookForTargetMix(df: DataFrame, stratumCol: String,
-      targets: DataFrame): DataFrame = {
+      targets: DataFrame, weightCol: Option[String] = None): DataFrame = {
     require(targets.columns.length == 2,
       s"targets must be exactly (stratum, target_pm); got ${targets.columns.toSeq}")
     require(targets.schema(1).dataType.isInstanceOf[NumericType],
@@ -187,7 +195,9 @@ object Sampling {
     val Array(c0, c1) = targets.columns
     val t = targets.select(col(c0).as(stratumCol),
       col(c1).cast(LongType).as("target_pm"))
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    val mass = weightCol.map(w => sum(col(w).cast(LongType)))
+      .getOrElse(count(lit(1)))
+    val counts = df.groupBy(col(stratumCol)).agg(mass.as("n_docs"))
       .join(broadcast(t), Seq(stratumCol))
       .withColumn("cap", expr("(1000 * n_docs) div target_pm"))
     val nOut = counts.agg(min(col("cap")).as("n_out"))

@@ -265,6 +265,22 @@ object TextAnalysis {
     df.select(explode(wordArray(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("tf"))
 
+  /** Incremental lexicon maintenance — the [[Dedup.spanStatsIncrement]]
+    * shape at term granularity: history is the persisted `(term, tf)`
+    * table and is never re-tokenized; an increment tokenizes ONLY the
+    * fresh docs and merges counts (union + one sum-groupBy on `term`,
+    * both sides already hash-partitioned by term). Counts are
+    * associative ⇒ chunked arrival ≡ one batch build (spec-asserted).
+    *
+    * PRECONDITION: `fresh` must be DISJOINT from the docs already folded
+    * into `history` (exactly-once epochs — the sink manifest's
+    * re-delivered-epoch detection gives streaming callers this for
+    * free); a re-delivered doc permanently inflates its terms' `tf`. */
+  def lexiconIncrement(history: DataFrame, fresh: DataFrame,
+      textCol: String): DataFrame =
+    history.unionByName(termFrequencies(fresh, textCol))
+      .groupBy(col("term")).agg(sum(col("tf")).as("tf"))
+
   /**
    * Rare-token fraction per document — the CCNet-style "unknown/rare word
    * ratio" quality signal: a document whose tokens are mostly absent from

@@ -118,6 +118,21 @@ object RequestService {
       RequestResponse.spanDupProbe(batch, spanDf, reqId, reqText, n))
 
   /**
+   * Start the rare-token (OOV) gate service off the persisted
+   * `(term, tf)` lexicon (`TextAnalysis.lexiconIncrement` maintains it
+   * as corpus epochs commit) — the streaming form of the vocabulary
+   * quality gate: each candidate document gets its rare-token permille
+   * against the corpus vocabulary without the corpus ever being read.
+   * Cache/persist `lexicon`; it is re-used every trigger.
+   */
+  def startRareTokenGate(spark: SparkSession, requests: DataFrame,
+      lexicon: DataFrame, reqId: String, reqText: String,
+      responseTable: String, checkpoint: String, minTf: Long = 2L,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    startService(requests, responseTable, checkpoint, trigger)(batch =>
+      RequestResponse.rareTokenProbe(batch, lexicon, reqId, reqText, minTf))
+
+  /**
    * Start the embedding-match service against a PRE-BUILT IVF index —
    * the 100 TB serving shape: the index `(corpus_id, cv, cn, centroid)`
    * (built once via `Similarity.assignIncrement` and appended as new

@@ -354,6 +354,22 @@ class ComponentsSpec extends SparkSpec {
     assert(byLang("zh") == 100L) // rate 1000 keeps the stratum whole
     assert(math.abs(byLang("en") - 250L) < 60 &&
       math.abs(byLang("de") - 150L) < 50, byLang.toString)
+    // token-weighted planning: same integer plan over summed weights,
+    // checked against an independent Scala replay of the formula
+    val wdocs = docs.withColumn("toks", lit(10L) + ($"doc_id" % 5))
+    val wgot = Sampling.ratebookForTargetMix(wdocs, "lang", targets, Some("toks"))
+      .select($"lang", $"n_docs", $"keep_docs", $"rate_pm")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val wOf = (id: Long) => 10L + (id % 5)
+    val ns = Map("en" -> (0L until 600L), "de" -> (600L until 900L),
+      "zh" -> (900L until 1000L)).map { case (l, r) => l -> r.map(wOf).sum }
+    val ts = Map("en" -> 500L, "de" -> 300L, "zh" -> 200L)
+    val nOut = ns.map { case (l, n) => (1000L * n) / ts(l) }.min
+    val wExpect = ns.map { case (l, n) =>
+      val keep = (nOut * ts(l)) / 1000L
+      (l, n, keep, (1000L * keep) / n)
+    }.toSet
+    assert(wgot == wExpect, s"got $wgot want $wExpect")
   }
 
   test("epochOrder: dense permutation per shard, epoch-keyed, md5-faithful") {

@@ -433,4 +433,54 @@ class RequestServiceSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(got.toSet == expected.toSet && got.nonEmpty)
   }
+
+  test("rare-token gate service: stream off the persisted lexicon ≡ batch probe, kill/resume") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    val corpus = docs.where($"doc_id" >= 5)
+    // the persisted lexicon lexiconIncrement maintains
+    val lexicon = TextAnalysis.termFrequencies(corpus, "text").cache()
+    // verbatim copies of corpus docs (every token known at minTf=1,
+    // rare_q 0) + a gibberish doc the vocabulary never saw (rare_q 1000)
+    val planted = corpus.orderBy($"doc_id").limit(2).collect()
+      .map(r => TextReq(9000L + r.getLong(0), r.getString(1)))
+    val gibberish = TextReq(9999L, "zzqx1 zzqx2 zzqx3 zzqx4")
+    val fresh = docs.where($"doc_id" < 2).collect()
+      .map(r => TextReq(r.getLong(0), r.getString(1)))
+    val reqRows = (planted ++ fresh :+ gibberish).sortBy(_.request_id)
+
+    val cp = Files.createTempDirectory("rtcp").toString
+    val table = Files.createTempDirectory("rttbl").toString
+    val in = MemoryStream[TextReq](Encoders.product[TextReq], spark)
+    def start() = RequestService.startRareTokenGate(spark, in.toDF(), lexicon,
+      "request_id", "qtext", table, cp, minTf = 1L)
+    var q = start()
+    in.addData(reqRows.take(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    q = start()
+    in.addData(reqRows.drop(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = new ExactlyOnceSink(table).read(spark)
+      .select($"request_id", $"n_toks", $"rare_toks", $"rare_q")
+      .collect().map(_.toSeq)
+    assert(got.length == got.distinct.length, "duplicate responses after resume")
+    val expected = RequestResponse.rareTokenProbe(
+      reqRows.toSeq.map(r => (r.request_id, r.qtext)).toDF("request_id", "qtext"),
+      lexicon, "request_id", "qtext", minTf = 1L)
+      .select($"request_id", $"n_toks", $"rare_toks", $"rare_q")
+      .collect().map(_.toSeq).toSet
+    assert(got.toSet == expected && expected.nonEmpty)
+    // planted verbatim copies: fully in-vocabulary; gibberish: fully OOV
+    planted.foreach { p =>
+      assert(got.exists(s => s.head == p.request_id && s(3) == 0L),
+        s"planted copy ${p.request_id} not fully known: ${got.toSeq}")
+    }
+    assert(got.exists(s => s.head == 9999L && s(3) == 1000L),
+      s"gibberish doc not fully OOV: ${got.toSeq}")
+  }
 }

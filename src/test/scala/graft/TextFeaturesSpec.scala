@@ -267,6 +267,28 @@ class TextFeaturesSpec extends SparkSpec {
     assert(got3 == ((3L, 2L, 666L)), got3.toString)
   }
 
+  test("lexiconIncrement: chunked arrival == one batch build; probe == batch stats") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select($"doc_id", $"text")
+    val c1 = docs.where($"doc_id" % 2 === 0)
+    val c2 = docs.where($"doc_id" % 2 === 1)
+    val chunked = TextAnalysis.lexiconIncrement(
+      TextAnalysis.termFrequencies(c1, "text"), c2, "text")
+    val batch = TextAnalysis.termFrequencies(docs, "text")
+    assert(chunked.exceptAll(batch).isEmpty && batch.exceptAll(chunked).isEmpty)
+    // the broadcast probe and the shuffled batch operator agree on the
+    // same requests/lexicon (rare = absent-or-below-minTf, multiplicity)
+    val reqs = docs.where($"doc_id" < 8)
+    val probe = graft.operators.RequestResponse.rareTokenProbe(
+        reqs, batch, "doc_id", "text", 3L)
+      .select($"request_id".as("doc_id"), $"n_toks", $"rare_toks", $"rare_q")
+    val stats = TextAnalysis.rareTokenStats(reqs, "doc_id", "text", batch, 3L)
+      .select($"doc_id", $"n_toks", $"rare_toks", $"rare_q")
+    assert(probe.exceptAll(stats).isEmpty && stats.exceptAll(probe).isEmpty)
+    assert(stats.count() == 8)
+  }
+
   test("dupRateByGroup: layout-invariant fingerprints, integer rate, verdict") {
     import spark.implicits._
     // g1: 4 docs, 2 distinct fingerprints ("X"≡"x!" after normalization)
