@@ -20,7 +20,8 @@ import graft.streaming._
  *   spark-submit --class graft.app.PagePipelineApp app.jar \
  *     --pages 1000000 --hosts 10000 --rate 50000 --checkpoint /cp \
  *     --table /out/pages_sessions --metrics /out/progress.jsonl \
- *     [--join-meta | --near-dup | --prep] [--buckets 64 [--bucket-by host]] [--jsonl /warc/jsonl]
+ *     [--join-meta | --near-dup | --prep | --oov-gate /lexicon.parquet [--oov-max 500]] \
+ *     [--buckets 64 [--bucket-by host]] [--jsonl /warc/jsonl]
  *
  * Kill it at any point and resubmit with the same --checkpoint/--table:
  * processing resumes from the last committed offsets and the sink skips
@@ -33,7 +34,7 @@ object PagePipelineApp {
     // would shift every later key/value option
     val flags = Set("--join-meta", "--near-dup", "--prep")
     val valueOpts = Set("--pages", "--hosts", "--rate", "--checkpoint", "--table", "--metrics",
-      "--buckets", "--bucket-by", "--jsonl")
+      "--buckets", "--bucket-by", "--jsonl", "--oov-gate", "--oov-max")
     val kvArgs = args.filterNot(flags.contains)
     // sliding(2, 2) silently discards a trailing odd element — a final
     // `--buckets` with no value would be ignored and the app would run
@@ -102,6 +103,24 @@ object PagePipelineApp {
       } else if (joinMeta) {
         val meta = PageStream.metaFromRate(spark, cfg, rowsPerSecond = rate / 10).toDF()
         (PageStream.joinPagesWithMeta(pages.toDF(), meta), identity[org.apache.spark.sql.DataFrame] _)
+      } else if (a.contains("--oov-gate")) {
+        // lexicon-gated ingest: the rare-token (OOV) vocabulary gate
+        // applied batch-locally (the RequestService.startRareTokenGate
+        // shape, kill/resume-safe through the same sink idempotence)
+        // against a persisted (term, tf) lexicon parquet — pages whose
+        // rare-token permille exceeds --oov-max (default 500) are
+        // dropped before the sink; the lexicon is cached once and only
+        // each micro-batch's terms are broadcast per trigger
+        val lexicon = spark.read.parquet(a("--oov-gate")).cache()
+        val maxRareQ = a.getOrElse("--oov-max", "500").toLong
+        val gate = (b: org.apache.spark.sql.DataFrame) => {
+          val keep = graft.operators.RequestResponse.rareTokenProbe(
+              b, lexicon, "url", "text", minTf = 2L)
+            .where(col("rare_q") <= maxRareQ)
+            .select(col("request_id").as("url"))
+          b.join(keep, Seq("url"), "left_semi")
+        }
+        (pages.toDF(), gate)
       } else if (nearDup) {
         // the full ingest-dedup pipeline in ONE query (chained stateful
         // operators): exact fingerprint dedup first (cheap, catches
@@ -138,7 +157,7 @@ object PagePipelineApp {
     // manifests alone (streaming epochs are naturally time-clustered)
     val statsCol =
       if (prep || nearDup) "ts"
-      else if (joinMeta) "warc_ts"
+      else if (joinMeta || a.contains("--oov-gate")) "warc_ts"
       else "session_start"
     val sink = new ExactlyOnceSink(table,
       if (nBuckets > 0) Some(bucketColName) else None, Some(statsCol))
