@@ -105,19 +105,21 @@ object PagePipelineApp {
         (PageStream.joinPagesWithMeta(pages.toDF(), meta), identity[org.apache.spark.sql.DataFrame] _)
       } else if (a.contains("--oov-gate")) {
         // lexicon-gated ingest: the rare-token (OOV) vocabulary gate
-        // applied batch-locally (the RequestService.startRareTokenGate
-        // shape, kill/resume-safe through the same sink idempotence)
-        // against a persisted (term, tf) lexicon parquet — pages whose
-        // rare-token permille exceeds --oov-max (default 500) are
-        // dropped before the sink; the lexicon is cached once and only
-        // each micro-batch's terms are broadcast per trigger
+        // applied batch-locally (kill/resume-safe through the same sink
+        // idempotence) against a persisted (term, tf) lexicon parquet —
+        // pages whose rare-token permille exceeds --oov-max (default
+        // 500) are dropped before the sink. This is the FULL-RATE ingest
+        // path (10⁴–10⁵ pages per trigger), so it uses rareTokenStats's
+        // SHUFFLED lexicon join — rareTokenProbe's broadcast form is
+        // sized for a handful of candidate docs per trigger, not this
         val lexicon = spark.read.parquet(a("--oov-gate")).cache()
         val maxRareQ = a.getOrElse("--oov-max", "500").toLong
         val gate = (b: org.apache.spark.sql.DataFrame) => {
-          val keep = graft.operators.RequestResponse.rareTokenProbe(
-              b, lexicon, "url", "text", minTf = 2L)
+          val keep = graft.operators.TextAnalysis.rareTokenStats(
+              b.select(col("url"), col("text")), "url", "text", lexicon,
+              minTf = 2L)
             .where(col("rare_q") <= maxRareQ)
-            .select(col("request_id").as("url"))
+            .select(col("url"))
           b.join(keep, Seq("url"), "left_semi")
         }
         (pages.toDF(), gate)

@@ -167,8 +167,10 @@ object RequestResponse {
   def rareTokenProbe(requests: DataFrame, lexicon: DataFrame,
       reqId: String, reqText: String, minTf: Long): DataFrame = {
     require(minTf >= 1, "minTf must be >= 1")
+    // NULL text → [""] like rareTokenStats: a request must never vanish
+    // from the response (a service caller would wait forever on its id)
     val req = requests.select(col(reqId).as("request_id"),
-      col(reqText).as("text"))
+      coalesce(col(reqText), lit("")).as("text"))
     val terms = req.select(col("request_id"),
         explode(TextAnalysis.wordArray(col("text"))).as("term"))
       .groupBy(col("request_id"), col("term")).agg(count(lit(1)).as("cnt"))

@@ -175,7 +175,9 @@ object Sampling {
    * of the (tiny) targets, one single-row scalar min broadcast back —
    * the corpus is scanned once and never shuffled. `rate_pm` is the
    * per-mille contract [[bernoulliByStratum]] consumes; realized counts
-   * differ from `keep_docs` only by the hash-Bernoulli ±√n noise.
+   * differ from `keep_docs` by hash-Bernoulli ±√n noise PLUS the
+   * per-mille floor of `rate_pm` (a deterministic undershoot of up to
+   * n_s/1000 — see the weight note below).
    *
    * `weightCol`: mixes are usually specified over TOKENS, not documents
    * — pass a per-row weight column (e.g. a token count) and the whole
@@ -184,6 +186,16 @@ object Sampling {
    * keep); Bernoulli keep probability is still per DOCUMENT, so the
    * realized token mix matches the target in expectation (exactly what
    * uniform-rate token sampling can promise without splitting docs).
+   * Realized counts also carry the per-mille QUANTIZATION of `rate_pm`
+   * (a deterministic undershoot of up to n_s/1000 on top of the ±√n
+   * Bernoulli noise — budget tolerance off rate granularity, not √n,
+   * for strata above ~10⁶ rows).
+   *
+   * A targeted stratum ABSENT from the corpus follows the formula, not
+   * the join: its n_s = 0 forces `n_out = 0` and the whole ratebook
+   * goes to zero rates (the mix is unreachable without it) — loudly
+   * visible, never a silently-wrong mix. A non-positive `target_pm`
+   * fails the query (`raise_error`) rather than div-by-zero to NULL.
    */
   def ratebookForTargetMix(df: DataFrame, stratumCol: String,
       targets: DataFrame, weightCol: Option[String] = None): DataFrame = {
@@ -194,16 +206,30 @@ object Sampling {
         s"${targets.schema(1).dataType.simpleString} — swapped column order?")
     val Array(c0, c1) = targets.columns
     val t = targets.select(col(c0).as(stratumCol),
-      col(c1).cast(LongType).as("target_pm"))
+      when(col(c1).cast(LongType) <= 0,
+        raise_error(concat(lit(s"ratebookForTargetMix: target_pm must be " +
+          s"positive; stratum "), col(c0).cast(StringType),
+          lit(" has "), col(c1).cast(StringType))))
+        .otherwise(col(c1).cast(LongType)).as("target_pm"))
     val mass = weightCol.map(w => sum(col(w).cast(LongType)))
       .getOrElse(count(lit(1)))
+    // zero-fill then inner-broadcast-join: a targeted stratum missing
+    // from the corpus must keep a row with n_docs = 0, but an OUTER join
+    // preserving the tiny side cannot broadcast it (the build side must
+    // be the non-preserved one — Spark would broadcast the corpus-strata
+    // aggregate instead); unioning one 0-mass row per target before the
+    // re-aggregate keeps the join inner and the broadcast on the dim
+    val zeros = t.select(col(stratumCol), lit(0L).as("n_docs"))
     val counts = df.groupBy(col(stratumCol)).agg(mass.as("n_docs"))
+      .unionByName(zeros)
+      .groupBy(col(stratumCol)).agg(sum(col("n_docs")).as("n_docs"))
       .join(broadcast(t), Seq(stratumCol))
       .withColumn("cap", expr("(1000 * n_docs) div target_pm"))
     val nOut = counts.agg(min(col("cap")).as("n_out"))
     counts.crossJoin(broadcast(nOut))
       .withColumn("keep_docs", expr("(n_out * target_pm) div 1000"))
-      .withColumn("rate_pm", expr("(1000 * keep_docs) div n_docs"))
+      .withColumn("rate_pm", when(col("n_docs") === 0, lit(0L))
+        .otherwise(expr("(1000 * keep_docs) div n_docs")))
       .select(col(stratumCol), col("n_docs"), col("target_pm"),
         col("keep_docs"), col("rate_pm"))
   }

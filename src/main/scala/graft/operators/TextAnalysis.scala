@@ -299,8 +299,12 @@ object TextAnalysis {
   def rareTokenStats(docs: DataFrame, idCol: String, textCol: String,
       lexicon: DataFrame, minTf: Long): DataFrame = {
     require(minTf >= 1, "minTf must be >= 1")
+    // NULL text tokenizes like blank text ([""]): exploding null would
+    // emit no rows and silently drop the document from the output,
+    // breaking the one-row-per-doc contract downstream gates rely on
     val perTerm = docs
-      .select(col(idCol), explode(wordArray(col(textCol))).as("term"))
+      .select(col(idCol),
+        explode(wordArray(coalesce(col(textCol), lit("")))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("cnt"))
     // the lexicon scales with the corpus vocabulary: pin the sort-merge
     // join so a small-sample size estimate can never "optimize" this into

@@ -354,6 +354,21 @@ class ComponentsSpec extends SparkSpec {
     assert(byLang("zh") == 100L) // rate 1000 keeps the stratum whole
     assert(math.abs(byLang("en") - 250L) < 60 &&
       math.abs(byLang("de") - 150L) < 50, byLang.toString)
+    // a TARGETED stratum absent from the corpus forces the whole
+    // ratebook to zero (the mix is unreachable without it) — per the
+    // n_out = min_s formula, never a silently-wrong mix
+    val withGhost = Sampling.ratebookForTargetMix(docs, "lang",
+      Seq(("en", 500), ("xx", 500)).toDF("lang", "target_pm"))
+      .select($"lang", $"n_docs", $"keep_docs", $"rate_pm")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(withGhost == Set(("en", 600L, 0L, 0L), ("xx", 0L, 0L, 0L)),
+      withGhost.toString)
+    // a non-positive target fails the query loudly, not div-by-zero-to-NULL
+    val boom = intercept[Exception] {
+      Sampling.ratebookForTargetMix(docs, "lang",
+        Seq(("en", 0)).toDF("lang", "target_pm")).collect()
+    }
+    assert(boom.getMessage != null)
     // token-weighted planning: same integer plan over summed weights,
     // checked against an independent Scala replay of the formula
     val wdocs = docs.withColumn("toks", lit(10L) + ($"doc_id" % 5))

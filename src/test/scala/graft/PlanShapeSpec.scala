@@ -180,13 +180,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       s"lexicon join not a shuffled equi-join:\n$p")
     assert(!p.contains("BroadcastHashJoin"), s"lexicon was broadcast:\n$p")
-    // the doc side is reduced to (doc, term, cnt) BEFORE the join: a
-    // partial aggregate sits below the term exchange
-    val lines = p.linesIterator.toSeq
-    val joinAt = lines.indexWhere(l =>
-      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
-    assert(lines.drop(joinAt + 1).exists(_.contains("HashAggregate")),
-      s"doc side not pre-reduced before the lexicon join:\n$p")
+    // the doc side is reduced to (doc, term, cnt) BEFORE the join: an
+    // aggregate keyed by (doc_id, term) must exist below the join —
+    // anchoring on both keys so the lexicon's own term-only aggregate
+    // (always present below the join) cannot satisfy the assert
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+        l.contains("doc_id") && l.contains("term")),
+      s"doc side not pre-reduced to (doc, term, cnt) before the lexicon join:\n$p")
   }
 
   test("epochOrder: one exchange on shard, sort is in-partition") {

@@ -265,6 +265,17 @@ class TextFeaturesSpec extends SparkSpec {
       .where($"doc_id" === 3L).select($"n_toks", $"rare_toks", $"rare_q")
       .as[(Long, Long, Long)].head()
     assert(got3 == ((3L, 2L, 666L)), got3.toString)
+    // NULL text tokenizes like blank ([""]) — the doc must NOT vanish
+    // from the output (one row per doc, in stats AND in the probe)
+    val withNull = Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ns = TextAnalysis.rareTokenStats(withNull, "doc_id", "text", lex, 2L)
+      .select($"doc_id", $"n_toks", $"rare_toks").as[(Long, Long, Long)].collect()
+    assert(ns.toSeq == Seq((7L, 1L, 1L)), ns.toSeq.toString)
+    val np = graft.operators.RequestResponse.rareTokenProbe(
+        withNull, lex, "doc_id", "text", 2L)
+      .select($"request_id", $"n_toks", $"rare_toks")
+      .as[(Long, Long, Long)].collect()
+    assert(np.toSeq == Seq((7L, 1L, 1L)), np.toSeq.toString)
   }
 
   test("lexiconIncrement: chunked arrival == one batch build; probe == batch stats") {
