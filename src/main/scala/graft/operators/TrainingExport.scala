@@ -153,12 +153,34 @@ object TrainingExport {
    * this writer's parallelism; the streaming path writes through
    * [[graft.streaming.ExactlyOnceSink]] with `bucket_col = shard`
    * instead (epochs + manifest), this is the one-shot batch form.
+   *
+   * Alongside the data it writes `_export.json` — the dataset card a
+   * training loader checks before an epoch: per-shard pack and token
+   * counts plus totals (the per-shard stats are a `nShards`-row
+   * aggregate, the one driver-side fold an export manifest costs —
+   * same shape as the sink's per-epoch manifest stats).
    */
-  def writePackedSequences(seqs: DataFrame, dir: String): Unit =
+  def writePackedSequences(seqs: DataFrame, dir: String): Unit = {
     seqs.repartition(col("shard"))
       .sortWithinPartitions(col("pack"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("shard").parquet(dir)
+    val per = seqs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("packs"), sum(col("seq_toks")).as("tokens"))
+      .orderBy(col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val json =
+      s"""{"shards":${per.length},"packs":${per.map(_._2).sum},""" +
+      s""""tokens":${per.map(_._3).sum},"per_shard":[""" +
+      per.map { case (s, p, t) =>
+        s"""{"shard":$s,"packs":$p,"tokens":$t}""" }.mkString(",") + "]}"
+    val conf = seqs.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir, "_export.json")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /**
    * Per-epoch deterministic reshuffle of the pack order — training reads

@@ -292,6 +292,14 @@ class ComponentsSpec extends SparkSpec {
     assert(one.select($"pack", $"seq_toks", $"seq_text")
       .exceptAll(expect.select($"pack", $"seq_toks", $"seq_text")).isEmpty)
     assert(expect.count() == one.count() && one.count() > 0)
+    // the export manifest (dataset card) cross-checks against the data
+    val card = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_export.json")), "UTF-8")
+    val wantPacks = seqs.count()
+    val wantToks = seqs.agg(sum($"seq_toks")).as[Long].head()
+    assert(card.contains(s""""shards":4""") &&
+      card.contains(s""""packs":$wantPacks""") &&
+      card.contains(s""""tokens":$wantToks"""), card)
   }
 
   test("corpusToPacks: gates drop junk, dedup keeps min id, layout invariant") {
