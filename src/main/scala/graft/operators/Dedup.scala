@@ -64,6 +64,40 @@ object Dedup {
       .withColumn("blocked", col("dup_q") >= maxDupQ)
   }
 
+  /**
+   * Incremental maintenance for the group-level dup-rate — the
+   * [[spanStatsIncrement]] shape at (group, fingerprint) granularity:
+   * history is the persisted `(group, fp, n)` table (one row per
+   * distinct fingerprint per group — ~distinct-content-sized, never the
+   * corpus) and raw text is never re-fingerprinted; an increment
+   * fingerprints ONLY the fresh docs and merges counts (union + one
+   * sum-groupBy, both sides already hash-partitioned). Returns
+   * (updatedGroupFp to persist, refreshed verdicts ≡ [[dupRateByGroup]]
+   * over history+fresh — chunked arrival ≡ one batch pass,
+   * spec-asserted).
+   *
+   * PRECONDITION: `fresh` must be DISJOINT from the docs already folded
+   * into `historyGroupFp` (exactly-once epochs — the sink manifest's
+   * re-delivered-epoch detection gives streaming callers this for
+   * free); a re-delivered doc permanently inflates its group's counts.
+   */
+  def dupRateIncrement(historyGroupFp: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String, groupCol: String,
+      maxDupQ: Int): (DataFrame, DataFrame) = {
+    require(maxDupQ >= 0 && maxDupQ <= 1000, "maxDupQ in [0,1000]")
+    val freshFp = fresh
+      .select(col(groupCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col(groupCol), col("fp")).agg(count(lit(1)).as("n"))
+    val updated = historyGroupFp.unionByName(freshFp)
+      .groupBy(col(groupCol), col("fp")).agg(sum(col("n")).as("n"))
+    val rates = updated.groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_distinct"))
+      .withColumn("dup_q", floor(lit(1000) * (col("n_docs") - col("n_distinct"))
+        / col("n_docs")).cast(LongType))
+      .withColumn("blocked", col("dup_q") >= maxDupQ)
+    (updated, rates)
+  }
+
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

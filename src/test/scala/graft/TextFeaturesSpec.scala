@@ -312,5 +312,18 @@ class TextFeaturesSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Boolean)].collect().toSet
     assert(got == Set(("g1", 4L, 2L, 500L, true), ("g2", 2L, 2L, 0L, false)),
       got.toString)
+    // incremental maintenance: two chunks through the persisted
+    // (group, fp, n) table ≡ the one-pass verdicts
+    val Seq(c1, c2) = Seq(docs.where($"doc_id" <= 3), docs.where($"doc_id" > 3))
+    val (h1, _) = graft.operators.Dedup.dupRateIncrement(
+      spark.emptyDataFrame.select(lit("").as("source"), lit("").as("fp"),
+        lit(0L).as("n")).where(lit(false)),
+      c1, "doc_id", "text", "source", 100)
+    val (_, rates) = graft.operators.Dedup.dupRateIncrement(
+      h1, c2, "doc_id", "text", "source", 100)
+    val inc = rates
+      .select($"source", $"n_docs", $"n_distinct", $"dup_q", $"blocked")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(inc == got, s"incremental $inc != batch $got")
   }
 }
