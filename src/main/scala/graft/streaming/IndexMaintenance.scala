@@ -95,4 +95,25 @@ object IndexMaintenance {
     val postings = index.read(spark)
     (done, TextSearch.termDf(postings), TextSearch.statsOf(postings))
   }
+
+  /**
+   * [[bm25CatchUp]]'s shape for the rare-token gate's lexicon: catch the
+   * persisted term-frequency table up with the corpus (each epoch's
+   * PARTIAL counts committed as that epoch's index rows — counts are
+   * associative, so the table is union-composable) and hand back the
+   * SERVING lexicon, re-summed per term across epochs. Serving off a
+   * stale or un-resummed table is the failure mode this closes: a term
+   * split across epochs would join twice into
+   * [[graft.operators.TextAnalysis.rareTokenStats]] and double-count.
+   */
+  def lexiconCatchUp(spark: SparkSession, corpus: ExactlyOnceSink,
+      index: ExactlyOnceSink, textCol: String): (Seq[Long], DataFrame) = {
+    import org.apache.spark.sql.functions.{col, sum}
+    import graft.operators.TextAnalysis
+    val done = catchUp(spark, corpus, index)(
+      TextAnalysis.termFrequencies(_, textCol))
+    val lexicon = index.read(spark)
+      .groupBy(col("term")).agg(sum(col("tf")).as("tf"))
+    (done, lexicon)
+  }
 }

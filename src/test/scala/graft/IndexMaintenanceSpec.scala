@@ -119,4 +119,34 @@ class IndexMaintenanceSpec extends SparkSpec {
       spark, corpus, index, "doc_id", "text")
     assert(e2.isEmpty && rows(st2.toDF()) == rows(st1.toDF()))
   }
+
+  test("lexiconCatchUp: epoch-partial counts re-sum; gate serving ≡ from-scratch lexicon") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextAnalysis
+    val dir = Files.createTempDirectory("lexmnt").toString
+    val corpus = new ExactlyOnceSink(s"$dir/corpus")
+    val index = new ExactlyOnceSink(s"$dir/lexicon")
+    val reqs = docs.where(col("doc_id") < 5).select(col("doc_id"), col("text"))
+
+    corpus.write(docs.where(col("doc_id") % 2 === 0), 0L)
+    corpus.write(docs.where(col("doc_id") % 2 === 1), 1L)
+    val (done, lexicon) = IndexMaintenance.lexiconCatchUp(
+      spark, corpus, index, "text")
+    assert(done == Seq(0L, 1L))
+    // a term split across the two epochs must NOT double-join: serving
+    // off the re-summed lexicon equals a from-scratch single-pass build
+    val expect = rows(TextAnalysis.rareTokenStats(reqs, "doc_id", "text",
+      TextAnalysis.termFrequencies(docs, "text"), 3L))
+    val served = rows(TextAnalysis.rareTokenStats(reqs, "doc_id", "text",
+      lexicon, 3L))
+    assert(served == expect && served.nonEmpty)
+    // the RAW index table is epoch-partial (more rows than terms) — the
+    // re-sum is load-bearing, not decorative
+    assert(index.read(spark).count() >
+      index.read(spark).select(col("term")).distinct().count())
+    // caught up: nothing new to index, same serving lexicon
+    val (again, lex2) = IndexMaintenance.lexiconCatchUp(
+      spark, corpus, index, "text")
+    assert(again.isEmpty && rows(lex2) == rows(lexicon))
+  }
 }
