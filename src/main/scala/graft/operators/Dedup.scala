@@ -82,7 +82,7 @@ object Dedup {
    * free); a re-delivered doc permanently inflates its group's counts.
    */
   def dupRateIncrement(historyGroupFp: DataFrame, fresh: DataFrame,
-      idCol: String, textCol: String, groupCol: String,
+      textCol: String, groupCol: String,
       maxDupQ: Int): (DataFrame, DataFrame) = {
     require(maxDupQ >= 0 && maxDupQ <= 1000, "maxDupQ in [0,1000]")
     val freshFp = fresh
@@ -90,8 +90,12 @@ object Dedup {
       .groupBy(col(groupCol), col("fp")).agg(count(lit(1)).as("n"))
     val updated = historyGroupFp.unionByName(freshFp)
       .groupBy(col(groupCol), col("fp")).agg(sum(col("n")).as("n"))
+    // n_distinct counts NON-NULL fingerprints only — countDistinct in
+    // [[dupRateByGroup]] skips NULLs (null-text docs), so the incremental
+    // verdicts must too or a null-fp row would add a phantom distinct
     val rates = updated.groupBy(col(groupCol))
-      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_distinct"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(when(col("fp").isNotNull, lit(1))).as("n_distinct"))
       .withColumn("dup_q", floor(lit(1000) * (col("n_docs") - col("n_distinct"))
         / col("n_docs")).cast(LongType))
       .withColumn("blocked", col("dup_q") >= maxDupQ)

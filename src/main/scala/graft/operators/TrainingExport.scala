@@ -165,10 +165,16 @@ object TrainingExport {
       .sortWithinPartitions(col("pack"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("shard").parquet(dir)
-    val per = seqs.groupBy(col("shard"))
+    // stats come from the parquet just WRITTEN, not from re-executing the
+    // seqs plan (which would replay every upstream shuffle and the text
+    // materialization a second time, and could diverge from the files if
+    // an input mutated between the two executions)
+    val per = seqs.sparkSession.read.parquet(dir)
+      .groupBy(col("shard"))
       .agg(count(lit(1)).as("packs"), sum(col("seq_toks")).as("tokens"))
       .orderBy(col("shard"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect().map(r => (r.getAs[Number]("shard").longValue(),
+        r.getLong(1), r.getLong(2)))
     val json =
       s"""{"shards":${per.length},"packs":${per.map(_._2).sum},""" +
       s""""tokens":${per.map(_._3).sum},"per_shard":[""" +

@@ -13,12 +13,14 @@ import graft.operators.TextAnalysis
  * operators so the report and the gates can never disagree. Prints ONE
  * JSON object to stdout.
  *
- * Cost shape: two corpus passes — one projection+aggregate pass for
- * every per-row signal (the gates are codegen'd expressions, evaluated
- * in the scan stage), plus the lexicon build that the rare-token signal
- * needs (its own groupBy pass, the same table
+ * Cost shape: the per-row signal projection is computed ONCE and cached
+ * (totals, language mix, quality histogram, and the dup-rate table all
+ * aggregate the cached projection — the gates are codegen'd
+ * expressions, evaluated in the scan stage of that single pass), plus
+ * the lexicon/OOV pass that the rare-token signal needs (the same table
  * [[TextAnalysis.lexiconIncrement]] would maintain incrementally in
- * production — pass a persisted lexicon dir as args(1) to skip it).
+ * production — pass a persisted lexicon dir as args(1) to skip the
+ * in-report build).
  *
  *   sbt "runMain graft.tools.CorpusReport [sfDir] [lexiconDir]"
  */
@@ -44,9 +46,15 @@ object CorpusReport {
       TextAnalysis.fingerprint(col("text")).as("fp"),
       emails.as("pii_email"), ips.as("pii_ip"), phones.as("pii_phone"),
       // Gopher-style repetition: fraction of words that are the single
-      // most common word, flagged above 200 permille
-      (lit(1000) * TextAnalysis.topWordCount(words) /
-        greatest(size(words), lit(1))).cast("long").as("rep_q"))
+      // most common word, flagged above 200 permille — on docs of >= 10
+      // words only (a blank/one-word doc is trivially 1000 permille and
+      // would turn the signal into a proxy for short docs); the multiply
+      // is on LONG like every other permille in the repo (an Int 1000*x
+      // wraps on multi-megabyte pathological docs)
+      when(size(words) >= 10,
+        (lit(1000L) * TextAnalysis.topWordCount(words).cast("long") /
+          size(words)).cast("long")).otherwise(lit(0L)).as("rep_q"))
+      .cache()
 
     val totals = row.agg(
       count(lit(1)).as("docs"),
@@ -64,11 +72,16 @@ object CorpusReport {
       .agg(count(lit(1)).as("n"), sum($"toks").as("toks"))
       .orderBy($"toks".desc)
       .as[(String, Long, Long)].collect()
-    val qHist = row.groupBy(($"q" / 10).cast("long").as("decile"))
+    // true deciles 0–9: the maximum score (100) joins the [90,100] bucket
+    val qHist = row.groupBy(least($"q" / 10, lit(9)).cast("long").as("decile"))
       .agg(count(lit(1)).as("n")).orderBy($"decile")
       .as[(Long, Long)].collect()
-    val worstSources = graft.operators.Dedup
-      .dupRateByGroup(docs, "doc_id", "text", "source", maxDupQ = 100)
+    // dup-rate off the CACHED projection (row already carries source+fp —
+    // re-running dupRateByGroup over docs would re-fingerprint the corpus)
+    val worstSources = row.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"fp").as("n_distinct"))
+      .withColumn("dup_q", floor(lit(1000) * ($"n_docs" - $"n_distinct")
+        / $"n_docs").cast("long"))
       .orderBy($"dup_q".desc, $"source").limit(5)
       .select($"source", $"dup_q").as[(String, Long)].collect()
 
@@ -81,24 +94,33 @@ object CorpusReport {
         sum(when($"rare_q" >= 500, 1L).otherwise(0L)).as("oov_docs"))
       .head()
 
-    def jStr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // a raised getLong would NPE on an empty corpus (sum() of no rows is
+    // NULL even when count is 0) — zero-fill instead of crashing
+    def gl(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    def jStr(s: String) = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => "\\u%04x".format(c.toInt) // control chars break strict JSON
+      case c => c.toString
+    } + "\""
     val langJson = langMix.map { case (l, n, t) =>
       s"{${jStr(l)}:{" + s""""docs":$n,"tokens":$t}}""" }.mkString("[", ",", "]")
     val histJson = qHist.map { case (d, n) => s"""{"decile":$d,"docs":$n}""" }
       .mkString("[", ",", "]")
     val worstJson = worstSources.map { case (s, d) =>
       s"{${jStr(s)}:$d}" }.mkString("[", ",", "]")
-    val dupPm = 1000L * (totals.getLong(0) - totals.getLong(3)) /
-      math.max(totals.getLong(0), 1L)
+    val dupPm = 1000L * (gl(totals, 0) - gl(totals, 3)) /
+      math.max(gl(totals, 0), 1L)
     println(
-      s"""{"docs":${totals.getLong(0)},"tokens":${totals.getLong(1)},""" +
-      s""""chars":${totals.getLong(2)},"exact_dup_pm":$dupPm,""" +
-      s""""pii":{"emails":${totals.getLong(4)},"ips":${totals.getLong(5)},""" +
-      s""""phones":${totals.getLong(6)}},""" +
-      s""""repetitive_docs":${totals.getLong(7)},""" +
-      s""""low_quality_docs":${totals.getLong(8)},""" +
-      s""""oov":{"rare_tokens":${oov.getLong(0)},"all_tokens":${oov.getLong(1)},""" +
-      s""""flagged_docs":${oov.getLong(2)}},""" +
+      s"""{"docs":${gl(totals, 0)},"tokens":${gl(totals, 1)},""" +
+      s""""chars":${gl(totals, 2)},"exact_dup_pm":$dupPm,""" +
+      s""""pii":{"emails":${gl(totals, 4)},"ips":${gl(totals, 5)},""" +
+      s""""phones":${gl(totals, 6)}},""" +
+      s""""repetitive_docs":${gl(totals, 7)},""" +
+      s""""low_quality_docs":${gl(totals, 8)},""" +
+      s""""oov":{"rare_tokens":${gl(oov, 0)},"all_tokens":${gl(oov, 1)},""" +
+      s""""flagged_docs":${gl(oov, 2)}},""" +
       s""""lang_mix":$langJson,"quality_deciles":$histJson,""" +
       s""""worst_dup_sources":$worstJson}""")
     spark.stop()

@@ -318,9 +318,9 @@ class TextFeaturesSpec extends SparkSpec {
     val (h1, _) = graft.operators.Dedup.dupRateIncrement(
       spark.emptyDataFrame.select(lit("").as("source"), lit("").as("fp"),
         lit(0L).as("n")).where(lit(false)),
-      c1, "doc_id", "text", "source", 100)
+      c1, "text", "source", 100)
     val (_, rates) = graft.operators.Dedup.dupRateIncrement(
-      h1, c2, "doc_id", "text", "source", 100)
+      h1, c2, "text", "source", 100)
     val inc = rates
       .select($"source", $"n_docs", $"n_distinct", $"dup_q", $"blocked")
       .as[(String, Long, Long, Long, Boolean)].collect().toSet
