@@ -2239,11 +2239,38 @@ object Queries {
         cast((1000 * (n_toks - known)) // n_toks AS BIGINT) AS rare_q
       FROM st"""))
 
+  // the blocklist SERVING path: the persisted (group, fp, n) table built
+  // in two dupRateIncrement chunks in-query — the oracle is q73's
+  // one-pass SQL, so incremental ≡ batch is value-checked at the gate
+  // (the q74 pattern for the dup-rate plane).
+  private val q75 = QueryDef("q75_blocklist_increment",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val h0 = docs.where(lit(false)).select(col("source"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        lit(0L).as("n"))
+      val (h1, _) = Dedup.dupRateIncrement(h0,
+        docs.where(col("doc_id") % 2 === 0), "text", "source", 100)
+      val (_, rates) = Dedup.dupRateIncrement(h1,
+        docs.where(col("doc_id") % 2 === 1), "text", "source", 100)
+      rates.select(col("source"), col("n_docs"), col("n_distinct"),
+        col("dup_q"), col("blocked").cast(LongType).as("blocked"))
+    },
+    Some("""WITH g AS (SELECT source, count(*) AS n_docs,
+        count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))
+          AS n_distinct
+        FROM documents GROUP BY source)
+      SELECT source, n_docs, n_distinct,
+        cast((1000 * (n_docs - n_distinct)) // n_docs AS BIGINT) AS dup_q,
+        cast(CASE WHEN (1000 * (n_docs - n_distinct)) // n_docs >= 100
+          THEN 1 ELSE 0 END AS BIGINT) AS blocked
+      FROM g"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74)
+    q70, q71, q72, q73, q74, q75)
 }
