@@ -2266,11 +2266,94 @@ object Queries {
           THEN 1 ELSE 0 END AS BIGINT) AS blocked
       FROM g"""))
 
+  // span-level EXACT benchmark decontamination (GPT-3/PaLM convention:
+  // n = 13 verbatim token windows). Benchmark side = doc_id % 37 == 0
+  // (q55's split); contamination is PLANTED like q60 plants PII — a fixed
+  // 13-token sentinel appended to every 5th corpus doc and every 3rd
+  // bench doc — so the exact-window hit path is value-exercised even if
+  // the generator never repeats 13 tokens verbatim across docs. Bench
+  // windows collapse to distinct hashes and broadcast; corpus is hashed
+  // once rowwise (codegen'd SpanHashes), never shuffled on text.
+  private val decontSentinel =
+    "the quick brown fox jumps over the lazy dog near the old mill"
+  private val q76 = QueryDef("q76_span_decontamination",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val corpus = docs.where(col("doc_id") % 37 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" " + decontSentinel)))
+            .otherwise(col("text")).as("text"))
+      val bench = docs.where(col("doc_id") % 37 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" " + decontSentinel)))
+            .otherwise(col("text")).as("text"))
+      Dedup.decontaminateBySpans(corpus, bench,
+        "doc_id", "text", "doc_id", "text", n = 13)
+    },
+    Some("""WITH corp AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+          THEN text || ' the quick brown fox jumps over the lazy dog near the old mill'
+          ELSE text END AS text
+        FROM documents WHERE doc_id % 37 <> 0),
+      ben AS (SELECT CASE WHEN doc_id % 3 = 0
+          THEN text || ' the quick brown fox jumps over the lazy dog near the old mill'
+          ELSE text END AS text
+        FROM documents WHERE doc_id % 37 = 0),
+      bt AS (SELECT string_split_regex(trim(text), '\s+') AS ts FROM ben),
+      bh AS (SELECT DISTINCT
+          md5(list_aggregate(ts[i : i+12], 'string_agg', ' ')) AS span_hash
+        FROM bt, unnest(generate_series(1, greatest(len(ts)-12, 0))) AS t(i)),
+      ct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM corp),
+      cw AS (SELECT DISTINCT doc_id,
+          md5(list_aggregate(ts[i : i+12], 'string_agg', ' ')) AS span_hash
+        FROM ct, unnest(generate_series(1, greatest(len(ts)-12, 0))) AS t(i)),
+      sz AS (SELECT doc_id, count(*) AS n_spans FROM cw GROUP BY 1),
+      hits AS (SELECT doc_id, count(*) AS hit_spans
+        FROM cw JOIN bh USING (span_hash) GROUP BY 1)
+      SELECT sz.doc_id, cast(n_spans AS BIGINT) AS n_spans,
+        cast(coalesce(hit_spans, 0) AS BIGINT) AS hit_spans,
+        coalesce(hit_spans, 0) > 0 AS tainted
+      FROM sz LEFT JOIN hits USING (doc_id)"""))
+
+  // encoding-sanity gate: mojibake (UTF-8-read-as-Latin-1) hit counts
+  // rolled up per source. Artifacts are PLANTED q60-style (every 4th doc
+  // gets Ã©/Ã± forms, every 6th the â€™/â€”/â€œ forms) so the gate is
+  // value-exercised; the generator's own text is clean, which the zero
+  // rows of un-planted sources would otherwise hide.
+  private val q77 = QueryDef("q77_mojibake_gate",
+    (s, d) => {
+      rd(s, d, "documents")
+        .withColumn("ptext", concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" cafÃ© seÃ±or")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0,
+            lit(" donâ€™t â€” â€œquote")).otherwise(lit(""))))
+        .select(col("source"),
+          TextAnalysis.mojibakeCount(col("ptext")).as("hits"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("bad_docs"),
+          sum(col("hits")).cast(LongType).as("sum_hits"),
+          max(col("hits")).cast(LongType).as("max_hits"))
+    },
+    Some("""WITH p AS (SELECT source, text
+          || (CASE WHEN doc_id % 4 = 0 THEN ' cafÃ© seÃ±or' ELSE '' END)
+          || (CASE WHEN doc_id % 6 = 0 THEN ' donâ€™t â€” â€œquote' ELSE '' END)
+          AS ptext FROM documents),
+      h AS (SELECT source, len(regexp_extract_all(ptext,
+          'â€™|â€œ|â€“|â€”|Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|Â°|Â·|Â»|Â«|ï»¿')) AS hits
+        FROM p)
+      SELECT source, count(*) AS docs,
+        cast(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_docs,
+        cast(sum(hits) AS BIGINT) AS sum_hits,
+        cast(max(hits) AS BIGINT) AS max_hits
+      FROM h GROUP BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75)
+    q70, q71, q72, q73, q74, q75, q76, q77)
 }

@@ -602,6 +602,39 @@ object Dedup {
       .where($"contain_q" >= minContainQ)
   }
 
+  /**
+   * Span-level EXACT decontamination — the GPT-3/PaLM/Llama-style
+   * benchmark filter: a corpus document is tainted if any exact n-token
+   * window of any benchmark document appears verbatim in it (the
+   * industry convention is n = 13; [[contaminationTag]] is the softer
+   * small-n shingle-CONTAINMENT score, this is the hard exact-window
+   * test). Returns one row per corpus doc with ≥ 1 window:
+   * `(doc_id, n_spans, hit_spans, tainted)` — distinct n-token windows,
+   * how many of them are benchmark windows, and the verdict.
+   *
+   * 100 TB shape: the benchmark side collapses to its DISTINCT window
+   * hashes (eval suites are tiny against the corpus) and is broadcast
+   * into the corpus window scan; the corpus is hashed ONCE rowwise
+   * (codegen'd [[SpanHashes]]), never shuffled — output is doc-keyed
+   * counts. Windows respect document boundaries on both sides.
+   */
+  def decontaminateBySpans(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, benchIdCol: String,
+      benchTextCol: String, n: Int = 13): DataFrame = {
+    val bHash = spanHashRows(
+      bench.select(col(benchIdCol).as("bench_id"),
+        col(benchTextCol).as("text")), "bench_id", "text", n)
+      .select($"span_hash").distinct()
+    val cSpans = spanHashRows(corpus, idCol, textCol, n)
+    val sz = cSpans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    val hits = cSpans.join(broadcast(bHash), Seq("span_hash"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hit_spans"))
+    sz.join(hits, Seq(idCol), "left")
+      .select(col(idCol), $"n_spans",
+        coalesce($"hit_spans", lit(0L)).as("hit_spans"))
+      .withColumn("tainted", $"hit_spans" > 0)
+  }
+
   /** Per-row minhash band signatures (see [[MinHashBandSigs]]). */
   def minhash_band_sigs(text: Column, n: Int, bands: Int): Column =
     org.apache.spark.sql.graftshim.Bridge.column(

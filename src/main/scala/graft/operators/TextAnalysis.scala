@@ -211,6 +211,23 @@ object TextAnalysis {
         ipv4Pattern, "<IP>"),
       phonePattern, "<PHONE>")
 
+  /** Encoding-artifact ("mojibake") pattern: the common UTF-8-read-as-
+    * Latin-1 double-encoding sequences (â€™ â€œ â€“ â€” Ã© Ã¨ Ã¼ Ã¶ Ã¤
+    * Ã± Ã§ Â° Â· Â» Â« and the BOM-as-text ï»¿) as a literal
+    * alternation — no classes, no dots, so Java regex and RE2 count the
+    * same non-overlapping hits on the same UTF-8 bytes. A page with any
+    * of these was decoded with the wrong charset somewhere in its life;
+    * CCNet-style cleaning drops or re-decodes such docs. Deliberately a
+    * high-precision subset (real mojibake zoo is larger — extend the
+    * alternation, mirroring the oracle SQL in lockstep). */
+  val mojibakePattern: String =
+    "â€™|â€œ|â€“|â€”|Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|Â°|Â·|Â»|Â«|ï»¿"
+
+  /** Mojibake hit count per document — the encoding-sanity gate signal
+    * (flag `> 0`, or rate against [[tokenCount]] for a permille). */
+  def mojibakeCount(text: Column): Column =
+    regexp_count(text, lit(mojibakePattern))
+
   /** PII hit counts over the raw text — the audit statistics a redaction
     * job must log per partition (count BEFORE redacting; the placeholders
     * themselves never re-match). */

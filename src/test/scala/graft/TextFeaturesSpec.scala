@@ -223,6 +223,25 @@ class TextFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("mojibake gate: double-encoded sequences count, clean text is zero") {
+    import spark.implicits._
+    val cases: Seq[(String, Int)] = Seq(
+      ("itâ€™s fine", 1),                    // â€™ (’ as UTF-8-in-Latin-1)
+      ("â€œquotedâ€ text", 1),         // â€œ hits; the stray tail doesn't
+      ("cafÃ© and seÃ±or and garÃ§on", 3),   // Ã© Ã± Ã§
+      ("â€“ dash â€” dash Â« guillemets Â»", 4),
+      ("﻿ byte order mark as ï»¿ text", 1), // literal mojibake BOM only
+      ("it’s a café — naïve « clean » text", 0), // PROPERLY decoded: clean
+      ("plain ascii only", 0),
+      ("", 0))
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), TextAnalysis.mojibakeCount(col("t")).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    cases.zip(got).foreach { case (want, have) =>
+      assert(want._2 === have._2, s"input: '${want._1}'")
+    }
+  }
+
   test("repetition signals match an independent Scala reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(61)

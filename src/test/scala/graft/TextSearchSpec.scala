@@ -87,6 +87,34 @@ class TextSearchSpec extends SparkSpec {
     assert(got.head._3 == 1000L, s"full containment expected: ${got.head}")
   }
 
+  test("span decontamination: exact 13-gram windows, boundaries, short docs") {
+    import spark.implicits._
+    val sent = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13" // exactly 13
+    val bench = Seq((1000L, s"benchmark preamble $sent and a closing line"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"noise before $sent noise after"),          // verbatim hit
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),   // 12 of 13: no window
+      (3L, s"${sent.replace("w7", "W7")} padded out to thirteen plus tokens"),
+      (4L, "short doc"),                                 // < 13 tokens: absent
+      (5L, sent))                                        // the window IS the doc
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminateBySpans(corpus, bench,
+        "doc_id", "text", "doc_id", "text", n = 13)
+      .select($"doc_id", $"n_spans", $"hit_spans", $"tainted")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 3L, 5L), got.toString) // 2 & 4: no window
+    assert(got(1L)._4 && got(1L)._3 == 1L, got(1L).toString)
+    assert(!got(3L)._4, s"case-changed token must not hit: ${got(3L)}")
+    assert(got(5L) == ((5L, 1L, 1L, true)), got(5L).toString)
+    // a window straddling two bench docs must NOT exist: doc boundaries hold
+    val splitBench = Seq((1L, "w1 w2 w3 w4 w5 w6 w7"),
+      (2L, "w8 w9 w10 w11 w12 w13")).toDF("doc_id", "text")
+    val none = Dedup.decontaminateBySpans(Seq((9L, sent)).toDF("doc_id", "text"),
+      splitBench, "doc_id", "text", "doc_id", "text", n = 13)
+    assert(none.where($"tainted").isEmpty, "cross-bench-doc window leaked")
+  }
+
   test("chunking: coverage, overlap, tail, and degenerate docs") {
     import spark.implicits._
     val size = 16; val stride = 12
