@@ -625,13 +625,15 @@ object Dedup {
       bench.select(col(benchIdCol).as("bench_id"),
         col(benchTextCol).as("text")), "bench_id", "text", n)
       .select($"span_hash").distinct()
-    val cSpans = spanHashRows(corpus, idCol, textCol, n)
-    val sz = cSpans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
-    val hits = cSpans.join(broadcast(bHash), Seq("span_hash"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("hit_spans"))
-    sz.join(hits, Seq(idCol), "left")
-      .select(col(idCol), $"n_spans",
-        coalesce($"hit_spans", lit(0L)).as("hit_spans"))
+    // ONE corpus pass: left-broadcast the bench hashes into the window
+    // stream and take both counts in the same partial-aggregated groupBy
+    // (two agg branches would scan + hash the corpus twice).
+    spanHashRows(corpus, idCol, textCol, n)
+      .join(broadcast(bHash.select($"span_hash", lit(1L).as("hit"))),
+        Seq("span_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce($"hit", lit(0L))).as("hit_spans"))
       .withColumn("tainted", $"hit_spans" > 0)
   }
 

@@ -107,6 +107,13 @@ class TextSearchSpec extends SparkSpec {
     assert(got(1L)._4 && got(1L)._3 == 1L, got(1L).toString)
     assert(!got(3L)._4, s"case-changed token must not hit: ${got(3L)}")
     assert(got(5L) == ((5L, 1L, 1L, true)), got(5L).toString)
+    // plan: bench hashes broadcast, corpus scanned+hashed exactly ONCE
+    val plan = Dedup.decontaminateBySpans(corpus, bench,
+        "doc_id", "text", "doc_id", "text", n = 13)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val nScans = "LocalTableScan".r.findAllIn(plan).size
+    assert(nScans == 2, s"expected 2 scans (corpus once, bench once):\n$plan")
     // a window straddling two bench docs must NOT exist: doc boundaries hold
     val splitBench = Seq((1L, "w1 w2 w3 w4 w5 w6 w7"),
       (2L, "w8 w9 w10 w11 w12 w13")).toDF("doc_id", "text")
