@@ -2349,11 +2349,57 @@ object Queries {
         cast(max(hits) AS BIGINT) AS max_hits
       FROM h GROUP BY source"""))
 
+  // CCNet/RefinedWeb-style LINE-level dedup: lines recurring across
+  // distinct docs (nav bars, cookie banners) cut from every doc, kept
+  // lines rejoined in order. Line structure is PLANTED (the generator
+  // writes single-line text): a boilerplate first line shared by all
+  // docs, the original text as the middle line, a per-doc unique line,
+  // and a last line that is either empty (every 3rd doc — whitespace-only
+  // lines are exempt and must survive) or one of 5 shared cookie-banner
+  // variants (duplicated, cut). Output fingerprints the rewrite per doc
+  // (q67's shape) so order, trailing-empty handling, and byte identity of
+  // untouched spans are value-checked digit-for-digit.
+  private val q78 = QueryDef("q78_line_dedup",
+    (s, d) => {
+      val lined = rd(s, d, "documents").select(col("doc_id"),
+        concat(lit("nav home about contact subscribe\n"), col("text"),
+          lit("\nunique line "), col("doc_id").cast(StringType), lit("\n"),
+          when(col("doc_id") % 3 === 0, lit(""))
+            .otherwise(concat(lit("cookie banner "),
+              (col("doc_id") % 5).cast(StringType)))).as("text"))
+      Dedup.removeDuplicatedLines(lined, Dedup.lineDf(lined, "text"),
+          "doc_id", "text", minDf = 2L)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("kept_toks"),
+          md5(col("text").cast(BinaryType)).as("text_md5"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        'nav home about contact subscribe' || chr(10) || text || chr(10)
+          || 'unique line ' || doc_id::VARCHAR || chr(10)
+          || (CASE WHEN doc_id % 3 = 0 THEN ''
+              ELSE 'cookie banner ' || (doc_id % 5)::VARCHAR END) AS ptext
+        FROM documents),
+      u AS (SELECT doc_id, ls[i] AS line, i AS pos
+        FROM (SELECT doc_id, string_split(ptext, chr(10)) AS ls FROM p),
+          unnest(generate_series(1, len(ls))) AS t(i)),
+      d AS (SELECT line FROM
+          (SELECT DISTINCT doc_id, line FROM u WHERE trim(line) <> '')
+        GROUP BY line HAVING count(*) >= 2),
+      k AS (SELECT doc_id, pos, line FROM u
+        WHERE trim(line) = '' OR line NOT IN (SELECT line FROM d)),
+      r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM k GROUP BY doc_id)
+      SELECT p.doc_id,
+        cast(len(regexp_extract_all(coalesce(r.text, ''), '\S+')) AS BIGINT)
+          AS kept_toks,
+        md5(coalesce(r.text, '')) AS text_md5
+      FROM p LEFT JOIN r USING (doc_id)"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78)
 }

@@ -637,6 +637,68 @@ object Dedup {
       .withColumn("tainted", $"hit_spans" > 0)
   }
 
+  /**
+   * Line document-frequency table `(line_hash, n_docs)` — the persisted
+   * index behind CCNet/RefinedWeb-style LINE-level dedup (drop lines
+   * that recur across documents: nav bars, cookie banners, share
+   * buttons). `n_docs` counts DISTINCT documents (a line repeated
+   * within one doc does not inflate it — `array_distinct` collapses
+   * per-row BEFORE the exchange, so the shuffle carries ≤ one row per
+   * (doc, distinct line)). Whitespace-only lines are structural, not
+   * content — excluded here and always kept by the remover. Lines are
+   * matched EXACTLY (byte equality via md5); normalize upstream
+   * ([[TextAnalysis.fingerprint]]-style) for a fuzzier merge. Keep every
+   * hash, not just df ≥ 2: an increment can promote a unique line.
+   */
+  def lineDf(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(array_distinct(split(col(textCol), "\n"))).as("line"))
+      .where(trim($"line") =!= "")
+      .groupBy(md5($"line".cast(BinaryType)).as("line_hash"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Incremental [[lineDf]] maintenance: fold a fresh epoch into the
+    * persisted table (union + re-sum — fresh docs are hashed once, the
+    * history is never re-read at text level). PRECONDITION: `fresh` must
+    * be disjoint from docs already folded in (exactly-once epochs — the
+    * sink manifest's re-delivered-epoch detection guarantees this); a
+    * replayed doc would inflate `n_docs`. Chunked ≡ batch (spec'd). */
+  def lineDfIncrement(history: DataFrame, fresh: DataFrame,
+      textCol: String): DataFrame =
+    history.unionByName(lineDf(fresh, textCol))
+      .groupBy($"line_hash").agg(sum($"n_docs").as("n_docs"))
+
+  /**
+   * Corpus rewrite: lines appearing in ≥ `minDf` distinct docs (per
+   * `lineStats` = a [[lineDf]] table) are CUT from every doc; surviving
+   * lines rejoin with `\n` in original order. Docs with nothing cut are
+   * byte-identical (split/rejoin round-trips trailing empties);
+   * whitespace-only lines always survive (paragraph structure is not
+   * "duplicated content"). A doc whose every line was cut survives as
+   * the empty string — removal must never drop rows.
+   *
+   * 100 TB shape: one posexplode (rows ≈ lines, each a short string +
+   * 16-byte hash), one hash-partitioned anti-join against the flagged
+   * subset of the index, one doc-keyed rebuild shuffle — text itself is
+   * never the shuffle key. Same silhouette as [[removeDuplicatedSpans]].
+   */
+  def removeDuplicatedLines(df: DataFrame, lineStats: DataFrame,
+      idCol: String, textCol: String, minDf: Long = 2L): DataFrame = {
+    val dup = lineStats.where($"n_docs" >= minDf).select($"line_hash")
+    val kept = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("__pos", "__line")))
+      .withColumn("__h", md5($"__line".cast(BinaryType)))
+      .join(dup, $"__h" === dup("line_hash") && trim($"__line") =!= "",
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct($"__pos", $"__line"))),
+          x => x.getField("__line")), "\n").as("__rebuilt"))
+    df.join(kept, Seq(idCol), "left")
+      .withColumn(textCol, coalesce($"__rebuilt", lit("")))
+      .drop("__rebuilt")
+  }
+
   /** Per-row minhash band signatures (see [[MinHashBandSigs]]). */
   def minhash_band_sigs(text: Column, n: Int, bands: Int): Column =
     org.apache.spark.sql.graftshim.Bridge.column(

@@ -193,6 +193,49 @@ class DedupScaleSpec extends SparkSpec {
       updated.count() == 2L) // promoted span + doc 2's unique second window
   }
 
+  test("removeDuplicatedLines: cross-doc cut, within-doc kept, blanks, identity, full cut") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "shared nav\nalpha content one\n\nshared footer"),
+      (2L, "shared nav\nbeta content two\nshared footer"),
+      (3L, "gamma text\ngamma text\nunique tail three"), // within-ONE-doc repeat
+      (4L, "delta line\nepsilon line"),                  // nothing shared
+      (5L, "shared nav\nshared footer"))                 // every line cut
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedLines(corpus,
+        Dedup.lineDf(corpus, "text"), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 5, "removal must never drop rows")
+    // cross-doc lines cut; order and blank line preserved
+    assert(out(1L) == "alpha content one\n", out(1L))
+    assert(out(2L) == "beta content two", out(2L))
+    // a line repeated only WITHIN one doc is not duplicated (df = distinct docs)
+    assert(out(3L) == "gamma text\ngamma text\nunique tail three", out(3L))
+    // untouched doc is byte-identical
+    assert(out(4L) == "delta line\nepsilon line", out(4L))
+    // all lines cut -> empty string, row survives
+    assert(out(5L) == "", out(5L))
+  }
+
+  test("incremental line-df: chunked arrival equals batch; promotion across chunks") {
+    import spark.implicits._
+    val docs6 = docs.where($"doc_id" < 60).select($"doc_id",
+      concat(lit("hdr line\n"), $"text", lit("\ntail "),
+        ($"doc_id" % 4).cast("string")).as("text"))
+    val batch = Dedup.lineDf(docs6, "text")
+    val inc = Dedup.lineDfIncrement(
+      Dedup.lineDfIncrement(Dedup.lineDf(docs6.where($"doc_id" < 20), "text"),
+        docs6.where($"doc_id" >= 20 && $"doc_id" < 40), "text"),
+      docs6.where($"doc_id" >= 40), "text")
+    assert(batch.exceptAll(inc).isEmpty && inc.exceptAll(batch).isEmpty,
+      "chunked line-df must equal the single-batch build")
+    // a line unique in chunk 1 ('tail 0' seen once) must be PROMOTED by
+    // later chunks — removal off the incremental table equals batch removal
+    val a = Dedup.removeDuplicatedLines(docs6, batch, "doc_id", "text")
+    val b = Dedup.removeDuplicatedLines(docs6, inc, "doc_id", "text")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("incremental near-dup: ANY random id-ordered split reproduces single-batch") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
