@@ -2395,11 +2395,82 @@ object Queries {
         md5(coalesce(r.text, '')) AS text_md5
       FROM p LEFT JOIN r USING (doc_id)"""))
 
+  // link-graph plane: pages with deterministic outlinks synthesized from
+  // events (q28's eventPages idiom) — two absolute links per page whose
+  // target hosts derive from event columns (plus a relative link the
+  // extractor must skip), so the whole chain — regex extraction off the
+  // page BYTES, host normalization (mixed case via <A HREF>, :8080 port
+  // strip), self-link drop, multiplicity — is value-exercised while the
+  // oracle derives the same edges ARITHMETICALLY from the event columns
+  // (an independent derivation, not a regex re-run).
+  private def linkPages(s: SparkSession, d: String): DataFrame =
+    rd(s, d, "events").select(
+      concat(lit("h"), (col("user_id") % 50).cast(StringType),
+        lit(".example.com")).as("host"),
+      encode(concat(
+        lit("<html><body><a href=\"https://h"),
+        (col("event_id") % 50).cast(StringType),
+        lit(".example.com/p?x=1\">a</a> <A HREF='http://H"),
+        ((col("event_id") + col("user_id")) % 50).cast(StringType),
+        lit(".EXAMPLE.com:8080/q'>b</A><a href=\"/rel\">c</a></body></html>")),
+        "UTF-8").as("html"))
+
+  /** shared oracle CTE: the host edge list q79 materializes. */
+  private val linkEdgesSql =
+    """e AS (
+      SELECT 'h' || cast(user_id % 50 AS VARCHAR) || '.example.com' AS src_host,
+             'h' || cast(event_id % 50 AS VARCHAR) || '.example.com' AS dst_host
+      FROM events
+      UNION ALL
+      SELECT 'h' || cast(user_id % 50 AS VARCHAR) || '.example.com',
+             'h' || cast((event_id + user_id) % 50 AS VARCHAR) || '.example.com'
+      FROM events),
+    g AS (SELECT src_host, dst_host, count(*) AS n FROM e
+      WHERE src_host <> dst_host GROUP BY 1, 2)"""
+
+  private val q79 = QueryDef("q79_outlink_graph",
+    (s, d) => LinkGraph.hostEdges(linkPages(s, d), "html", "host"),
+    Some(s"""WITH $linkEdgesSql
+      SELECT src_host, dst_host, cast(n AS BIGINT) AS n_links FROM g"""))
+
+  // integer-arithmetic PageRank (3 rounds, damping 0.85, micro-units) over
+  // the q79 edge list — every step BIGINT floor division, so the oracle
+  // replays the iterations digit-for-digit (same discipline as q54's
+  // integer idf). The '//'-vs-'div' pairing and the final BIGINT cast
+  // keep DuckDB's HUGEINT sums off the wire (the q58 lesson).
+  private val q80 = QueryDef("q80_host_pagerank",
+    (s, d) => LinkGraph.pagerankInt(
+      LinkGraph.hostEdges(linkPages(s, d), "html", "host"), iters = 3),
+    Some(s"""WITH $linkEdgesSql,
+      deg AS (SELECT src_host AS h, sum(n) AS d FROM g GROUP BY 1),
+      nodes AS (SELECT DISTINCT h FROM
+        (SELECT src_host AS h FROM g UNION SELECT dst_host FROM g)),
+      r0 AS (SELECT h, cast(1000000 AS BIGINT) AS r FROM nodes),
+      c1 AS (SELECT g.dst_host AS h, sum((r0.r * g.n) // deg.d) AS c
+        FROM g JOIN r0 ON g.src_host = r0.h
+        JOIN deg ON g.src_host = deg.h GROUP BY 1),
+      r1 AS (SELECT nodes.h,
+          150000 + (850000 * coalesce(c1.c, 0)) // 1000000 AS r
+        FROM nodes LEFT JOIN c1 USING (h)),
+      c2 AS (SELECT g.dst_host AS h, sum((r1.r * g.n) // deg.d) AS c
+        FROM g JOIN r1 ON g.src_host = r1.h
+        JOIN deg ON g.src_host = deg.h GROUP BY 1),
+      r2 AS (SELECT nodes.h,
+          150000 + (850000 * coalesce(c2.c, 0)) // 1000000 AS r
+        FROM nodes LEFT JOIN c2 USING (h)),
+      c3 AS (SELECT g.dst_host AS h, sum((r2.r * g.n) // deg.d) AS c
+        FROM g JOIN r2 ON g.src_host = r2.h
+        JOIN deg ON g.src_host = deg.h GROUP BY 1),
+      r3 AS (SELECT nodes.h,
+          150000 + (850000 * coalesce(c3.c, 0)) // 1000000 AS r
+        FROM nodes LEFT JOIN c3 USING (h))
+      SELECT h AS host, cast(r AS BIGINT) AS rank_micro FROM r3"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LinkGraph
+
+class LinkGraphSpec extends SparkSpec {
+
+  test("outlinkUrls: quote styles, case, relative and non-http skipped") {
+    import spark.implicits._
+    val html =
+      """<html><body>
+        |<a href="https://a.example.com/p?x=1">one</a>
+        |<A HREF='http://b.example.com:8080/q'>two</A>
+        |<a class="x" href="https://a.example.com/other">repeat host</a>
+        |<a href="/relative/skip">rel</a>
+        |<a href="ftp://files.example.com/f">ftp</a>
+        |<a name="anchor-no-href">none</a>
+        |</body></html>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(LinkGraph.outlinkUrls(encode(col("h"), "UTF-8")).as("u"))
+      .as[Seq[String]].head()
+    assert(got == Seq(
+      "https://a.example.com/p?x=1",
+      "http://b.example.com:8080/q",
+      "https://a.example.com/other"), got.toString)
+  }
+
+  test("hostOf: lowercase, port and userinfo stripped, null on garbage") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://WWW.Example.COM/path" -> "www.example.com",
+      "http://h.example.com:8080/q" -> "h.example.com",
+      "https://user:pw@secret.example.com/x" -> "secret.example.com",
+      "not a url" -> null,
+      "/relative" -> null)
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), LinkGraph.hostOf(col("u")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    cases.zip(got).foreach { case (want, have) =>
+      assert(want._2 === have._2, s"input: '${want._1}'")
+    }
+  }
+
+  test("hostEdges: self-links dropped, multiplicity counted across pages") {
+    import spark.implicits._
+    def page(links: String*): String =
+      links.map(u => s"""<a href="$u">l</a>""").mkString("<html>", " ", "</html>")
+    val pages = Seq(
+      ("a.com", page("https://b.com/1", "https://b.com/2", "https://a.com/self")),
+      ("a.com", page("https://b.com/3", "https://c.com/1")),
+      ("b.com", page("https://c.com/2")))
+      .toDF("host", "raw")
+      .select(col("host"), encode(col("raw"), "UTF-8").as("html"))
+    val got = LinkGraph.hostEdges(pages, "html", "host")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a.com", "b.com", 3L), ("a.com", "c.com", 1L),
+      ("b.com", "c.com", 1L)), got.toString)
+  }
+
+  test("pagerankInt: hand-computed integer ranks on a weighted 3-cycle") {
+    import spark.implicits._
+    // A ->2 B, A ->1 C, B -> C, C -> A; deg A=3, B=1, C=1
+    val edges = Seq(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L),
+      ("C", "A", 1L)).toDF("src_host", "dst_host", "n_links")
+    // iter 1: c(A)=1000000, c(B)=(1e6*2) div 3=666666, c(C)=333333+1000000
+    //   r1 = A 1000000, B 716666, C 1283333
+    // iter 2: c(A)=1283333, c(B)=666666, c(C)=333333+716666
+    //   r2 = A 1240833, B 716666, C 1042499
+    val got = LinkGraph.pagerankInt(edges, iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 1240833L, "B" -> 716666L, "C" -> 1042499L),
+      got.toString)
+  }
+
+  test("pagerankInt: dangling sink keeps base mass flowing, source decays") {
+    import spark.implicits._
+    val edges = Seq(("X", "Y", 1L)).toDF("src_host", "dst_host", "n_links")
+    val got = LinkGraph.pagerankInt(edges, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("X" -> 150000L, "Y" -> 1000000L), got.toString)
+  }
+
+  test("pagerankInt: bit-identical across input partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(79)
+    val edges = (1 to 400).map { _ =>
+      val a = "h" + rnd.nextInt(30); val b = "h" + rnd.nextInt(30)
+      (a, b, (rnd.nextInt(3) + 1).toLong)
+    }.toDF("src_host", "dst_host", "n_links")
+      .groupBy("src_host", "dst_host")
+      .agg(sum("n_links").as("n_links"))
+      .where(col("src_host") =!= col("dst_host"))
+    val one = LinkGraph.pagerankInt(edges.repartition(1), iters = 3)
+      .as[(String, Long)].collect().sorted.toSeq
+    val many = LinkGraph.pagerankInt(edges.repartition(13), iters = 3)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(one == many)
+    assert(one.nonEmpty && one.map(_._2).sum > 0)
+  }
+}
