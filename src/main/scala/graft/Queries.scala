@@ -2466,11 +2466,27 @@ object Queries {
         FROM nodes LEFT JOIN c3 USING (h))
       SELECT h AS host, cast(r AS BIGINT) AS rank_micro FROM r3"""))
 
+  // the q79/q80 chain served off the INCREMENTALLY-maintained edge table:
+  // two page epochs (events split by event_id parity) folded via
+  // edgesIncrement must yield bit-identical centrality to the one-pass
+  // build — the oracle is q80's verbatim (link counts are additive over
+  // disjoint page sets). Same registry pattern as q53/q75.
+  private val q81 = QueryDef("q81_link_graph_increment",
+    (s, d) => {
+      val pages = linkPages(s, d)
+      val chunk0 = pages.where(crc32(col("html")) % 2 === 0)
+      val chunk1 = pages.where(crc32(col("html")) % 2 =!= 0)
+      val merged = LinkGraph.edgesIncrement(
+        LinkGraph.hostEdges(chunk0, "html", "host"), chunk1, "html", "host")
+      LinkGraph.pagerankInt(merged, iters = 3)
+    },
+    q80.oracle)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81)
 }

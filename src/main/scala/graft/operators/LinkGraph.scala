@@ -75,6 +75,23 @@ object LinkGraph {
       .agg(count(lit(1)).as("n_links"))
 
   /**
+   * Incremental edge-table maintenance: fold a fresh page epoch into the
+   * persisted `(src_host, dst_host, n_links)` table. Link counts are
+   * additive across disjoint page sets, so the merge is a union +
+   * re-aggregation on the bounded (src, dst) key space — the same
+   * epoch-fold idiom as [[Dedup.lineDfIncrement]], and like it the
+   * fresh epoch must be disjoint from pages already folded in
+   * (exactly-once epochs — the sink manifest's re-delivered-epoch
+   * detection gives streaming callers this for free); a re-delivered
+   * page permanently inflates its edges' counts.
+   */
+  def edgesIncrement(history: DataFrame, freshPages: DataFrame,
+      htmlCol: String, hostCol: String): DataFrame =
+    history.unionByName(hostEdges(freshPages, htmlCol, hostCol))
+      .groupBy($"src_host", $"dst_host")
+      .agg(sum($"n_links").as("n_links"))
+
+  /**
    * Deterministic integer-arithmetic PageRank over a host edge list —
    * `(host, rank_micro)` after `iters` rounds, damping 0.85, ranks in
    * micro-units (initial mass 1 000 000 per host). Every step is BIGINT

@@ -80,6 +80,26 @@ class LinkGraphSpec extends SparkSpec {
     assert(got == Map("X" -> 150000L, "Y" -> 1000000L), got.toString)
   }
 
+  test("edgesIncrement: two disjoint epochs fold to the one-pass table") {
+    import spark.implicits._
+    def page(links: String*): String =
+      links.map(u => s"""<a href="$u">l</a>""").mkString("<html>", " ", "</html>")
+    val all = Seq(
+      ("a.com", page("https://b.com/1", "https://c.com/1")),
+      ("a.com", page("https://b.com/2")),
+      ("b.com", page("https://c.com/2", "https://a.com/x")),
+      ("c.com", page("https://a.com/y")))
+      .toDF("host", "raw")
+      .select(col("host"), encode(col("raw"), "UTF-8").as("html"))
+    val Array(e0, e1) = all.randomSplit(Array(0.5, 0.5), seed = 81)
+    val merged = LinkGraph.edgesIncrement(
+        LinkGraph.hostEdges(e0, "html", "host"), e1, "html", "host")
+      .as[(String, String, Long)].collect().toSet
+    val onePass = LinkGraph.hostEdges(all, "html", "host")
+      .as[(String, String, Long)].collect().toSet
+    assert(merged == onePass, s"merged=$merged onePass=$onePass")
+  }
+
   test("pagerankInt: bit-identical across input partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(79)
