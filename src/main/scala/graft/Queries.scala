@@ -2410,7 +2410,8 @@ object Queries {
       encode(concat(
         lit("<html><body><a href=\"https://h"),
         (col("event_id") % 50).cast(StringType),
-        lit(".example.com/p?x=1\">a</a> <A HREF='http://H"),
+        lit(".example.com/p?x=1\"> "), col("event_type"),
+        lit(" </a> <A HREF='http://H"),
         ((col("event_id") + col("user_id")) % 50).cast(StringType),
         lit(".EXAMPLE.com:8080/q'>b</A><a href=\"/rel\">c</a></body></html>")),
         "UTF-8").as("html"))
@@ -2482,11 +2483,29 @@ object Queries {
     },
     q80.oracle)
 
+  // anchor-text index: link-1 anchors carry event_type (padded with
+  // spaces to exercise the trim), link-2 the constant 'b' — the oracle
+  // derives (dst_host, anchor) arithmetically like q79's edge list.
+  private val q82 = QueryDef("q82_anchor_text_index",
+    (s, d) => LinkGraph.anchorIndex(linkPages(s, d), "html", "host"),
+    Some("""WITH a AS (
+        SELECT 'h' || cast(user_id % 50 AS VARCHAR) || '.example.com' AS src_host,
+               'h' || cast(event_id % 50 AS VARCHAR) || '.example.com' AS dst_host,
+               event_type AS anchor
+        FROM events
+        UNION ALL
+        SELECT 'h' || cast(user_id % 50 AS VARCHAR) || '.example.com',
+               'h' || cast((event_id + user_id) % 50 AS VARCHAR) || '.example.com',
+               'b'
+        FROM events)
+      SELECT dst_host, anchor, cast(count(*) AS BIGINT) AS n_links
+      FROM a WHERE src_host <> dst_host GROUP BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
 }

@@ -74,6 +74,40 @@ object LinkGraph {
       .groupBy($"src_host", $"dst_host")
       .agg(count(lit(1)).as("n_links"))
 
+  private val anchorPat =
+    "(?i)<a\\s[^>]*href=[\"'](https?://[^\"']+)[\"'][^>]*>([^<]*)</a>"
+
+  /**
+   * Anchor-text index `(dst_host, anchor, n_links)` — what the web says
+   * a host is about: the anchor strings of every cross-host absolute
+   * link, keyed by the TARGET host and counted across the corpus (the
+   * classic link-based retrieval field — anchor terms describe the
+   * target better than the target's own text — and a training-data
+   * label source). Intra-host links are dropped (self-description is
+   * the page's own job); anchors are whitespace-trimmed, empty anchors
+   * (image links) kept as `''` so link mass is conserved vs [[hostEdges]].
+   *
+   * Extraction is two aligned `regexp_extract_all` passes over the page
+   * bytes with the SAME pattern (group 1 = href, group 2 = anchor), so
+   * the zipped arrays index the same `<a>` tags by construction — both
+   * passes are codegen'd builtins pipelined in the scan stage (no
+   * interpreted higher-order functions on the hot path); the shuffle is
+   * one exchange on the bounded (dst_host, anchor) key space.
+   */
+  def anchorIndex(pages: DataFrame, htmlCol: String, hostCol: String): DataFrame =
+    pages
+      .select(col(hostCol).as("src_host"),
+        regexp_extract_all(col(htmlCol).cast(StringType),
+          lit(anchorPat), lit(1)).as("__us"),
+        regexp_extract_all(col(htmlCol).cast(StringType),
+          lit(anchorPat), lit(2)).as("__as"))
+      .select($"src_host", explode(arrays_zip($"__us", $"__as")).as("p"))
+      .select($"src_host", hostOf($"p.__us").as("dst_host"),
+        trim($"p.__as").as("anchor"))
+      .where($"dst_host".isNotNull && $"dst_host" =!= $"src_host")
+      .groupBy($"dst_host", $"anchor")
+      .agg(count(lit(1)).as("n_links"))
+
   /**
    * Incremental edge-table maintenance: fold a fresh page epoch into the
    * persisted `(src_host, dst_host, n_links)` table. Link counts are

@@ -80,6 +80,26 @@ class LinkGraphSpec extends SparkSpec {
     assert(got == Map("X" -> 150000L, "Y" -> 1000000L), got.toString)
   }
 
+  test("anchorIndex: aligned url/anchor pairs, trim, empty anchors kept") {
+    import spark.implicits._
+    val pages = Seq(
+      ("a.com",
+        """<html><a href="https://b.com/1"> first link </a>
+          |<A HREF='https://c.com/2'>second</A>
+          |<a href="https://b.com/3"></a>
+          |<a href="https://a.com/self">self skipped</a>
+          |<a href="/rel">rel skipped</a></html>""".stripMargin),
+      ("b.com", """<a href="https://c.com/x">second</a>"""))
+      .toDF("host", "raw")
+      .select(col("host"), encode(col("raw"), "UTF-8").as("html"))
+    val got = LinkGraph.anchorIndex(pages, "html", "host")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("b.com", "first link", 1L),
+      ("c.com", "second", 2L),
+      ("b.com", "", 1L)), got.toString)
+  }
+
   test("edgesIncrement: two disjoint epochs fold to the one-pass table") {
     import spark.implicits._
     def page(links: String*): String =
