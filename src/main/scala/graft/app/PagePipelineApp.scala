@@ -20,7 +20,8 @@ import graft.streaming._
  *   spark-submit --class graft.app.PagePipelineApp app.jar \
  *     --pages 1000000 --hosts 10000 --rate 50000 --checkpoint /cp \
  *     --table /out/pages_sessions --metrics /out/progress.jsonl \
- *     [--join-meta | --near-dup | --prep | --oov-gate /lexicon.parquet [--oov-max 500]] \
+ *     [--join-meta | --near-dup | --prep | --link-graph
+ *      | --oov-gate /lexicon.parquet [--oov-max 500]] \
  *     [--buckets 64 [--bucket-by host]] [--jsonl /warc/jsonl]
  *
  * Kill it at any point and resubmit with the same --checkpoint/--table:
@@ -32,7 +33,7 @@ object PagePipelineApp {
   def main(args: Array[String]): Unit = {
     // valueless flags are parsed separately: pairing them positionally
     // would shift every later key/value option
-    val flags = Set("--join-meta", "--near-dup", "--prep")
+    val flags = Set("--join-meta", "--near-dup", "--prep", "--link-graph")
     val valueOpts = Set("--pages", "--hosts", "--rate", "--checkpoint", "--table", "--metrics",
       "--buckets", "--bucket-by", "--jsonl", "--oov-gate", "--oov-max")
     val kvArgs = args.filterNot(flags.contains)
@@ -60,6 +61,7 @@ object PagePipelineApp {
     val joinMeta = args.contains("--join-meta")
     val nearDup = args.contains("--near-dup")
     val prep = args.contains("--prep")
+    val linkGraph = args.contains("--link-graph")
 
     val builder = SparkSession.builder()
       .appName("graft-page-pipeline")
@@ -93,7 +95,22 @@ object PagePipelineApp {
     // sink applies inside foreachBatch (identity except near-dup collapse)
     val (out, collapse): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
-      if (prep) {
+      if (linkGraph) {
+        // per-epoch host-edge DELTAS appended to the table: link counts
+        // are additive over disjoint page sets ([[LinkGraph
+        // .edgesIncrement]]'s contract, which the sink's re-delivered-
+        // epoch skip upholds across kill/resume), so the log-structured
+        // table IS the link graph — serving reads `sum(n_links) GROUP BY
+        // (src_host, dst_host)` over the epochs, and compaction folds
+        // them. Extraction needs the raw bytes, so this mode taps the
+        // stream BEFORE the html drop; edges are stateless per batch
+        // (no watermark, no state store). Note the synthetic rate
+        // generator cycles page ids after one pass — cycled re-arrivals
+        // are genuine re-crawls to a link counter, unlike session mode's
+        // late-drop semantics.
+        (raw, (b: org.apache.spark.sql.DataFrame) =>
+          graft.operators.LinkGraph.hostEdges(b, "html", "host"))
+      } else if (prep) {
         // the complete ingest prep chain (quality gate -> lang gate ->
         // exact dedup -> near-dup suppression) as ONE query; the gates
         // are stateless and run before any state is paid for
@@ -149,7 +166,10 @@ object PagePipelineApp {
     if (nBuckets > 0) {
       // validate at startup, not at the first micro-batch: the collapsed
       // sink schema is known per mode
-      val sinkCols = if (prep || nearDup) Seq("id", "ts") else out.columns.toSeq
+      val sinkCols =
+        if (prep || nearDup) Seq("id", "ts")
+        else if (linkGraph) Seq("src_host", "dst_host", "n_links")
+        else out.columns.toSeq
       if (!sinkCols.contains(routeCol))
         sys.error(s"--bucket-by $routeCol is not a sink output column " +
           s"(this mode writes: ${sinkCols.mkString(", ")})")
@@ -158,11 +178,12 @@ object PagePipelineApp {
     // per-epoch event-time stats let readTimeRange prune epochs from the
     // manifests alone (streaming epochs are naturally time-clustered)
     val statsCol =
-      if (prep || nearDup) "ts"
-      else if (joinMeta || a.contains("--oov-gate")) "warc_ts"
-      else "session_start"
+      if (linkGraph) None // edge deltas carry no event time
+      else if (prep || nearDup) Some("ts")
+      else if (joinMeta || a.contains("--oov-gate")) Some("warc_ts")
+      else Some("session_start")
     val sink = new ExactlyOnceSink(table,
-      if (nBuckets > 0) Some(bucketColName) else None, Some(statsCol))
+      if (nBuckets > 0) Some(bucketColName) else None, statsCol)
     def withBucket(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       if (nBuckets <= 0) d
       else d.withColumn(bucketColName, ExactlyOnceSink.bucket(col(routeCol), nBuckets))

@@ -214,6 +214,16 @@ object PageGen {
     html.append("<div class=\"footer\"><a href=\"/p/").append(k + 1)
       .append("\">next&nbsp;page</a></div>\n")
     emitWord("next"); emitWord("page")
+    // one absolute cross-host outlink per page — the host-graph signal a
+    // crawl corpus carries (target deterministic from id; may land on the
+    // own host, which is the edge-builder's self-link drop case). The
+    // anchor word comes from the page's own language vocabulary so the
+    // langId distribution is untouched.
+    val dstH = draw(cfg.seed, 17, id, 0, cfg.nHosts)
+    val aw = word(11, 0)
+    html.append("<a href=\"https://").append(hostName(dstH))
+      .append("/p/0\">").append(aw).append("</a>\n")
+    emitWord(aw)
     html.append("</body></html>")
     if (unit(cfg.seed, 13, id) < cfg.malformedFrac)
       html.append("\n<div class=unterminated") // unclosed tag at EOF: dropped

@@ -120,6 +120,22 @@ class LinkGraphSpec extends SparkSpec {
     assert(merged == onePass, s"merged=$merged onePass=$onePass")
   }
 
+  test("generated corpus: one absolute outlink per page, self-links dropped") {
+    import graft.sources.{PageGen, PageGenConfig}
+    val cfg = PageGenConfig(nPages = 2000L, nHosts = 20, parallelism = 4)
+    val pages = PageGen.rawPages(spark, cfg).toDF()
+    val total = LinkGraph.hostEdges(pages, "html", "host")
+      .agg(sum(col("n_links"))).collect()(0).getLong(0)
+    // independent derivation straight from the generator arithmetic
+    val bounds = PageGen.hostBoundaries(cfg)
+    val expected = (0L until cfg.nPages).count { id =>
+      PageGen.hostName(PageGen.hostOfId(bounds, id)) !=
+        PageGen.hostName(PageGen.draw(cfg.seed, 17, id, 0, cfg.nHosts))
+    }.toLong
+    assert(total == expected, s"total=$total expected=$expected")
+    assert(total > 0L)
+  }
+
   test("pagerankInt: bit-identical across input partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(79)

@@ -189,6 +189,24 @@ class PlanShapeSpec extends SparkSpec {
       s"doc side not pre-reduced to (doc, term, cnt) before the lexicon join:\n$p")
   }
 
+  test("link plane: extraction in the scan stage, ONE exchange per index") {
+    import spark.implicits._
+    val pages = Seq(("a.com", "<a href=\"https://b.com/x\">t</a>"))
+      .toDF("host", "raw")
+      .select(col("host"), encode(col("raw"), "UTF-8").as("html"))
+    // outlink/anchor extraction must pipeline into the scan stage: the
+    // only exchange is the final count aggregation on the bounded key
+    // space — nothing shuffles pages or raw html
+    for (df <- Seq(graft.operators.LinkGraph.hostEdges(pages, "html", "host"),
+        graft.operators.LinkGraph.anchorIndex(pages, "html", "host"))) {
+      val p = plan(df)
+      val exchanges = p.split("Exchange hashpartitioning").length - 1
+      assert(exchanges == 1, s"expected ONE hash exchange, got $exchanges:\n$p")
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+        s"unexpected join in a pure scan+agg plan:\n$p")
+    }
+  }
+
   test("epochOrder: one exchange on shard, sort is in-partition") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
