@@ -2501,11 +2501,65 @@ object Queries {
       SELECT dst_host, anchor, cast(count(*) AS BIGINT) AS n_links
       FROM a WHERE src_host <> dst_host GROUP BY 1, 2"""))
 
+  // link centrality as the dedup QUALITY PRIOR: exact-duplicate clusters
+  // (fingerprint groups) keep the doc whose host ranks highest in the q80
+  // PageRank — the score-ranked keeperPerCluster path (q68 checks the
+  // min-id default), with docs mapped onto the link graph's host space
+  // deterministically (doc_id % 50). The oracle replays the full chain:
+  // 3 PageRank rounds + argmax per fingerprint group.
+  private val q83 = QueryDef("q83_rank_ranked_keepers",
+    (s, d) => {
+      val ranks = LinkGraph.pagerankInt(
+        LinkGraph.hostEdges(linkPages(s, d), "html", "host"), iters = 3)
+      val docs = rd(s, d, "documents").select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 50).cast(StringType),
+          lit(".example.com")).as("host"),
+        md5(col("text").cast(BinaryType)).as("fp"))
+      val labels = docs.select(col("doc_id").as("id"), col("fp").as("cluster_id"))
+      val scores = docs.join(ranks, "host")
+        .select(col("doc_id").as("id"), col("rank_micro").as("score"))
+      Components.keeperPerCluster(labels, Some(scores))
+    },
+    Some(s"""WITH $linkEdgesSql,
+      deg AS (SELECT src_host AS h, sum(n) AS d FROM g GROUP BY 1),
+      nodes AS (SELECT DISTINCT h FROM
+        (SELECT src_host AS h FROM g UNION SELECT dst_host FROM g)),
+      r0 AS (SELECT h, cast(1000000 AS BIGINT) AS r FROM nodes),
+      c1 AS (SELECT g.dst_host AS h, sum((r0.r * g.n) // deg.d) AS c
+        FROM g JOIN r0 ON g.src_host = r0.h
+        JOIN deg ON g.src_host = deg.h GROUP BY 1),
+      r1 AS (SELECT nodes.h,
+          150000 + (850000 * coalesce(c1.c, 0)) // 1000000 AS r
+        FROM nodes LEFT JOIN c1 USING (h)),
+      c2 AS (SELECT g.dst_host AS h, sum((r1.r * g.n) // deg.d) AS c
+        FROM g JOIN r1 ON g.src_host = r1.h
+        JOIN deg ON g.src_host = deg.h GROUP BY 1),
+      r2 AS (SELECT nodes.h,
+          150000 + (850000 * coalesce(c2.c, 0)) // 1000000 AS r
+        FROM nodes LEFT JOIN c2 USING (h)),
+      c3 AS (SELECT g.dst_host AS h, sum((r2.r * g.n) // deg.d) AS c
+        FROM g JOIN r2 ON g.src_host = r2.h
+        JOIN deg ON g.src_host = deg.h GROUP BY 1),
+      r3 AS (SELECT nodes.h,
+          150000 + (850000 * coalesce(c3.c, 0)) // 1000000 AS r
+        FROM nodes LEFT JOIN c3 USING (h)),
+      docs AS (SELECT doc_id,
+          'h' || cast(doc_id % 50 AS VARCHAR) || '.example.com' AS host,
+          md5(text) AS fp
+        FROM documents),
+      sc AS (SELECT d.doc_id, d.fp, r3.r AS score
+        FROM docs d JOIN r3 ON d.host = r3.h),
+      k AS (SELECT fp, doc_id, row_number() OVER
+          (PARTITION BY fp ORDER BY score DESC, doc_id ASC) AS rn
+        FROM sc)
+      SELECT fp AS cluster_id, cast(doc_id AS BIGINT) AS keeper
+      FROM k WHERE rn = 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
 }
