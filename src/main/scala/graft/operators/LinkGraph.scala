@@ -150,8 +150,11 @@ object LinkGraph {
    */
   def pagerankInt(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // pin the edge table FIRST: ew and nodes both derive from it, and
+    // without the pin each would re-run the full upstream (corpus scan +
+    // extraction + edge shuffle) once more
     val e = edges.select($"src_host".as("src"), $"dst_host".as("dst"),
-      $"n_links".cast(LongType).as("n"))
+      $"n_links".cast(LongType).as("n")).localCheckpoint()
     val deg = e.groupBy($"src").agg(sum($"n").as("d"))
     val ew = e.join(deg, "src").localCheckpoint()
     val nodes = e.select($"src".as("host"))
