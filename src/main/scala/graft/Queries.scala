@@ -2555,11 +2555,58 @@ object Queries {
       SELECT fp AS cluster_id, cast(doc_id AS BIGINT) AS keeper
       FROM k WHERE rn = 1"""))
 
+  // CCNet-style LM quality gate: a bigram model trained on the reference
+  // slice (doc_id % 3 == 0), built INCREMENTALLY in two chunks (the
+  // maintenance unit — foldCounts is what a per-epoch refresh runs), then
+  // every other doc scored by mean quantized bigram likelihood (ppm,
+  // integer-exact — see LanguageModel scaladoc) and bucketed into CCNet's
+  // head/middle/tail tiers with frozen cutoffs applied row-locally (the
+  // offline-quantile protocol; never a global ntile).
+  private val q84 = QueryDef("q84_lm_quality_tiers",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val train = docs.where(col("doc_id") % 3 === 0)
+      val model = LanguageModel.foldCounts(
+        LanguageModel.bigramIncrement(train.where(col("doc_id") % 2 === 0), "text"),
+        LanguageModel.bigramIncrement(train.where(col("doc_id") % 2 === 1), "text"))
+      LanguageModel.tierByCutoffs(
+        LanguageModel.scoreDocs(docs.where(col("doc_id") % 3 =!= 0),
+          model, "doc_id", "text"),
+        headMin = 34000L, midMin = 32700L)
+    },
+    Some("""WITH tr AS (SELECT string_split_regex(trim(text), '\s+') AS ts
+        FROM documents WHERE doc_id % 3 = 0),
+      bg AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+          i -> ts[i] || ' ' || ts[i+1])) AS bg
+        FROM tr WHERE len(ts) >= 2),
+      c2 AS (SELECT bg, cast(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+      c1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+          cast(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      v AS (SELECT cast(count(DISTINCT split_part(bg, ' ', 2)) + 1 AS BIGINT) AS v
+        FROM c2),
+      db AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+          i -> ts[i] || ' ' || ts[i+1])) AS bg
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE doc_id % 3 <> 0)
+        WHERE len(ts) >= 2),
+      p AS (SELECT doc_id,
+          1000000 * (coalesce(c2.c2, 0) + 1) // (coalesce(c1.c1, 0) + v.v) AS p_q
+        FROM db LEFT JOIN c2 ON c2.bg = db.bg
+        LEFT JOIN c1 ON c1.w1 = split_part(db.bg, ' ', 1) CROSS JOIN v),
+      sc AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_bigrams,
+          cast(sum(p_q) AS BIGINT) // count(*) AS lm_q FROM p GROUP BY 1)
+      SELECT doc_id, n_bigrams, lm_q,
+        CASE WHEN lm_q >= 34000 THEN 'head'
+             WHEN lm_q >= 32700 THEN 'middle'
+             ELSE 'tail' END AS tier
+      FROM sc"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
+    q84)
 }

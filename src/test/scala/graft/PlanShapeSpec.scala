@@ -207,6 +207,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("LM scoreDocs: equi-join probes, 1-row V broadcast, partial doc agg") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val model = graft.operators.LanguageModel.bigramIncrement(
+      docs.where($"doc_id" % 3 === 0), "text")
+    val p = plan(graft.operators.LanguageModel.scoreDocs(
+      docs.where($"doc_id" % 3 =!= 0), model, "doc_id", "text"))
+    // the only nested-loop join allowed is the broadcast of the 1-row V
+    // scalar; model probes are hash equi-joins; never a cartesian
+    assert(!p.contains("CartesianProduct"), s"cartesian at score time:\n$p")
+    val nl = p.split("BroadcastNestedLoopJoin").length - 1
+    assert(nl == 1, s"expected exactly the 1-row V broadcast, got $nl:\n$p")
+    // per-doc mean must partial-aggregate before its exchange (map-side
+    // combine is what shrinks corpus-scale bigram rows to one row per doc)
+    val aggs = p.split("HashAggregate").length - 1
+    assert(aggs >= 2, s"no partial+final aggregate pair on doc_id:\n$p")
+  }
+
   test("epochOrder: one exchange on shard, sort is in-partition") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
