@@ -2601,6 +2601,55 @@ object Queries {
              ELSE 'tail' END AS tier
       FROM sc"""))
 
+  // the LM gate's SERVING path (q75's pattern for the blocklist): the
+  // broadcast-decomposed probe — request batch broadcast into the
+  // enriched model, smoothed sum reconstructed arithmetically, never a
+  // shuffled left join against the model (RequestResponse.lmScoreProbe)
+  // — must reproduce the straightforward left-join formula the oracle
+  // states, digit for digit. Requests deliberately overlap the training
+  // slice (a gate probes whatever arrives).
+  private val q85 = QueryDef("q85_lm_gate_probe",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val model = LanguageModel.bigramIncrement(
+        docs.where(col("doc_id") % 3 === 0), "text")
+      RequestResponse.lmScoreProbe(
+        docs.where(col("doc_id") < 30),
+        LanguageModel.enrichModel(model), LanguageModel.c1Of(model),
+        LanguageModel.vocabPlusOne(model),
+        "doc_id", "text", headMin = 34000L, midMin = 32700L)
+    },
+    Some("""WITH tr AS (SELECT string_split_regex(trim(text), '\s+') AS ts
+        FROM documents WHERE doc_id % 3 = 0),
+      bg AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+          i -> ts[i] || ' ' || ts[i+1])) AS bg
+        FROM tr WHERE len(ts) >= 2),
+      c2 AS (SELECT bg, cast(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+      c1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+          cast(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      v AS (SELECT cast(count(DISTINCT split_part(bg, ' ', 2)) + 1 AS BIGINT) AS v
+        FROM c2),
+      req AS (SELECT doc_id AS request_id, text FROM documents WHERE doc_id < 30),
+      db AS (SELECT request_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+          i -> ts[i] || ' ' || ts[i+1])) AS bg
+        FROM (SELECT request_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS ts
+          FROM req)
+        WHERE len(ts) >= 2),
+      p AS (SELECT request_id,
+          1000000 * (coalesce(c2.c2, 0) + 1) // (coalesce(c1.c1, 0) + v.v) AS p_q
+        FROM db LEFT JOIN c2 ON c2.bg = db.bg
+        LEFT JOIN c1 ON c1.w1 = split_part(db.bg, ' ', 1) CROSS JOIN v),
+      sc AS (SELECT request_id, cast(count(*) AS BIGINT) AS n_bigrams,
+          cast(sum(p_q) AS BIGINT) // count(*) AS lm_q FROM p GROUP BY 1)
+      SELECT r.request_id,
+        cast(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, sc.lm_q,
+        CASE WHEN sc.lm_q IS NULL THEN NULL
+             WHEN sc.lm_q >= 34000 THEN 'head'
+             WHEN sc.lm_q >= 32700 THEN 'middle'
+             ELSE 'tail' END AS tier
+      FROM (SELECT DISTINCT request_id FROM req) r
+      LEFT JOIN sc USING (request_id)"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -2608,5 +2657,5 @@ object Queries {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84)
+    q84, q85)
 }

@@ -67,6 +67,16 @@ object LanguageModel {
     expr(s"transform(sequence(1, size($tsName) - 1), " +
       s"i -> concat(element_at($tsName, i), ' ', element_at($tsName, i + 1)))")
 
+  /** Bigram OCCURRENCE rows of a doc slice: `(doc_id, bg, w1)`, one row
+   *  per position (no dedup — [[scoreDocs]] averages over occurrences).
+   *  Docs with fewer than two tokens contribute nothing. */
+  private[graft] def bigramRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) >= 2)
+      .select(col("doc_id"), explode(bigrams("__ts")).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+
   /**
    * Model counts for one training chunk: `(bg, c2)` — the bigram string
    * and its occurrence count. Row-local per doc before the count, so
@@ -106,12 +116,7 @@ object LanguageModel {
     val v = counts
       .select(element_at(split(col("bg"), " "), 2).as("w2")).distinct()
       .agg((count(lit(1)) + lit(1L)).as("v"))
-    val ts = toks(col(textCol))
-    val dbg = docs
-      .select(col(idCol).as("doc_id"), ts.as("__ts"))
-      .where(size(col("__ts")) >= 2)
-      .select(col("doc_id"), explode(bigrams("__ts")).as("bg"))
-      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val dbg = bigramRows(docs, idCol, textCol)
     dbg.join(counts, Seq("bg"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(v))
@@ -122,6 +127,33 @@ object LanguageModel {
       .select(col("doc_id"), col("n_bigrams"),
         expr("__s div n_bigrams").as("lm_q"))
   }
+
+  /**
+   * Serving-tier model artifacts, derived ONCE at service start (or per
+   * maintenance epoch) and cached: the enriched model `(bg, c2, c1)` —
+   * every bigram row carrying its left-context total so a single
+   * equi-join yields both counts — and the left-context table `(w1, c1)`.
+   * [[RequestResponse.lmScoreProbe]] probes these with the request batch
+   * BROADCAST (inner joins), reconstructing the exact [[scoreDocs]] sum
+   * arithmetically — a shuffled left join of a per-trigger request batch
+   * against a model-scale table would shuffle the model every trigger.
+   */
+  def enrichModel(counts: DataFrame): DataFrame = {
+    val c1 = c1Of(counts)
+    counts.withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(c1, Seq("w1"))
+      .select(col("bg"), col("c2"), col("c1"))
+  }
+
+  /** Left-context totals `(w1, c1)` of a model table. */
+  def c1Of(counts: DataFrame): DataFrame =
+    counts.groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum("c2").as("c1"))
+
+  /** The smoothing vocabulary scalar `V` (distinct predicted tokens + 1)
+   *  as a driver-side long — frozen at service start / maintenance time. */
+  def vocabPlusOne(counts: DataFrame): Long =
+    counts.select(element_at(split(col("bg"), " "), 2)).distinct().count() + 1L
 
   /**
    * CCNet head/middle/tail tiers as a ROW-LOCAL case over precomputed

@@ -224,4 +224,72 @@ object RequestResponse {
       k: Int = 5): DataFrame =
     Similarity.bruteForceTopK(requests, corpus, reqId, docId, reqVec, docVec, k)
       .withColumnRenamed("query_id", "request_id")
+
+  /**
+   * LM quality probe — the ingest-gate form of the CCNet LM filter:
+   * score a request batch against the PERSISTED bigram model and emit
+   * `(request_id, n_bigrams, lm_q, tier)`. Value-identical to
+   * [[LanguageModel.scoreDocs]] + [[LanguageModel.tierByCutoffs]]
+   * (spec- and oracle-asserted), but shaped for serving: the request
+   * batch is BROADCAST into two inner equi-joins against the enriched
+   * model ([[LanguageModel.enrichModel]]: `(bg, c2, c1)`) and the
+   * left-context table ([[LanguageModel.c1Of]]), with the exact smoothed
+   * sum reconstructed arithmetically —
+   *
+   *   S = Σ_seen-bigram p(c2,c1) + [Σ_seen-w1 p(0,c1) − Σ_seen-bigram p(0,c1)]
+   *       + (n − |seen-w1|) · p(0,0)
+   *
+   * — because a LEFT join (what the batch scorer uses for unseen
+   * bigrams) cannot broadcast its small probe side, and shuffling the
+   * model-scale table every trigger is the thing a serving tier must
+   * never do. Model text is never rescanned; both joins probe cached
+   * maintenance artifacts; `vocabPlus1` is frozen driver-side at service
+   * start ([[LanguageModel.vocabPlusOne]]).
+   *
+   * Requests with fewer than two tokens (nothing to predict) still get a
+   * row — `n_bigrams = 0`, `lm_q`/`tier` NULL — a gate caller must never
+   * wait forever on its request id; NULL marks "length-gate territory,
+   * not scored". NULL text is treated as empty.
+   */
+  def lmScoreProbe(requests: DataFrame, enrichedModel: DataFrame,
+      c1: DataFrame, vocabPlus1: Long, reqId: String, reqText: String,
+      headMin: Long, midMin: Long): DataFrame = {
+    require(vocabPlus1 >= 1, "vocabPlus1 must be >= 1")
+    val req = requests.select(col(reqId).as("request_id"),
+      coalesce(col(reqText), lit("")).as("text"))
+    val dbg = LanguageModel.bigramRows(req, "request_id", "text")
+      .withColumnRenamed("doc_id", "request_id")
+    val n = dbg.groupBy("request_id").agg(count(lit(1)).as("n_bigrams"))
+    // seen-bigram rows: full p and the matching left-context-only p
+    val j2 = enrichedModel.join(broadcast(dbg.drop("w1")), Seq("bg"))
+      .groupBy("request_id").agg(
+        sum(expr(s"1000000 * (c2 + 1) div (c1 + $vocabPlus1)")).as("s2"),
+        sum(expr(s"1000000 div (c1 + $vocabPlus1)")).as("t2"))
+    // seen-left-context rows (superset of seen-bigram rows)
+    val j1 = c1.join(broadcast(dbg.drop("bg")), Seq("w1"))
+      .groupBy("request_id").agg(
+        sum(expr(s"1000000 div (c1 + $vocabPlus1)")).as("t1"),
+        count(lit(1)).as("m1"))
+    val pUnseen = 1000000L / vocabPlus1
+    val scored = n
+      .join(j1, Seq("request_id"), "left")
+      .join(j2, Seq("request_id"), "left")
+      .select(col("request_id"), col("n_bigrams"),
+        (coalesce(col("s2"), lit(0L)) +
+          (coalesce(col("t1"), lit(0L)) - coalesce(col("t2"), lit(0L))) +
+          (col("n_bigrams") - coalesce(col("m1"), lit(0L))) * lit(pUnseen))
+          .as("__s"))
+      // integer div, matching the batch scorer's lm_q exactly (Column `/`
+      // is double division — it would drift from the oracle at the ulp)
+      .select(col("request_id"), col("n_bigrams"),
+        expr("__s div n_bigrams").as("lm_q"))
+    val tiered = LanguageModel.tierByCutoffs(scored, headMin, midMin)
+    req.select(col("request_id")).distinct()
+      .join(broadcast(tiered), Seq("request_id"), "left")
+      .select(col("request_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_q"),
+        when(col("lm_q").isNull, lit(null).cast(StringType))
+          .otherwise(col("tier")).as("tier"))
+  }
 }

@@ -133,6 +133,26 @@ object RequestService {
       RequestResponse.rareTokenProbe(batch, lexicon, reqId, reqText, minTf))
 
   /**
+   * Start the LM quality gate: per micro-batch of requests, CCNet-style
+   * bigram-likelihood scoring + tiering against the PERSISTED model
+   * artifacts (`LanguageModel.enrichModel` / `c1Of`, derived once per
+   * maintenance epoch; `vocabPlus1` frozen at start via
+   * `LanguageModel.vocabPlusOne`). Every trigger broadcasts only its
+   * request batch — the model is never shuffled or rebuilt
+   * (`RequestResponse.lmScoreProbe`). Cache/persist both model
+   * DataFrames; they are re-used every trigger.
+   */
+  def startLmGate(spark: SparkSession, requests: DataFrame,
+      enrichedModel: DataFrame, c1: DataFrame, vocabPlus1: Long,
+      reqId: String, reqText: String,
+      responseTable: String, checkpoint: String,
+      headMin: Long, midMin: Long,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    startService(requests, responseTable, checkpoint, trigger)(batch =>
+      RequestResponse.lmScoreProbe(batch, enrichedModel, c1, vocabPlus1,
+        reqId, reqText, headMin, midMin))
+
+  /**
    * Start the embedding-match service against a PRE-BUILT IVF index —
    * the 100 TB serving shape: the index `(corpus_id, cv, cn, centroid)`
    * (built once via `Similarity.assignIncrement` and appended as new

@@ -66,6 +66,37 @@ class LanguageModelSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getLong(1) == 2L)
   }
 
+  test("lmScoreProbe: broadcast-decomposed sum == batch scorer, null for unscoreable") {
+    import spark.implicits._
+    import graft.operators.RequestResponse
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select($"doc_id", $"text")
+    val model = LanguageModel.bigramIncrement(
+      docs.where($"doc_id" % 3 === 0), "text")
+    val reqs = docs.where($"doc_id" < 40)
+      .unionByName(Seq((9001L, "one"), (9002L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val got = RequestResponse.lmScoreProbe(reqs,
+        LanguageModel.enrichModel(model), LanguageModel.c1Of(model),
+        LanguageModel.vocabPlusOne(model),
+        "doc_id", "text", 34000L, 32700L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2),
+          r.getString(3)))).toMap
+    // scoreable requests: identical to the batch scorer + tier
+    val want = LanguageModel.tierByCutoffs(
+        LanguageModel.scoreDocs(docs.where($"doc_id" < 40), model,
+          "doc_id", "text"), 34000L, 32700L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2): Any, r.getString(3)))).toMap
+    assert(want.nonEmpty && want.forall { case (k, v) => got.get(k).contains(v) },
+      s"probe != batch scorer")
+    // unscoreable requests still answered, with NULL score/tier
+    assert(got(9001L) === ((0L, null, null)))
+    assert(got(9002L) === ((0L, null, null)))
+    assert(got.size == want.size + 2)
+  }
+
   test("likelihoodCutoffs: terciles of the score column") {
     import spark.implicits._
     val scored = (1L to 9L).map(i => (i, 1L, i * 1000L))

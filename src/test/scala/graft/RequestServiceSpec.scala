@@ -483,4 +483,48 @@ class RequestServiceSpec extends SparkSpec {
     assert(got.exists(s => s.head == 9999L && s(3) == 1000L),
       s"gibberish doc not fully OOV: ${got.toSeq}")
   }
+
+  test("LM gate service: stream off the persisted model ≡ batch probe, kill/resume") {
+    import spark.implicits._
+    import graft.operators.{LanguageModel, RequestResponse}
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    // the persisted model artifacts a maintenance epoch would refresh
+    val counts = LanguageModel.bigramIncrement(
+      docs.where($"doc_id" % 3 === 0), "text")
+    val model = LanguageModel.enrichModel(counts).cache()
+    val c1 = LanguageModel.c1Of(counts).cache()
+    val v = LanguageModel.vocabPlusOne(counts)
+    val fresh = docs.where($"doc_id" < 4).collect()
+      .map(r => TextReq(r.getLong(0), r.getString(1)))
+    val short = TextReq(9999L, "one") // unscoreable: must still answer
+    val reqRows = (fresh :+ short).sortBy(_.request_id)
+
+    val cp = Files.createTempDirectory("lmcp").toString
+    val table = Files.createTempDirectory("lmtbl").toString
+    val in = MemoryStream[TextReq](Encoders.product[TextReq], spark)
+    def start() = RequestService.startLmGate(spark, in.toDF(), model, c1, v,
+      "request_id", "qtext", table, cp, headMin = 34000L, midMin = 32700L)
+    var q = start()
+    in.addData(reqRows.take(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    q = start()
+    in.addData(reqRows.drop(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = new ExactlyOnceSink(table).read(spark)
+      .select($"request_id", $"n_bigrams", $"lm_q", $"tier")
+      .collect().map(_.toSeq)
+    assert(got.length == got.distinct.length, "duplicate responses after resume")
+    val expected = RequestResponse.lmScoreProbe(
+      reqRows.toSeq.map(r => (r.request_id, r.qtext)).toDF("request_id", "qtext"),
+      model, c1, v, "request_id", "qtext", 34000L, 32700L)
+      .select($"request_id", $"n_bigrams", $"lm_q", $"tier")
+      .collect().map(_.toSeq).toSet
+    assert(got.toSet == expected && expected.nonEmpty)
+    assert(got.exists(s => s.head == 9999L && s(1) == 0L && s(2) == null),
+      s"unscoreable request lost or mis-scored: ${got.toSeq}")
+  }
 }
