@@ -116,4 +116,29 @@ object IndexMaintenance {
       .groupBy(col("term")).agg(sum(col("tf")).as("tf"))
     (done, lexicon)
   }
+
+  /**
+   * [[lexiconCatchUp]]'s shape for the LM gate's bigram model: catch the
+   * persisted count table up with the corpus (each epoch's PARTIAL
+   * bigram counts committed as that epoch's index rows — associative, so
+   * union-composable) and hand back the three SERVING artifacts
+   * [[graft.operators.RequestResponse.lmScoreProbe]] consumes — the
+   * enriched model `(bg, c2, c1)`, the left-context table, and the
+   * frozen `vocabPlus1` scalar — all derived from the re-summed counts
+   * in ONE call so they can never drift apart across a refresh (serving
+   * a new model with last epoch's V mis-smooths every score; the same
+   * stale-stats failure mode [[bm25CatchUp]] closes for avgdl).
+   */
+  def lmModelCatchUp(spark: SparkSession, corpus: ExactlyOnceSink,
+      index: ExactlyOnceSink, textCol: String)
+      : (Seq[Long], DataFrame, DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{col, sum}
+    import graft.operators.LanguageModel
+    val done = catchUp(spark, corpus, index)(
+      LanguageModel.bigramIncrement(_, textCol))
+    val counts = index.read(spark)
+      .groupBy(col("bg")).agg(sum(col("c2")).as("c2"))
+    (done, LanguageModel.enrichModel(counts), LanguageModel.c1Of(counts),
+      LanguageModel.vocabPlusOne(counts))
+  }
 }

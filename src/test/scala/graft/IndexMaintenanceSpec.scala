@@ -149,4 +149,42 @@ class IndexMaintenanceSpec extends SparkSpec {
       spark, corpus, index, "text")
     assert(again.isEmpty && rows(lex2) == rows(lexicon))
   }
+
+  test("lmModelCatchUp: corpus appends refresh model+c1+V together; probe ≡ from-scratch model") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{LanguageModel, RequestResponse}
+    val dir = Files.createTempDirectory("lmmnt").toString
+    val corpus = new ExactlyOnceSink(s"$dir/corpus")
+    val index = new ExactlyOnceSink(s"$dir/lmcounts")
+    val reqs = docs.where(col("doc_id") < 5).select(col("doc_id"), col("text"))
+    def probe(m: DataFrame, c1: DataFrame, v: Long) =
+      rows(RequestResponse.lmScoreProbe(reqs, m, c1, v,
+        "doc_id", "text", 34000L, 32700L))
+
+    corpus.write(docs.where(col("doc_id") % 2 === 0), 0L)
+    val (d1, m1, c11, v1) = IndexMaintenance.lmModelCatchUp(
+      spark, corpus, index, "text")
+    assert(d1 == Seq(0L))
+    // append an epoch: one call refreshes all THREE artifacts; serving
+    // equals a from-scratch build over the full corpus (a bigram split
+    // across epochs must re-sum, and V must move with the new vocab)
+    corpus.write(docs.where(col("doc_id") % 2 === 1), 1L)
+    val (d2, m2, c12, v2) = IndexMaintenance.lmModelCatchUp(
+      spark, corpus, index, "text")
+    assert(d2 == Seq(1L))
+    val full = LanguageModel.bigramIncrement(docs, "text")
+    assert(v2 == LanguageModel.vocabPlusOne(full))
+    assert(probe(m2, c12, v2) ==
+      probe(LanguageModel.enrichModel(full), LanguageModel.c1Of(full), v2))
+    // the epoch-0 artifacts were a DIFFERENT model (the refresh is
+    // load-bearing), and the RAW index table is epoch-partial — the
+    // re-sum matters, not just the append
+    assert(v1 <= v2 && rows(m1) != rows(m2))
+    assert(index.read(spark).count() >
+      index.read(spark).select(col("bg")).distinct().count())
+    // caught up: no new epochs, same serving artifacts
+    val (d3, m3, c13, v3) = IndexMaintenance.lmModelCatchUp(
+      spark, corpus, index, "text")
+    assert(d3.isEmpty && v3 == v2 && rows(m3) == rows(m2) && rows(c13) == rows(c12))
+  }
 }
