@@ -21,7 +21,8 @@ import graft.streaming._
  *     --pages 1000000 --hosts 10000 --rate 50000 --checkpoint /cp \
  *     --table /out/pages_sessions --metrics /out/progress.jsonl \
  *     [--join-meta | --near-dup | --prep | --link-graph
- *      | --oov-gate /lexicon.parquet [--oov-max 500]] \
+ *      | --oov-gate /lexicon.parquet [--oov-max 500]
+ *      | --lm-gate /bigram_counts.parquet [--lm-min 30000]] \
  *     [--buckets 64 [--bucket-by host]] [--jsonl /warc/jsonl]
  *
  * Kill it at any point and resubmit with the same --checkpoint/--table:
@@ -35,7 +36,8 @@ object PagePipelineApp {
     // would shift every later key/value option
     val flags = Set("--join-meta", "--near-dup", "--prep", "--link-graph")
     val valueOpts = Set("--pages", "--hosts", "--rate", "--checkpoint", "--table", "--metrics",
-      "--buckets", "--bucket-by", "--jsonl", "--oov-gate", "--oov-max")
+      "--buckets", "--bucket-by", "--jsonl", "--oov-gate", "--oov-max",
+      "--lm-gate", "--lm-min")
     val kvArgs = args.filterNot(flags.contains)
     // sliding(2, 2) silently discards a trailing odd element — a final
     // `--buckets` with no value would be ignored and the app would run
@@ -140,6 +142,27 @@ object PagePipelineApp {
           b.join(keep, Seq("url"), "left_semi")
         }
         (pages.toDF(), gate)
+      } else if (a.contains("--lm-gate")) {
+        // LM-gated ingest: the CCNet-style bigram-likelihood gate applied
+        // batch-locally against a persisted (bg, c2) model parquet —
+        // pages whose mean quantized likelihood falls below --lm-min
+        // (default 30000 ppm) are dropped before the sink. Full-rate
+        // path, so it uses scoreDocs's shuffled model join (the
+        // broadcast probe is sized for request triggers, not 10^4-page
+        // batches); the model's c1/V derivations re-run per trigger off
+        // the CACHED counts — model-scale work, cheap next to the batch.
+        // Length-gate semantics: pages with < 2 tokens are unscoreable
+        // and FAIL the gate (scoreDocs emits no row for them).
+        val counts = spark.read.parquet(a("--lm-gate")).cache()
+        val minLmQ = a.getOrElse("--lm-min", "30000").toLong
+        val gate = (b: org.apache.spark.sql.DataFrame) => {
+          val keep = graft.operators.LanguageModel.scoreDocs(
+              b.select(col("url"), col("text")), counts, "url", "text")
+            .where(col("lm_q") >= minLmQ)
+            .select(col("doc_id").as("url"))
+          b.join(keep, Seq("url"), "left_semi")
+        }
+        (pages.toDF(), gate)
       } else if (nearDup) {
         // the full ingest-dedup pipeline in ONE query (chained stateful
         // operators): exact fingerprint dedup first (cheap, catches
@@ -180,7 +203,8 @@ object PagePipelineApp {
     val statsCol =
       if (linkGraph) None // edge deltas carry no event time
       else if (prep || nearDup) Some("ts")
-      else if (joinMeta || a.contains("--oov-gate")) Some("warc_ts")
+      else if (joinMeta || a.contains("--oov-gate")
+        || a.contains("--lm-gate")) Some("warc_ts")
       else Some("session_start")
     val sink = new ExactlyOnceSink(table,
       if (nBuckets > 0) Some(bucketColName) else None, statsCol)
