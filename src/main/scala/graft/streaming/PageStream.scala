@@ -41,7 +41,11 @@ object PageStream {
         val base = block * shuffleBlock
         val idx = v - base
         val mixed = base + ((idx * 757L + (PageGen.mix64(block) >>> 55)) % shuffleBlock)
-        val id = math.min(mixed, cfg.nPages - 1) % cfg.nPages
+        // wrap, don't clamp: past one pass the stream must CYCLE page ids
+        // (re-crawl semantics the link-graph / gate app modes rely on) —
+        // a min() here would collapse every post-cycle row onto the last
+        // page id, a synthetic hot key no real crawl produces
+        val id = mixed % cfg.nPages
         val g = PageGen.genPage(cfg, bounds, id)
         RawPage(g.url, g.host, g.warc_ts, g.html)
       }

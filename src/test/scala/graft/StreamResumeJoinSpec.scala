@@ -75,7 +75,7 @@ class StreamResumeJoinSpec extends SparkSpec {
       val base = b * block
       val idx = v - base
       val mixed = base + ((idx * 757L + (graft.sources.PageGen.mix64(b) >>> 55)) % block)
-      math.min(mixed, cfg.nPages - 1) % cfg.nPages
+      mixed % cfg.nPages
     }
     // every id's generated row is identical no matter when it arrives
     seen.distinct.foreach { id =>
