@@ -2650,6 +2650,66 @@ object Queries {
       FROM (SELECT DISTINCT request_id FROM req) r
       LEFT JOIN sc USING (request_id)"""))
 
+  // snapshot dedup: ONE row per canonical url, newest capture wins — the
+  // serving-side read of a re-crawl log (UrlOps.latestSnapshot). The
+  // synth log reuses q62's url spellings, so captures of the SAME fetch
+  // under different raw spellings (:80 port, param order) must collapse
+  // into one snapshot row whose payload is the newest capture's verbatim;
+  // ties on ts break bytewise on (url, event_id) — struct-max field
+  // order — which the oracle's ORDER BY replays exactly. Unfetchable
+  // urls (the %97 poison) canonicalize to NULL and are dropped.
+  private val q86 = QueryDef("q86_latest_snapshot",
+    (s, d) => {
+      val url = concat(
+        lit("HTTP://WWW.Site"), (col("user_id") % 50).cast(StringType),
+        lit(".Example.COM"),
+        when(col("event_id") % 4 === 0, lit(":80")).otherwise(lit("")),
+        when(col("event_id") % 3 === 0, lit("")).otherwise(
+          concat(lit("/p/"), (col("event_id") % 7).cast(StringType))),
+        when(col("event_id") % 2 === 0,
+          concat(lit("?b="), (col("user_id") % 5).cast(StringType), lit("&a=1&")))
+          .otherwise(concat(lit("?a=1&b="), (col("user_id") % 5).cast(StringType))),
+        lit("#sec"))
+      val log = rd(s, d, "events")
+        .select(
+          when(col("event_id") % 97 === 0, lit("not a url")).otherwise(url).as("url"),
+          col("ts"), col("event_id"))
+      UrlOps.latestSnapshot(log, "url", "ts")
+    },
+    Some("""WITH u AS (SELECT ts, event_id,
+        CASE WHEN event_id % 97 = 0 THEN 'not a url' ELSE
+          'HTTP://WWW.Site' || (user_id % 50)::VARCHAR || '.Example.COM'
+          || (CASE WHEN event_id % 4 = 0 THEN ':80' ELSE '' END)
+          || (CASE WHEN event_id % 3 = 0 THEN ''
+              ELSE '/p/' || (event_id % 7)::VARCHAR END)
+          || (CASE WHEN event_id % 2 = 0
+              THEN '?b=' || (user_id % 5)::VARCHAR || '&a=1&'
+              ELSE '?a=1&b=' || (user_id % 5)::VARCHAR END)
+          || '#sec' END AS url FROM events),
+      nf_t AS (SELECT ts, event_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
+      p AS (SELECT ts, event_id, url,
+        lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS rawhost,
+        regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        regexp_extract(nf, '\?([^#]*)', 1) AS q0
+      FROM nf_t),
+      c AS (SELECT ts, event_id, url,
+        CASE WHEN scheme = '' OR rawhost = '' THEN NULL ELSE
+          scheme || '://'
+          || (CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+              ELSE rawhost END)
+          || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+          || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
+        END AS canon
+      FROM (SELECT *, array_to_string(list_sort(list_filter(
+          string_split(q0, '&'), x -> x <> '')), '&') AS qs FROM p))
+      SELECT canon AS canon_url, ts, url, event_id FROM (
+        SELECT canon, ts, url, event_id, row_number() OVER (
+          PARTITION BY canon ORDER BY ts DESC, url DESC, event_id DESC) AS rn
+        FROM c WHERE canon IS NOT NULL)
+      WHERE rn = 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -2657,5 +2717,5 @@ object Queries {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85)
+    q84, q85, q86)
 }

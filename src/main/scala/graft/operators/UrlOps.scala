@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -52,5 +52,47 @@ object UrlOps {
     val query = when(qSorted === "", lit("")).otherwise(concat(lit("?"), qSorted))
     when(scheme === "" || rawHost === "", lit(null).cast(StringType))
       .otherwise(concat(scheme, lit("://"), host, path, query))
+  }
+
+  /**
+   * Snapshot dedup of a re-crawl log: one row per CANONICAL url — the
+   * newest capture wins. This is the serving-side read of any table that
+   * accumulates repeated fetches of the same page (the app's gate /
+   * link-graph modes append one row per arrival; a crawl archive holds
+   * one record per fetch), the engine's analog of the reference polling
+   * the same url forever and downstream caring only about the freshest
+   * frame (`fetcher/RefreshingImageFetcher.java:26-28`).
+   *
+   * Keyed by [[canonicalizeUrl]], so raw spellings of the same fetch
+   * (`HTTP://Host:80/p?b=2&a=1` vs `http://host/p?a=1&b=2`) collapse to
+   * one snapshot row; rows whose url does not canonicalize (no
+   * `scheme://authority`) are dropped — they were never fetchable.
+   *
+   * Shape at corpus scale: the capture row rides a struct through
+   * `max()`, so the aggregation keeps its PARTIAL phase — each input
+   * partition collapses its own re-crawls map-side and only one
+   * candidate row per (partition, url) crosses the shuffle, the thing a
+   * 30×-recrawled log needs. A `row_number() OVER (PARTITION BY url
+   * ORDER BY ts DESC)` would shuffle and sort every capture instead.
+   *
+   * Determinism: ties on `tsCol` break bytewise on the remaining columns
+   * in `df` column order (struct comparison is lexicographic by field).
+   * All columns must be orderable (no maps).
+   *
+   * @return one row per canonical url: `canon_url` + every column of
+   *         `df`, the winning capture's values verbatim
+   */
+  def latestSnapshot(df: DataFrame, urlCol: String, tsCol: String): DataFrame = {
+    require(df.columns.contains(urlCol) && df.columns.contains(tsCol),
+      s"latestSnapshot needs '$urlCol' and '$tsCol' in ${df.columns.mkString(",")}")
+    require(!df.columns.contains("canon_url"),
+      "latestSnapshot emits 'canon_url'; rename the input's clashing column")
+    val capFields = (tsCol +: df.columns.filterNot(_ == tsCol).toSeq).map(col(_))
+    df.select(canonicalizeUrl(col(urlCol)).as("canon_url"),
+        struct(capFields: _*).as("__cap"))
+      .where(col("canon_url").isNotNull)
+      .groupBy(col("canon_url"))
+      .agg(max(col("__cap")).as("__cap"))
+      .select(col("canon_url") +: df.columns.toSeq.map(c => col(s"__cap.`$c`").as(c)): _*)
   }
 }

@@ -56,4 +56,52 @@ class UrlOpsSpec extends SparkSpec {
       Seq(Some("http://h/CaseKept/P?Z=1"),
         None, None, None))
   }
+
+  test("latestSnapshot: newest capture per canonical url, spellings collapse") {
+    import spark.implicits._
+    val log = Seq(
+      // three captures of the SAME fetch under different raw spellings
+      ("HTTP://Host:80/p?b=2&a=1", 100L, "old"),
+      ("http://host/p?a=1&b=2", 300L, "newest"),
+      ("http://HOST/p?a=1&&b=2&", 200L, "mid"),
+      // a different page, single capture
+      ("http://host/q", 50L, "only"),
+      // unfetchable rows must be dropped, not grouped under NULL
+      ("not a url", 999L, "junk"))
+      .toDF("url", "fetch_ts", "body")
+    val got = UrlOps.latestSnapshot(log, "url", "fetch_ts")
+      .orderBy("canon_url")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("http://host/p?a=1&b=2", "http://host/p?a=1&b=2", 300L, "newest"),
+      ("http://host/q", "http://host/q", 50L, "only")))
+  }
+
+  test("latestSnapshot: ts ties break bytewise on remaining columns in order") {
+    import spark.implicits._
+    val log = Seq(
+      ("http://h/p", 7L, "a", 9L),
+      ("http://h/p", 7L, "b", 1L), // wins: same ts, 'b' > 'a' bytewise
+      ("http://h/p", 7L, "b", 0L))
+      .toDF("url", "fetch_ts", "tag", "k")
+    val got = UrlOps.latestSnapshot(log, "url", "fetch_ts").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(3), r.getLong(4)) == ("b", 1L),
+      s"tie-break picked ${r.mkString(",")}")
+  }
+
+  test("latestSnapshot: partial aggregation before the exchange, no window sort") {
+    import spark.implicits._
+    val log = Seq(("http://h/p", 1L, "x")).toDF("url", "fetch_ts", "body")
+    val p = UrlOps.latestSnapshot(log, "url", "fetch_ts")
+      .queryExecution.executedPlan.toString
+    // max(struct) keeps its map-side combine: a partial+final aggregate
+    // pair around ONE exchange — never a row_number window (full shuffle
+    // + per-partition sort of every capture)
+    val aggs = "HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final aggregate pair:\n$p")
+    assert(!p.contains("Window"), s"snapshot must not plan a window:\n$p")
+  }
 }
