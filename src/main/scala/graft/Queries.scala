@@ -2658,24 +2658,28 @@ object Queries {
   // ties on ts break bytewise on (url, event_id) — struct-max field
   // order — which the oracle's ORDER BY replays exactly. Unfetchable
   // urls (the %97 poison) canonicalize to NULL and are dropped.
+  // the synthetic re-crawl log shared by q86/q87: q62's url spellings
+  // (port/param-order variants of the same fetch, %97 unfetchable
+  // poison) with the event time as the capture time
+  private def crawlLog(s: SparkSession, d: String) = {
+    val url = concat(
+      lit("HTTP://WWW.Site"), (col("user_id") % 50).cast(StringType),
+      lit(".Example.COM"),
+      when(col("event_id") % 4 === 0, lit(":80")).otherwise(lit("")),
+      when(col("event_id") % 3 === 0, lit("")).otherwise(
+        concat(lit("/p/"), (col("event_id") % 7).cast(StringType))),
+      when(col("event_id") % 2 === 0,
+        concat(lit("?b="), (col("user_id") % 5).cast(StringType), lit("&a=1&")))
+        .otherwise(concat(lit("?a=1&b="), (col("user_id") % 5).cast(StringType))),
+      lit("#sec"))
+    rd(s, d, "events")
+      .select(
+        when(col("event_id") % 97 === 0, lit("not a url")).otherwise(url).as("url"),
+        col("ts"), col("event_id"))
+  }
+
   private val q86 = QueryDef("q86_latest_snapshot",
-    (s, d) => {
-      val url = concat(
-        lit("HTTP://WWW.Site"), (col("user_id") % 50).cast(StringType),
-        lit(".Example.COM"),
-        when(col("event_id") % 4 === 0, lit(":80")).otherwise(lit("")),
-        when(col("event_id") % 3 === 0, lit("")).otherwise(
-          concat(lit("/p/"), (col("event_id") % 7).cast(StringType))),
-        when(col("event_id") % 2 === 0,
-          concat(lit("?b="), (col("user_id") % 5).cast(StringType), lit("&a=1&")))
-          .otherwise(concat(lit("?a=1&b="), (col("user_id") % 5).cast(StringType))),
-        lit("#sec"))
-      val log = rd(s, d, "events")
-        .select(
-          when(col("event_id") % 97 === 0, lit("not a url")).otherwise(url).as("url"),
-          col("ts"), col("event_id"))
-      UrlOps.latestSnapshot(log, "url", "ts")
-    },
+    (s, d) => UrlOps.latestSnapshot(crawlLog(s, d), "url", "ts"),
     Some("""WITH u AS (SELECT ts, event_id,
         CASE WHEN event_id % 97 = 0 THEN 'not a url' ELSE
           'HTTP://WWW.Site' || (user_id % 50)::VARCHAR || '.Example.COM'
@@ -2710,6 +2714,24 @@ object Queries {
         FROM c WHERE canon IS NOT NULL)
       WHERE rn = 1"""))
 
+  // snapshot MAINTENANCE: two epoch folds (UrlOps.snapshotIncrement) must
+  // equal the one-pass snapshot — q86's oracle verbatim. Newest-wins is a
+  // max, associative AND idempotent, so the second chunk deliberately
+  // REPLAYS a slice of the first (%10 overlap of the %2 split): unlike
+  // the count-shaped increments (q75 blocklist, q66 span-df), re-delivered
+  // arrivals are absorbed, not double-counted — no disjointness
+  // precondition from the exactly-once manifest.
+  private val q87 = QueryDef("q87_snapshot_increment",
+    (s, d) => {
+      val log = crawlLog(s, d)
+      val first = UrlOps.latestSnapshot(
+        log.where(col("event_id") % 2 === 0), "url", "ts")
+      UrlOps.snapshotIncrement(first,
+        log.where(col("event_id") % 2 === 1 || col("event_id") % 10 === 0),
+        "url", "ts")
+    },
+    q86.oracle)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -2717,5 +2739,5 @@ object Queries {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86)
+    q84, q85, q86, q87)
 }

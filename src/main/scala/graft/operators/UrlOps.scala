@@ -87,12 +87,51 @@ object UrlOps {
       s"latestSnapshot needs '$urlCol' and '$tsCol' in ${df.columns.mkString(",")}")
     require(!df.columns.contains("canon_url"),
       "latestSnapshot emits 'canon_url'; rename the input's clashing column")
-    val capFields = (tsCol +: df.columns.filterNot(_ == tsCol).toSeq).map(col(_))
-    df.select(canonicalizeUrl(col(urlCol)).as("canon_url"),
-        struct(capFields: _*).as("__cap"))
-      .where(col("canon_url").isNotNull)
+    collapse(
+      df.select(canonicalizeUrl(col(urlCol)).as("canon_url") +:
+          df.columns.toSeq.map(col(_)): _*)
+        .where(col("canon_url").isNotNull),
+      tsCol, df.columns.toSeq)
+  }
+
+  /**
+   * Per-epoch maintenance of a persisted snapshot table: fold a fresh
+   * chunk of arrivals into a previous [[latestSnapshot]] output. Newest-
+   * capture-wins is a `max`, and max is ASSOCIATIVE and IDEMPOTENT —
+   * chunked folds equal the one-pass snapshot (chunked ≡ batch, any
+   * chunking), and a RE-DELIVERED arrival is absorbed (`max(x, x) = x`),
+   * so unlike count-shaped increments this one needs no disjointness
+   * precondition from the exactly-once manifest: replays are harmless.
+   *
+   * Shape: the fresh chunk collapses to ≤1 row per url map-side before
+   * the union, so the re-max shuffles `|snapshot| + |distinct fresh
+   * urls|` rows per epoch — never the raw arrival log.
+   *
+   * @param snapshot a previous [[latestSnapshot]]/[[snapshotIncrement]]
+   *                 output (carries `canon_url`); pass an empty one for
+   *                 the first epoch
+   * @param fresh    raw arrivals, same columns as the original log
+   */
+  def snapshotIncrement(snapshot: DataFrame, fresh: DataFrame,
+      urlCol: String, tsCol: String): DataFrame = {
+    val payload = fresh.columns.toSeq
+    require(snapshot.columns.toSeq == ("canon_url" +: payload),
+      s"snapshot columns ${snapshot.columns.mkString(",")} must be " +
+        s"canon_url + fresh's ${payload.mkString(",")}")
+    collapse(latestSnapshot(fresh, urlCol, tsCol).unionByName(snapshot),
+      tsCol, payload)
+  }
+
+  /** Newest capture per `canon_url` of an already-canonicalized log:
+    * struct-max keyed on (ts, payload in column order) — the partial-agg
+    * core shared by [[latestSnapshot]] and [[snapshotIncrement]]. */
+  private def collapse(withCanon: DataFrame, tsCol: String,
+      payload: Seq[String]): DataFrame = {
+    val capFields = (tsCol +: payload.filterNot(_ == tsCol)).map(col(_))
+    withCanon
+      .select(col("canon_url"), struct(capFields: _*).as("__cap"))
       .groupBy(col("canon_url"))
       .agg(max(col("__cap")).as("__cap"))
-      .select(col("canon_url") +: df.columns.toSeq.map(c => col(s"__cap.`$c`").as(c)): _*)
+      .select(col("canon_url") +: payload.map(c => col(s"__cap.`$c`").as(c)): _*)
   }
 }

@@ -91,6 +91,30 @@ class UrlOpsSpec extends SparkSpec {
       s"tie-break picked ${r.mkString(",")}")
   }
 
+  test("snapshotIncrement: chunked == batch under any split; replays absorbed") {
+    import spark.implicits._
+    val log = Seq(
+      ("http://h/a", 10L, "a-old"), ("HTTP://h:80/a", 30L, "a-new"),
+      ("http://h/b", 20L, "b-only"),
+      ("http://h/c", 5L, "c-old"), ("http://h/c", 6L, "c-new"))
+      .toDF("url", "fetch_ts", "body")
+    val batch = UrlOps.latestSnapshot(log, "url", "fetch_ts")
+      .collect().map(_.toSeq).toSet
+    // non-chronological split + a replay of a chunk-1 row in chunk 2
+    val c1 = log.where($"fetch_ts".isin(30L, 5L))
+    val c2 = log.where($"fetch_ts".isin(10L, 20L, 6L) || $"fetch_ts" === 30L)
+    val folded = UrlOps.snapshotIncrement(
+      UrlOps.latestSnapshot(c1, "url", "fetch_ts"), c2, "url", "fetch_ts")
+      .collect().map(_.toSeq).toSet
+    assert(folded == batch, s"folded=$folded batch=$batch")
+    // idempotence outright: folding the WHOLE log into its own snapshot
+    // is a no-op (max(x, x) = x)
+    val again = UrlOps.snapshotIncrement(
+      UrlOps.latestSnapshot(log, "url", "fetch_ts"), log, "url", "fetch_ts")
+      .collect().map(_.toSeq).toSet
+    assert(again == batch)
+  }
+
   test("latestSnapshot: partial aggregation before the exchange, no window sort") {
     import spark.implicits._
     val log = Seq(("http://h/p", 1L, "x")).toDF("url", "fetch_ts", "body")
