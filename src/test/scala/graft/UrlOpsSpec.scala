@@ -115,6 +115,25 @@ class UrlOpsSpec extends SparkSpec {
     assert(again == batch)
   }
 
+  test("serving read of a gate-mode re-crawl log through the exactly-once sink") {
+    import spark.implicits._
+    // the app's gate modes append one row per ARRIVAL per epoch; the
+    // snapshot is the serving-side read over the sink's committed epochs
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    val sink = new graft.streaming.ExactlyOnceSink(dir)
+    sink.write(Seq(("http://h/a", 10L, "v1"), ("http://h/b", 11L, "v1"))
+      .toDF("url", "fetch_ts", "body"), 0L)
+    sink.write(Seq(("HTTP://h:80/a", 20L, "v2")) // re-crawl, new spelling
+      .toDF("url", "fetch_ts", "body"), 1L)
+    sink.write(Seq(("http://h/a", 99L, "EVIL")) // re-delivered epoch: no-op
+      .toDF("url", "fetch_ts", "body"), 0L)
+    val snap = UrlOps.latestSnapshot(sink.read(spark), "url", "fetch_ts")
+      .orderBy("canon_url")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+    assert(snap.toSeq == Seq(
+      ("http://h/a", 20L, "v2"), ("http://h/b", 11L, "v1")))
+  }
+
   test("latestSnapshot: partial aggregation before the exchange, no window sort") {
     import spark.implicits._
     val log = Seq(("http://h/p", 1L, "x")).toDF("url", "fetch_ts", "body")
