@@ -85,8 +85,9 @@ object UrlOps {
   def latestSnapshot(df: DataFrame, urlCol: String, tsCol: String): DataFrame = {
     require(df.columns.contains(urlCol) && df.columns.contains(tsCol),
       s"latestSnapshot needs '$urlCol' and '$tsCol' in ${df.columns.mkString(",")}")
-    require(!df.columns.contains("canon_url"),
-      "latestSnapshot emits 'canon_url'; rename the input's clashing column")
+    require(!df.columns.contains("canon_url") && !df.columns.contains("__cap"),
+      "latestSnapshot emits 'canon_url' and uses '__cap' internally; " +
+        "rename the input's clashing column")
     collapse(
       df.select(canonicalizeUrl(col(urlCol)).as("canon_url") +:
           df.columns.toSeq.map(col(_)): _*)
