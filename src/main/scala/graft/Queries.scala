@@ -2732,6 +2732,95 @@ object Queries {
     },
     q86.oracle)
 
+  // DSIR importance weights (LanguageModel.importanceWeights): one
+  // bigram-explode pass probed against TWO models — target slice
+  // (%5=0) vs raw slice (%5=1) — scored docs the remaining 3/5 of the
+  // corpus. w_target/w_raw must equal the two scoreDocs lm_q values
+  // verbatim (the oracle rebuilds both model chains + the shared
+  // per-doc aggregation digit-for-digit); dsir_q is their difference.
+  private val q88 = QueryDef("q88_dsir_weights",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val target = LanguageModel.bigramIncrement(
+        docs.where(col("doc_id") % 5 === 0), "text")
+      val raw = LanguageModel.bigramIncrement(
+        docs.where(col("doc_id") % 5 === 1), "text")
+      LanguageModel.importanceWeights(docs.where(col("doc_id") % 5 >= 2),
+        target, raw, "doc_id", "text")
+    },
+    Some("""WITH tt AS (SELECT string_split_regex(trim(text), '\s+') AS ts
+        FROM documents WHERE doc_id % 5 = 0),
+      tb AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+          i -> ts[i] || ' ' || ts[i+1])) AS bg FROM tt WHERE len(ts) >= 2),
+      t2 AS (SELECT bg, cast(count(*) AS BIGINT) AS c2_t FROM tb GROUP BY 1),
+      t1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+          cast(sum(c2_t) AS BIGINT) AS c1_t FROM t2 GROUP BY 1),
+      tv AS (SELECT cast(count(DISTINCT split_part(bg, ' ', 2)) + 1 AS BIGINT) AS v_t
+        FROM t2),
+      rt AS (SELECT string_split_regex(trim(text), '\s+') AS ts
+        FROM documents WHERE doc_id % 5 = 1),
+      rb AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+          i -> ts[i] || ' ' || ts[i+1])) AS bg FROM rt WHERE len(ts) >= 2),
+      r2 AS (SELECT bg, cast(count(*) AS BIGINT) AS c2_r FROM rb GROUP BY 1),
+      r1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+          cast(sum(c2_r) AS BIGINT) AS c1_r FROM r2 GROUP BY 1),
+      rv AS (SELECT cast(count(DISTINCT split_part(bg, ' ', 2)) + 1 AS BIGINT) AS v_r
+        FROM r2),
+      db AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+          i -> ts[i] || ' ' || ts[i+1])) AS bg
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE doc_id % 5 >= 2)
+        WHERE len(ts) >= 2),
+      p AS (SELECT doc_id,
+          1000000 * (coalesce(t2.c2_t, 0) + 1) // (coalesce(t1.c1_t, 0) + tv.v_t) AS p_t,
+          1000000 * (coalesce(r2.c2_r, 0) + 1) // (coalesce(r1.c1_r, 0) + rv.v_r) AS p_r
+        FROM db LEFT JOIN t2 ON t2.bg = db.bg
+        LEFT JOIN r2 ON r2.bg = db.bg
+        LEFT JOIN t1 ON t1.w1 = split_part(db.bg, ' ', 1)
+        LEFT JOIN r1 ON r1.w1 = split_part(db.bg, ' ', 1)
+        CROSS JOIN tv CROSS JOIN rv)
+      SELECT doc_id, cast(count(*) AS BIGINT) AS n_bigrams,
+        cast(sum(p_t) AS BIGINT) // count(*) AS w_target,
+        cast(sum(p_r) AS BIGINT) // count(*) AS w_raw,
+        cast(sum(p_t) AS BIGINT) // count(*)
+          - cast(sum(p_r) AS BIGINT) // count(*) AS dsir_q
+      FROM p GROUP BY 1"""))
+
+  // SemDeDup (Similarity.semDedupVerdicts): embedding-space near-dup
+  // verdicts — coarse cells from the deterministic %16 seed sample
+  // (q43's assignment formula, score kept), within-cell drop iff a
+  // better-ranked cell-mate (LOWER centroid-cosine wins, ties to lower
+  // id — the paper keeps the cluster's atypical examples) sits at
+  // cos_q >= threshold. One verdict row per vector.
+  private val q89 = QueryDef("q89_semdedup",
+    (s, d) => Similarity.semDedupVerdicts(rd(s, d, "embeddings"),
+      "vec_id", "embedding", minCosQ = 150000L, seedMod = 16L),
+    Some("""WITH c AS (SELECT vec_id AS corpus_id, embedding AS cv,
+        cast(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1000000))) as bigint) AS cn
+        FROM embeddings),
+      seeds AS (SELECT corpus_id AS seed_id, cv AS sv, cn AS sn
+        FROM c WHERE corpus_id % 16 = 0),
+      asg AS (SELECT corpus_id, cv, cn, seed_id AS centroid, sc AS cos_c,
+          row_number() OVER (PARTITION BY corpus_id
+            ORDER BY sc DESC, seed_id ASC) AS rn
+        FROM (SELECT corpus_id, cv, cn, seed_id,
+          cast(floor(cast(list_sum(list_transform(generate_series(1, len(cv)),
+            i -> floor(cv[i]::DOUBLE * sv[i]::DOUBLE * 1000000))) as bigint)
+            / sqrt(cn::DOUBLE * sn::DOUBLE) * 1000000) as bigint) AS sc
+          FROM c CROSS JOIN seeds)),
+      a AS (SELECT corpus_id, cv, cn, centroid, cos_c FROM asg WHERE rn = 1),
+      drops AS (SELECT DISTINCT x.corpus_id FROM a x JOIN a y
+        ON x.centroid = y.centroid AND y.corpus_id <> x.corpus_id
+        AND (y.cos_c < x.cos_c
+          OR (y.cos_c = x.cos_c AND y.corpus_id < x.corpus_id))
+        WHERE cast(floor(cast(list_sum(list_transform(generate_series(1, len(x.cv)),
+          i -> floor(x.cv[i]::DOUBLE * y.cv[i]::DOUBLE * 1000000))) as bigint)
+          / sqrt(x.cn::DOUBLE * y.cn::DOUBLE) * 1000000) as bigint) >= 150000)
+      SELECT a.corpus_id, a.centroid, a.cos_c,
+        (d.corpus_id IS NULL) AS kept
+      FROM a LEFT JOIN drops d ON d.corpus_id = a.corpus_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -2739,5 +2828,5 @@ object Queries {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87)
+    q84, q85, q86, q87, q88, q89)
 }

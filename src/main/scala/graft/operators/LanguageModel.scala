@@ -129,6 +129,66 @@ object LanguageModel {
   }
 
   /**
+   * DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): score every
+   * document under TWO bigram models — one trained on a high-quality
+   * target slice, one on the raw corpus — and keep the difference as
+   * the importance signal. In log space DSIR's weight is
+   * `log p_target(doc) − log p_raw(doc)`; with this object's quantized
+   * linear-likelihood scheme (see object doc: transcendentals are not
+   * bit-portable across engines) the analogous exact-integer signal is
+   *
+   *   dsir_q(doc) = lm_q_target(doc) − lm_q_raw(doc)
+   *
+   * — the difference of the two mean quantized bigram likelihoods,
+   * positive when the target model predicts the doc better than the
+   * raw model. Selection composes downstream exactly like the CCNet
+   * tiers: freeze a cutoff offline ([[likelihoodCutoffs]] on the
+   * `dsir_q` column, or a top-fraction quantile) and gate row-locally;
+   * proportional resampling composes with
+   * [[Sampling.bernoulliByStratum]] over `dsir_q` buckets.
+   *
+   * Reference analog: `operation/HaarCascadeOp.java:99-117` — models
+   * trained at prepare time, applied per tuple. 100 TB shape: the
+   * corpus is tokenized and exploded to bigram rows ONCE (not once per
+   * model — the single-pass form is the point of this operator vs
+   * calling [[scoreDocs]] twice), probed with four equi-joins against
+   * the two vocabulary-bounded model tables (AQE broadcasts them when
+   * they fit), then re-aggregated per doc with map-side partial sums —
+   * exactly one corpus-scale shuffle.
+   *
+   * Returns `(doc_id, n_bigrams, w_target, w_raw, dsir_q)`, one row per
+   * doc with at least one bigram. `w_target`/`w_raw` are the two
+   * [[scoreDocs]] `lm_q` values verbatim (spec-asserted), so existing
+   * tier cutoffs stay meaningful on either column.
+   */
+  def importanceWeights(docs: DataFrame, target: DataFrame, raw: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def artifacts(m: DataFrame, p: String): (DataFrame, DataFrame, DataFrame) = (
+      m.select(col("bg"), col("c2").as(s"c2_$p")),
+      m.groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+        .agg(sum("c2").as(s"c1_$p")),
+      m.select(element_at(split(col("bg"), " "), 2).as("w2")).distinct()
+        .agg((count(lit(1)) + lit(1L)).as(s"v_$p")))
+    val (t2, t1, tv) = artifacts(target, "t")
+    val (r2, r1, rv) = artifacts(raw, "r")
+    bigramRows(docs, idCol, textCol)
+      .join(t2, Seq("bg"), "left").join(r2, Seq("bg"), "left")
+      .join(t1, Seq("w1"), "left").join(r1, Seq("w1"), "left")
+      .crossJoin(broadcast(tv)).crossJoin(broadcast(rv))
+      .select(col("doc_id"),
+        expr("1000000 * (coalesce(c2_t, 0) + 1) div (coalesce(c1_t, 0) + v_t)").as("p_t"),
+        expr("1000000 * (coalesce(c2_r, 0) + 1) div (coalesce(c1_r, 0) + v_r)").as("p_r"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("p_t").as("__st"), sum("p_r").as("__sr"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("__st div n_bigrams").as("w_target"),
+        expr("__sr div n_bigrams").as("w_raw"),
+        expr("__st div n_bigrams - __sr div n_bigrams").as("dsir_q"))
+  }
+
+  /**
    * Serving-tier model artifacts, derived ONCE at service start (or per
    * maintenance epoch) and cached: the enriched model `(bg, c2, c1)` —
    * every bigram row carrying its left-context total so a single

@@ -178,6 +178,11 @@ object Similarity {
    * because cv/cn are constant within a corpus_id group.
    */
   private[operators] def assignToCells(c: DataFrame, seeds: DataFrame): DataFrame =
+    assignWithScore(c, seeds).drop("cos_c")
+
+  /** [[assignToCells]] keeping the winning cosine: `(corpus_id, cv, cn,
+   *  centroid, cos_c)` — [[semDedupVerdicts]] ranks within-cell by it. */
+  private[operators] def assignWithScore(c: DataFrame, seeds: DataFrame): DataFrame =
     c.crossJoin(broadcast(seeds))
       .select($"corpus_id", $"cv", $"cn",
         struct(cosQ(VectorOps.dot_q($"cv", $"sv"), $"cn", $"sn").as("sc"),
@@ -185,7 +190,68 @@ object Similarity {
       .groupBy($"corpus_id")
       .agg(max($"cand").as("best"),
         any_value($"cv").as("cv"), any_value($"cn").as("cn"))
-      .select($"corpus_id", $"cv", $"cn", (-$"best.neg_seed").as("centroid"))
+      .select($"corpus_id", $"cv", $"cn", (-$"best.neg_seed").as("centroid"),
+        $"best.sc".as("cos_c"))
+
+  /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): embedding-space NEAR-dup
+   * removal via clustering — the semantic complement of the lexical
+   * MinHash/SimHash planes. Vectors are assigned to coarse cells (the
+   * deterministic [[ivfTopK]] seed sample, so build/verdict are exact
+   * integer arithmetic the DuckDB oracle rebuilds digit-for-digit), and
+   * WITHIN each cell a vector is dropped iff some better-ranked
+   * cell-mate sits within `minCosQ` quantized cosine of it. Rank follows
+   * the paper: LOW similarity to the centroid wins (SemDeDup keeps the
+   * cluster's atypical examples — typical ones are the redundant mass),
+   * ties broken toward the lower id. The "exists a better-ranked close
+   * neighbor" greedy linearization is the same claim rule as the
+   * MinHash keeper pass (q44) and [[graft.streaming.StreamDedup]]: one
+   * deterministic pass, no fixpoint, no both-dropped anomaly.
+   *
+   * Returns one verdict row per corpus vector: `(corpus_id, centroid,
+   * cos_c, kept)`.
+   *
+   * 100 TB shape: clustering is what bounds the pairwise work — the
+   * self-join is on `centroid`, so compute is Σ|cell|² instead of n²,
+   * and the two sides of the self-join share one exchange (reused, not
+   * recomputed). Cell population is controlled by the centroid count
+   * (paper: cells sized ~constant); on clustered real-world embeddings
+   * run [[refineCentroids]] first and pass the balanced table to
+   * [[semDedupWithCentroids]] — an oversized hot cell is a quadratic
+   * term exactly like a hot LSH bucket, same escalation. At index-build
+   * scale the assignment is [[assignIncrement]]'s row-local pass; the
+   * verdict join shuffles each cell's rows once on the bounded-width
+   * `centroid` key.
+   */
+  def semDedupVerdicts(corpus: DataFrame, idC: String, vecC: String,
+      minCosQ: Long, seedMod: Long = 16L): DataFrame = {
+    val c = corpus.select(col(idC).as("corpus_id"), col(vecC).as("cv"),
+      VectorOps.norm_q(col(vecC)).as("cn"))
+    val seeds = c.where($"corpus_id" % seedMod === 0)
+      .select($"corpus_id".as("seed_id"), $"cv".as("sv"), $"cn".as("sn"))
+    semDedupWithCentroids(c, seeds, minCosQ)
+  }
+
+  /** [[semDedupVerdicts]] against an explicit centroid table
+   *  `(seed_id, sv, sn)` — e.g. [[refineCentroids]]' balanced output.
+   *  Corpus must be pre-shaped `(corpus_id, cv, cn)`. */
+  def semDedupWithCentroids(c: DataFrame, seeds: DataFrame,
+      minCosQ: Long): DataFrame = {
+    val a = assignWithScore(c, seeds)
+    val mates = a.select($"centroid", $"corpus_id".as("mate_id"),
+      $"cv".as("mv"), $"cn".as("mn"), $"cos_c".as("mate_cos"))
+    val dropped = a.join(mates, Seq("centroid"))
+      .where($"mate_id" =!= $"corpus_id" &&
+        ($"mate_cos" < $"cos_c" ||
+          ($"mate_cos" === $"cos_c" && $"mate_id" < $"corpus_id")) &&
+        cosQ(VectorOps.dot_q($"cv", $"mv"), $"cn", $"mn") >= minCosQ)
+      .select($"corpus_id").distinct()
+      .withColumn("__dropped", lit(true))
+    a.join(dropped, Seq("corpus_id"), "left")
+      .select($"corpus_id", $"centroid", $"cos_c",
+        $"__dropped".isNull.as("kept"))
+  }
 
   /**
    * Lloyd refinement of IVF centroids — `iters` k-means steps, each fully

@@ -97,6 +97,35 @@ class LanguageModelSpec extends SparkSpec {
     assert(got.size == want.size + 2)
   }
 
+  test("importanceWeights ≡ two scoreDocs runs; sign separates target-like from raw-like") {
+    import spark.implicits._
+    val target = LanguageModel.bigramIncrement(
+      Seq("the cat sat", "the cat sat on the mat").toDF("text"), "text")
+    val raw = LanguageModel.bigramIncrement(
+      Seq("zz qq rr", "qq rr zz qq").toDF("text"), "text")
+    val docs = Seq(
+      (1L, "the cat sat"),   // target-like: dsir_q > 0
+      (2L, "qq rr zz"),      // raw-like: dsir_q < 0
+      (3L, "the dog barks"), // partially unseen in both
+      (4L, "one"), (5L, "")  // no bigrams -> no row
+    ).toDF("doc_id", "text")
+    val iw = LanguageModel.importanceWeights(docs, target, raw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def scored(m: org.apache.spark.sql.DataFrame) =
+      LanguageModel.scoreDocs(docs, m, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val st = scored(target); val sr = scored(raw)
+    assert(iw.keySet === Set(1L, 2L, 3L))
+    iw.foreach { case (id, (n, wt, wr, d)) =>
+      assert((n, wt) === st(id), s"doc $id: w_target != scoreDocs(target)")
+      assert((n, wr) === sr(id), s"doc $id: w_raw != scoreDocs(raw)")
+      assert(d === wt - wr, s"doc $id: dsir_q != difference")
+    }
+    assert(iw(1L)._4 > 0, "target-like doc must score positive")
+    assert(iw(2L)._4 < 0, "raw-like doc must score negative")
+  }
+
   test("likelihoodCutoffs: terciles of the score column") {
     import spark.implicits._
     val scored = (1L to 9L).map(i => (i, 1L, i * 1000L))

@@ -138,6 +138,43 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("semDedup: paper rank (low centroid-cosine kept), thresholds, partitioning invariance") {
+    import spark.implicits._
+    // 2-D hand geometry: seeds 0=(1,0) and 16=(0,1); 1≈2 in cell 0
+    // (cos(1,2)≈0.99991), everything else separated below τ=0.995
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (16L, Array(0.0f, 1.0f)),
+      (1L, Array(0.9f, 0.1f)), (2L, Array(0.89f, 0.11f)),
+      (3L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    def verdicts(df: org.apache.spark.sql.DataFrame, tau: Long) =
+      Similarity.semDedupVerdicts(df, "vec_id", "embedding", tau)
+        .select($"corpus_id", $"centroid", $"kept")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    val v = verdicts(vecs, 995000L)
+    // cells: the argmax assignment
+    assert(v(1L)._1 == 0L && v(2L)._1 == 0L && v(3L)._1 == 16L)
+    // only the 1/2 pair clears τ; 2 sits FARTHER from the centroid
+    // (lower cos_c) so the paper rank keeps it and drops 1
+    assert(!v(1L)._2, "1 has a better-ranked near-twin (2) — dropped")
+    assert(v(2L)._2 && v(0L)._2 && v(3L)._2 && v(16L)._2)
+    // τ above the max quantized cosine: nothing is ever dropped
+    assert(verdicts(vecs, 1000001L).values.forall(_._2))
+    // deterministic under partitioning
+    assert(verdicts(vecs.repartition(7, $"vec_id"), 995000L) === v)
+    // real embeddings with planted near-twins: every twin pair resolves
+    // to exactly one survivor when both land in one cell (cos≈0.999+)
+    val base = emb.where($"vec_id" >= 20 && $"vec_id" < 120)
+      .select($"vec_id", $"embedding")
+    val twins = base.where($"vec_id" < 40).select(($"vec_id" + 10000).as("vec_id"),
+      expr("transform(embedding, (x, i) -> IF(i = 0, cast(x * 1.05 as float), x))")
+        .as("embedding"))
+    val vv = verdicts(base.union(twins), 990000L)
+    val resolved = vv.keys.filter(_ < 40).count { id =>
+      vv(id)._1 == vv(id + 10000)._1 && (vv(id)._2 ^ vv(id + 10000)._2)
+    }
+    assert(resolved >= 16, s"twin pairs resolved to one survivor: $resolved/20")
+  }
+
   test("brute-force topk: self is nearest when query is in corpus") {
     import spark.implicits._
     val res = Similarity.bruteForceTopK(
