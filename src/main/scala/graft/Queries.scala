@@ -2821,6 +2821,71 @@ object Queries {
         (d.corpus_id IS NULL) AS kept
       FROM a LEFT JOIN drops d ON d.corpus_id = a.corpus_id"""))
 
+  // the DSIR gate's SERVING path (q85's pattern doubled): the request
+  // batch tokenized once and probed against BOTH persisted model
+  // artifact sets with the broadcast-decomposed reconstruction
+  // (RequestResponse.dsirProbe) — must reproduce q88's straightforward
+  // two-model left-join formula digit for digit. Requests deliberately
+  // overlap the training slices; unscoreable requests answered with
+  // NULL scores.
+  private val q90 = QueryDef("q90_dsir_probe",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val target = LanguageModel.bigramIncrement(
+        docs.where(col("doc_id") % 5 === 0), "text")
+      val raw = LanguageModel.bigramIncrement(
+        docs.where(col("doc_id") % 5 === 1), "text")
+      RequestResponse.dsirProbe(docs.where(col("doc_id") < 30),
+        LanguageModel.enrichModel(target), LanguageModel.c1Of(target),
+        LanguageModel.vocabPlusOne(target),
+        LanguageModel.enrichModel(raw), LanguageModel.c1Of(raw),
+        LanguageModel.vocabPlusOne(raw),
+        "doc_id", "text")
+    },
+    Some("""WITH tt AS (SELECT string_split_regex(trim(text), '\s+') AS ts
+        FROM documents WHERE doc_id % 5 = 0),
+      tb AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+          i -> ts[i] || ' ' || ts[i+1])) AS bg FROM tt WHERE len(ts) >= 2),
+      t2 AS (SELECT bg, cast(count(*) AS BIGINT) AS c2_t FROM tb GROUP BY 1),
+      t1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+          cast(sum(c2_t) AS BIGINT) AS c1_t FROM t2 GROUP BY 1),
+      tv AS (SELECT cast(count(DISTINCT split_part(bg, ' ', 2)) + 1 AS BIGINT) AS v_t
+        FROM t2),
+      rt AS (SELECT string_split_regex(trim(text), '\s+') AS ts
+        FROM documents WHERE doc_id % 5 = 1),
+      rb AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+          i -> ts[i] || ' ' || ts[i+1])) AS bg FROM rt WHERE len(ts) >= 2),
+      r2 AS (SELECT bg, cast(count(*) AS BIGINT) AS c2_r FROM rb GROUP BY 1),
+      r1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+          cast(sum(c2_r) AS BIGINT) AS c1_r FROM r2 GROUP BY 1),
+      rv AS (SELECT cast(count(DISTINCT split_part(bg, ' ', 2)) + 1 AS BIGINT) AS v_r
+        FROM r2),
+      req AS (SELECT doc_id AS request_id, text FROM documents WHERE doc_id < 30),
+      db AS (SELECT request_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+          i -> ts[i] || ' ' || ts[i+1])) AS bg
+        FROM (SELECT request_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS ts
+          FROM req)
+        WHERE len(ts) >= 2),
+      p AS (SELECT request_id,
+          1000000 * (coalesce(t2.c2_t, 0) + 1) // (coalesce(t1.c1_t, 0) + tv.v_t) AS p_t,
+          1000000 * (coalesce(r2.c2_r, 0) + 1) // (coalesce(r1.c1_r, 0) + rv.v_r) AS p_r
+        FROM db LEFT JOIN t2 ON t2.bg = db.bg
+        LEFT JOIN r2 ON r2.bg = db.bg
+        LEFT JOIN t1 ON t1.w1 = split_part(db.bg, ' ', 1)
+        LEFT JOIN r1 ON r1.w1 = split_part(db.bg, ' ', 1)
+        CROSS JOIN tv CROSS JOIN rv),
+      sc AS (SELECT request_id, cast(count(*) AS BIGINT) AS n_bigrams,
+          cast(sum(p_t) AS BIGINT) // count(*) AS w_target,
+          cast(sum(p_r) AS BIGINT) // count(*) AS w_raw,
+          cast(sum(p_t) AS BIGINT) // count(*)
+            - cast(sum(p_r) AS BIGINT) // count(*) AS dsir_q
+        FROM p GROUP BY 1)
+      SELECT r.request_id,
+        cast(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        sc.w_target, sc.w_raw, sc.dsir_q
+      FROM (SELECT DISTINCT request_id FROM req) r
+      LEFT JOIN sc USING (request_id)"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -2828,5 +2893,5 @@ object Queries {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89)
+    q84, q85, q86, q87, q88, q89, q90)
 }

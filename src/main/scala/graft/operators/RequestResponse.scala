@@ -260,6 +260,25 @@ object RequestResponse {
     val dbg = LanguageModel.bigramRows(req, "request_id", "text")
       .withColumnRenamed("doc_id", "request_id")
     val n = dbg.groupBy("request_id").agg(count(lit(1)).as("n_bigrams"))
+    val scored = probeLmScore(dbg, n, enrichedModel, c1, vocabPlus1, "lm_q")
+    val tiered = LanguageModel.tierByCutoffs(scored, headMin, midMin)
+    req.select(col("request_id")).distinct()
+      .join(broadcast(tiered), Seq("request_id"), "left")
+      .select(col("request_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_q"),
+        when(col("lm_q").isNull, lit(null).cast(StringType))
+          .otherwise(col("tier")).as("tier"))
+  }
+
+  /** The broadcast-decomposed smoothed-likelihood reconstruction shared
+   *  by [[lmScoreProbe]] and [[dsirProbe]] (see lmScoreProbe's doc for
+   *  the S = seen + left-context-only + unseen arithmetic): request
+   *  bigram rows `dbg` + per-request totals `n` against ONE model's
+   *  serving artifacts, returning `(request_id, n_bigrams, <out>)`. */
+  private def probeLmScore(dbg: DataFrame, n: DataFrame,
+      enrichedModel: DataFrame, c1: DataFrame, vocabPlus1: Long,
+      out: String): DataFrame = {
     // seen-bigram rows: full p and the matching left-context-only p
     val j2 = enrichedModel.join(broadcast(dbg.drop("w1")), Seq("bg"))
       .groupBy("request_id").agg(
@@ -271,8 +290,7 @@ object RequestResponse {
         sum(expr(s"1000000 div (c1 + $vocabPlus1)")).as("t1"),
         count(lit(1)).as("m1"))
     val pUnseen = 1000000L / vocabPlus1
-    val scored = n
-      .join(j1, Seq("request_id"), "left")
+    n.join(j1, Seq("request_id"), "left")
       .join(j2, Seq("request_id"), "left")
       .select(col("request_id"), col("n_bigrams"),
         (coalesce(col("s2"), lit(0L)) +
@@ -282,14 +300,47 @@ object RequestResponse {
       // integer div, matching the batch scorer's lm_q exactly (Column `/`
       // is double division — it would drift from the oracle at the ulp)
       .select(col("request_id"), col("n_bigrams"),
-        expr("__s div n_bigrams").as("lm_q"))
-    val tiered = LanguageModel.tierByCutoffs(scored, headMin, midMin)
+        expr("__s div n_bigrams").as(out))
+  }
+
+  /**
+   * DSIR importance probe — the serving form of
+   * [[LanguageModel.importanceWeights]]: score a request batch against
+   * TWO persisted model artifact sets (target and raw; each the
+   * [[LanguageModel.enrichModel]] / [[LanguageModel.c1Of]] /
+   * [[LanguageModel.vocabPlusOne]] triple, derived once per maintenance
+   * epoch) and emit `(request_id, n_bigrams, w_target, w_raw, dsir_q)`.
+   * Value-identical to the batch operator (spec- and oracle-asserted).
+   * The request batch is tokenized ONCE; each model is probed with the
+   * same broadcast-decomposed reconstruction as [[lmScoreProbe]] —
+   * neither model-scale table is ever shuffled per trigger.
+   *
+   * Unscoreable requests (fewer than two tokens) still get a row:
+   * `n_bigrams = 0`, scores NULL — same contract as [[lmScoreProbe]].
+   */
+  def dsirProbe(requests: DataFrame,
+      targetEnriched: DataFrame, targetC1: DataFrame, targetVocabPlus1: Long,
+      rawEnriched: DataFrame, rawC1: DataFrame, rawVocabPlus1: Long,
+      reqId: String, reqText: String): DataFrame = {
+    require(targetVocabPlus1 >= 1 && rawVocabPlus1 >= 1,
+      "vocabPlus1 must be >= 1")
+    val req = requests.select(col(reqId).as("request_id"),
+      coalesce(col(reqText), lit("")).as("text"))
+    val dbg = LanguageModel.bigramRows(req, "request_id", "text")
+      .withColumnRenamed("doc_id", "request_id")
+    val n = dbg.groupBy("request_id").agg(count(lit(1)).as("n_bigrams"))
+    val t = probeLmScore(dbg, n, targetEnriched, targetC1,
+      targetVocabPlus1, "w_target")
+    val r = probeLmScore(dbg, n, rawEnriched, rawC1,
+      rawVocabPlus1, "w_raw").drop("n_bigrams")
+    val scored = t.join(r, Seq("request_id"))
+      .select(col("request_id"), col("n_bigrams"),
+        col("w_target"), col("w_raw"),
+        (col("w_target") - col("w_raw")).as("dsir_q"))
     req.select(col("request_id")).distinct()
-      .join(broadcast(tiered), Seq("request_id"), "left")
+      .join(broadcast(scored), Seq("request_id"), "left")
       .select(col("request_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("lm_q"),
-        when(col("lm_q").isNull, lit(null).cast(StringType))
-          .otherwise(col("tier")).as("tier"))
+        col("w_target"), col("w_raw"), col("dsir_q"))
   }
 }

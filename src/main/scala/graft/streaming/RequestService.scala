@@ -153,6 +153,26 @@ object RequestService {
         reqId, reqText, headMin, midMin))
 
   /**
+   * Start the DSIR importance gate: per micro-batch of requests, score
+   * against BOTH persisted model artifact sets (target and raw — each
+   * `LanguageModel.enrichModel` / `c1Of` / frozen `vocabPlusOne`) and
+   * respond with the importance signal `dsir_q = w_target − w_raw`
+   * (`RequestResponse.dsirProbe`). One tokenization per batch, two
+   * broadcast-decomposed probes — neither model is ever shuffled per
+   * trigger. Cache/persist all four model DataFrames.
+   */
+  def startDsirGate(spark: SparkSession, requests: DataFrame,
+      targetEnriched: DataFrame, targetC1: DataFrame, targetVocabPlus1: Long,
+      rawEnriched: DataFrame, rawC1: DataFrame, rawVocabPlus1: Long,
+      reqId: String, reqText: String,
+      responseTable: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    startService(requests, responseTable, checkpoint, trigger)(batch =>
+      RequestResponse.dsirProbe(batch,
+        targetEnriched, targetC1, targetVocabPlus1,
+        rawEnriched, rawC1, rawVocabPlus1, reqId, reqText))
+
+  /**
    * Start the embedding-match service against a PRE-BUILT IVF index —
    * the 100 TB serving shape: the index `(corpus_id, cv, cn, centroid)`
    * (built once via `Similarity.assignIncrement` and appended as new

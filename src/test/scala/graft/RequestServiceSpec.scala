@@ -527,4 +527,62 @@ class RequestServiceSpec extends SparkSpec {
     assert(got.exists(s => s.head == 9999L && s(1) == 0L && s(2) == null),
       s"unscoreable request lost or mis-scored: ${got.toSeq}")
   }
+
+  test("DSIR gate service: stream off BOTH persisted models ≡ batch probe ≡ batch operator, kill/resume") {
+    import spark.implicits._
+    import graft.operators.{LanguageModel, RequestResponse}
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    val tCounts = LanguageModel.bigramIncrement(
+      docs.where($"doc_id" % 5 === 0), "text")
+    val rCounts = LanguageModel.bigramIncrement(
+      docs.where($"doc_id" % 5 === 1), "text")
+    val tM = LanguageModel.enrichModel(tCounts).cache()
+    val tC = LanguageModel.c1Of(tCounts).cache()
+    val tV = LanguageModel.vocabPlusOne(tCounts)
+    val rM = LanguageModel.enrichModel(rCounts).cache()
+    val rC = LanguageModel.c1Of(rCounts).cache()
+    val rV = LanguageModel.vocabPlusOne(rCounts)
+    val fresh = docs.where($"doc_id" < 4).collect()
+      .map(r => TextReq(r.getLong(0), r.getString(1)))
+    val short = TextReq(9999L, "one") // unscoreable: must still answer
+    val reqRows = (fresh :+ short).sortBy(_.request_id)
+
+    val cp = Files.createTempDirectory("dsircp").toString
+    val table = Files.createTempDirectory("dsirtbl").toString
+    val in = MemoryStream[TextReq](Encoders.product[TextReq], spark)
+    def start() = RequestService.startDsirGate(spark, in.toDF(),
+      tM, tC, tV, rM, rC, rV, "request_id", "qtext", table, cp)
+    var q = start()
+    in.addData(reqRows.take(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    q = start()
+    in.addData(reqRows.drop(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = new ExactlyOnceSink(table).read(spark)
+      .select($"request_id", $"n_bigrams", $"w_target", $"w_raw", $"dsir_q")
+      .collect().map(_.toSeq)
+    assert(got.length == got.distinct.length, "duplicate responses after resume")
+    val reqDf = reqRows.toSeq.map(r => (r.request_id, r.qtext))
+      .toDF("request_id", "qtext")
+    val expected = RequestResponse.dsirProbe(reqDf,
+      tM, tC, tV, rM, rC, rV, "request_id", "qtext")
+      .select($"request_id", $"n_bigrams", $"w_target", $"w_raw", $"dsir_q")
+      .collect().map(_.toSeq).toSet
+    assert(got.toSet == expected && expected.nonEmpty)
+    // the probe ≡ the batch operator on the scoreable slice
+    val batch = LanguageModel.importanceWeights(
+      reqDf.withColumnRenamed("qtext", "text"), tCounts, rCounts,
+      "request_id", "text")
+      .select($"doc_id".as("request_id"), $"n_bigrams",
+        $"w_target", $"w_raw", $"dsir_q")
+      .collect().map(_.toSeq).toSet
+    assert(batch.subsetOf(got.toSet) && got.toSet.size == batch.size + 1,
+      "probe != batch operator (+ the one unscoreable row)")
+    assert(got.exists(s => s.head == 9999L && s(1) == 0L && s(2) == null),
+      s"unscoreable request lost or mis-scored: ${got.toSeq}")
+  }
 }
