@@ -2886,6 +2886,68 @@ object Queries {
       FROM (SELECT DISTINCT request_id FROM req) r
       LEFT JOIN sc USING (request_id)"""))
 
+  // SemDeDup MAINTENANCE (Similarity.semDedupIncrement): epoch 2 of the
+  // embeddings (%2=1) deduped against the PERSISTED kept-vector history
+  // of epoch 1 (%2=0, semDedupAssigned's kept rows) under the frozen
+  // %16 seed table — already-kept history cell-mates claim first, then
+  // q89's batch rank rule applies within the chunk. The oracle rebuilds
+  // both epochs' verdict chains digit-for-digit.
+  private val q91 = QueryDef("q91_semdedup_increment",
+    (s, d) => {
+      val c = rd(s, d, "embeddings").select(col("vec_id").as("corpus_id"),
+        col("embedding").as("cv"), VectorOps.norm_q(col("embedding")).as("cn"))
+      val seeds = c.where(col("corpus_id") % 16 === 0)
+        .select(col("corpus_id").as("seed_id"), col("cv").as("sv"),
+          col("cn").as("sn"))
+      val hist = Similarity.semDedupAssigned(
+          c.where(col("corpus_id") % 2 === 0), seeds, 150000L)
+        .where(col("kept")).select("corpus_id", "cv", "cn", "centroid")
+      Similarity.semDedupIncrement(hist,
+        c.where(col("corpus_id") % 2 === 1), seeds, 150000L)
+    },
+    Some("""WITH c AS (SELECT vec_id AS corpus_id, embedding AS cv,
+        cast(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1000000))) as bigint) AS cn
+        FROM embeddings),
+      seeds AS (SELECT corpus_id AS seed_id, cv AS sv, cn AS sn
+        FROM c WHERE corpus_id % 16 = 0),
+      asg AS (SELECT corpus_id, cv, cn, seed_id AS centroid, sc AS cos_c,
+          row_number() OVER (PARTITION BY corpus_id
+            ORDER BY sc DESC, seed_id ASC) AS rn
+        FROM (SELECT corpus_id, cv, cn, seed_id,
+          cast(floor(cast(list_sum(list_transform(generate_series(1, len(cv)),
+            i -> floor(cv[i]::DOUBLE * sv[i]::DOUBLE * 1000000))) as bigint)
+            / sqrt(cn::DOUBLE * sn::DOUBLE) * 1000000) as bigint) AS sc
+          FROM c CROSS JOIN seeds)),
+      a AS (SELECT corpus_id, cv, cn, centroid, cos_c FROM asg WHERE rn = 1),
+      a1 AS (SELECT * FROM a WHERE corpus_id % 2 = 0),
+      d1 AS (SELECT DISTINCT x.corpus_id FROM a1 x JOIN a1 y
+        ON x.centroid = y.centroid AND y.corpus_id <> x.corpus_id
+        AND (y.cos_c < x.cos_c
+          OR (y.cos_c = x.cos_c AND y.corpus_id < x.corpus_id))
+        WHERE cast(floor(cast(list_sum(list_transform(generate_series(1, len(x.cv)),
+          i -> floor(x.cv[i]::DOUBLE * y.cv[i]::DOUBLE * 1000000))) as bigint)
+          / sqrt(x.cn::DOUBLE * y.cn::DOUBLE) * 1000000) as bigint) >= 150000),
+      hist AS (SELECT a1.* FROM a1 LEFT JOIN d1 ON d1.corpus_id = a1.corpus_id
+        WHERE d1.corpus_id IS NULL),
+      a2 AS (SELECT * FROM a WHERE corpus_id % 2 = 1),
+      dh AS (SELECT DISTINCT x.corpus_id FROM a2 x JOIN hist y
+        ON x.centroid = y.centroid
+        WHERE cast(floor(cast(list_sum(list_transform(generate_series(1, len(x.cv)),
+          i -> floor(x.cv[i]::DOUBLE * y.cv[i]::DOUBLE * 1000000))) as bigint)
+          / sqrt(x.cn::DOUBLE * y.cn::DOUBLE) * 1000000) as bigint) >= 150000),
+      dc AS (SELECT DISTINCT x.corpus_id FROM a2 x JOIN a2 y
+        ON x.centroid = y.centroid AND y.corpus_id <> x.corpus_id
+        AND (y.cos_c < x.cos_c
+          OR (y.cos_c = x.cos_c AND y.corpus_id < x.corpus_id))
+        WHERE cast(floor(cast(list_sum(list_transform(generate_series(1, len(x.cv)),
+          i -> floor(x.cv[i]::DOUBLE * y.cv[i]::DOUBLE * 1000000))) as bigint)
+          / sqrt(x.cn::DOUBLE * y.cn::DOUBLE) * 1000000) as bigint) >= 150000),
+      drops AS (SELECT corpus_id FROM dh UNION SELECT corpus_id FROM dc)
+      SELECT a2.corpus_id, a2.centroid, a2.cos_c,
+        (d.corpus_id IS NULL) AS kept
+      FROM a2 LEFT JOIN drops d ON d.corpus_id = a2.corpus_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -2893,5 +2955,5 @@ object Queries {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90)
+    q84, q85, q86, q87, q88, q89, q90, q91)
 }

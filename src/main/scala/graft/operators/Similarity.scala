@@ -237,6 +237,15 @@ object Similarity {
    *  `(seed_id, sv, sn)` — e.g. [[refineCentroids]]' balanced output.
    *  Corpus must be pre-shaped `(corpus_id, cv, cn)`. */
   def semDedupWithCentroids(c: DataFrame, seeds: DataFrame,
+      minCosQ: Long): DataFrame =
+    semDedupAssigned(c, seeds, minCosQ)
+      .select($"corpus_id", $"centroid", $"cos_c", $"kept")
+
+  /** [[semDedupWithCentroids]] keeping the vectors in the output —
+   *  `(corpus_id, cv, cn, centroid, cos_c, kept)` — so the caller can
+   *  persist `kept` rows directly as the history table that
+   *  [[semDedupIncrement]] probes (partition it by `centroid`). */
+  def semDedupAssigned(c: DataFrame, seeds: DataFrame,
       minCosQ: Long): DataFrame = {
     val a = assignWithScore(c, seeds)
     val mates = a.select($"centroid", $"corpus_id".as("mate_id"),
@@ -249,6 +258,56 @@ object Similarity {
       .select($"corpus_id").distinct()
       .withColumn("__dropped", lit(true))
     a.join(dropped, Seq("corpus_id"), "left")
+      .select($"corpus_id", $"cv", $"cn", $"centroid", $"cos_c",
+        $"__dropped".isNull.as("kept"))
+  }
+
+  /**
+   * Incremental SemDeDup — the per-epoch maintenance form, same greedy
+   * stream semantics as [[graft.streaming.StreamDedup]]: vectors
+   * admitted in earlier epochs CLAIM their neighborhood, so a new
+   * chunk vector is dropped iff (a) any already-kept history cell-mate
+   * sits within `minCosQ`, or (b) a better-ranked chunk-mate does (the
+   * batch rank rule of [[semDedupVerdicts]], applied within the
+   * chunk). History-first claiming is deliberately NOT the batch
+   * verdict — a batch run could prefer a later, more atypical vector —
+   * exactly the documented greedy/batch split of the MinHash plane
+   * (q44 vs q21); what the sink's exactly-once epochs guarantee is that
+   * chunked runs are deterministic and replay-stable.
+   *
+   * `history` is the persisted assigned-keeper table `(corpus_id, cv,
+   * cn, centroid)` — [[semDedupAssigned]]'s `kept` rows, appended per
+   * epoch. Returns chunk verdicts `(corpus_id, centroid, cos_c, kept)`;
+   * the caller appends the kept rows (re-derivable via
+   * [[assignIncrement]], or take [[semDedupAssigned]]'s columns) to
+   * history.
+   *
+   * 100 TB shape: the chunk is assigned row-locally against the frozen
+   * broadcast seeds, then BROADCAST into the history join — the
+   * corpus-scale history table is probed in place (partition it by
+   * `centroid`: the probe prunes to the chunk's cells), never shuffled
+   * per epoch. The chunk-internal pass is the batch rule on an
+   * epoch-sized input.
+   */
+  def semDedupIncrement(history: DataFrame, chunk: DataFrame,
+      seeds: DataFrame, minCosQ: Long): DataFrame = {
+    val a = assignWithScore(chunk, seeds)
+    val hMates = history.select($"centroid", $"cv".as("mv"), $"cn".as("mn"))
+    val dropByHist = hMates
+      .join(broadcast(a.select($"centroid", $"corpus_id", $"cv", $"cn")),
+        Seq("centroid"))
+      .where(cosQ(VectorOps.dot_q($"cv", $"mv"), $"cn", $"mn") >= minCosQ)
+      .select($"corpus_id").distinct()
+    val cMates = a.select($"centroid", $"corpus_id".as("mate_id"),
+      $"cv".as("mv"), $"cn".as("mn"), $"cos_c".as("mate_cos"))
+    val dropByChunk = a.join(cMates, Seq("centroid"))
+      .where($"mate_id" =!= $"corpus_id" &&
+        ($"mate_cos" < $"cos_c" ||
+          ($"mate_cos" === $"cos_c" && $"mate_id" < $"corpus_id")) &&
+        cosQ(VectorOps.dot_q($"cv", $"mv"), $"cn", $"mn") >= minCosQ)
+      .select($"corpus_id").distinct()
+    a.join(dropByHist.union(dropByChunk).distinct()
+        .withColumn("__dropped", lit(true)), Seq("corpus_id"), "left")
       .select($"corpus_id", $"centroid", $"cos_c",
         $"__dropped".isNull.as("kept"))
   }

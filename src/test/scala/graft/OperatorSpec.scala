@@ -175,6 +175,46 @@ class OperatorSpec extends SparkSpec {
     assert(resolved >= 16, s"twin pairs resolved to one survivor: $resolved/20")
   }
 
+  test("semDedup increment: history claims first, chunk batch rule, replays absorbed") {
+    import spark.implicits._
+    // same 2-D geometry as the batch test: seeds 0=(1,0), 16=(0,1)
+    val all = Seq(
+      (0L, Array(1.0f, 0.0f)), (16L, Array(0.0f, 1.0f)),
+      (1L, Array(0.9f, 0.1f)), (2L, Array(0.89f, 0.11f)),
+      (3L, Array(0.1f, 0.9f)), (4L, Array(0.11f, 0.89f))).toDF("vec_id", "embedding")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id".as("corpus_id"), $"embedding".as("cv"),
+        VectorOps.norm_q($"embedding").as("cn"))
+    val seeds = shape(all.where($"vec_id" % 16 === 0))
+      .select($"corpus_id".as("seed_id"), $"cv".as("sv"), $"cn".as("sn"))
+    val tau = 995000L
+    // epoch 1: {0, 16, 1} — pairwise below τ, so all kept
+    val chunk1 = shape(all.where($"vec_id".isin(0L, 16L, 1L)))
+    val hist = Similarity.semDedupAssigned(chunk1, seeds, tau)
+      .where($"kept").select($"corpus_id", $"cv", $"cn", $"centroid")
+    assert(hist.count() == 3)
+    // epoch 2: {2, 3, 4}
+    val chunk2 = shape(all.where($"vec_id".isin(2L, 3L, 4L)))
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.semDedupIncrement(hist, c, seeds, tau)
+        .select($"corpus_id", $"kept")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val v = run(chunk2)
+    // 2 sits within τ of already-kept 1: HISTORY claims it even though
+    // the batch rank (lower cos_c wins) would have kept 2 and dropped 1
+    assert(!v(2L), "history-first claiming: 2 dropped by kept 1")
+    // 3/4 are a fresh near-pair in cell 16, both outside τ of history
+    // (0,1): the batch rule applies within the chunk — 4 is the more
+    // atypical (lower cos_c) so it wins, 3 is dropped
+    assert(v(4L) && !v(3L), "chunk-internal batch rank: keep 4, drop 3")
+    // deterministic under partitioning
+    assert(run(chunk2.repartition(7, $"corpus_id")) === v)
+    // replay absorption: re-delivering epoch 1 against a history that
+    // already contains its kept rows drops EVERYTHING (each vector
+    // finds itself at cos 1e6), so the fold appends nothing
+    assert(run(chunk1).values.forall(!_), "replayed epoch fully absorbed")
+  }
+
   test("brute-force topk: self is nearest when query is in corpus") {
     import spark.implicits._
     val res = Similarity.bruteForceTopK(
