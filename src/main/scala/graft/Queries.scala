@@ -2948,6 +2948,62 @@ object Queries {
         (d.corpus_id IS NULL) AS kept
       FROM a2 LEFT JOIN drops d ON d.corpus_id = a2.corpus_id"""))
 
+  // the SemDeDup gate's SERVING path (RequestResponse.semDedupProbe):
+  // request embeddings (vec_id < 30, deliberately overlapping the
+  // corpus) assigned row-locally against the frozen seeds, then probed
+  // against the persisted kept-vector history of the FULL batch run —
+  // near_max_q = max quantized cosine to any kept cell-mate (NULL when
+  // the cell holds none), admit iff below threshold. Already-kept
+  // requests find themselves at cos 1e6 and are refused (replay
+  // absorption, same as q91's fold).
+  private val q92 = QueryDef("q92_semdedup_probe",
+    (s, d) => {
+      val c = rd(s, d, "embeddings").select(col("vec_id").as("corpus_id"),
+        col("embedding").as("cv"), VectorOps.norm_q(col("embedding")).as("cn"))
+      val seeds = c.where(col("corpus_id") % 16 === 0)
+        .select(col("corpus_id").as("seed_id"), col("cv").as("sv"),
+          col("cn").as("sn"))
+      val hist = Similarity.semDedupAssigned(c, seeds, 150000L)
+        .where(col("kept")).select("corpus_id", "cv", "cn", "centroid")
+      RequestResponse.semDedupProbe(
+        rd(s, d, "embeddings").where(col("vec_id") < 30),
+        hist, seeds, "vec_id", "embedding", 150000L)
+    },
+    Some("""WITH c AS (SELECT vec_id AS corpus_id, embedding AS cv,
+        cast(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1000000))) as bigint) AS cn
+        FROM embeddings),
+      seeds AS (SELECT corpus_id AS seed_id, cv AS sv, cn AS sn
+        FROM c WHERE corpus_id % 16 = 0),
+      asg AS (SELECT corpus_id, cv, cn, seed_id AS centroid, sc AS cos_c,
+          row_number() OVER (PARTITION BY corpus_id
+            ORDER BY sc DESC, seed_id ASC) AS rn
+        FROM (SELECT corpus_id, cv, cn, seed_id,
+          cast(floor(cast(list_sum(list_transform(generate_series(1, len(cv)),
+            i -> floor(cv[i]::DOUBLE * sv[i]::DOUBLE * 1000000))) as bigint)
+            / sqrt(cn::DOUBLE * sn::DOUBLE) * 1000000) as bigint) AS sc
+          FROM c CROSS JOIN seeds)),
+      a AS (SELECT corpus_id, cv, cn, centroid, cos_c FROM asg WHERE rn = 1),
+      drops AS (SELECT DISTINCT x.corpus_id FROM a x JOIN a y
+        ON x.centroid = y.centroid AND y.corpus_id <> x.corpus_id
+        AND (y.cos_c < x.cos_c
+          OR (y.cos_c = x.cos_c AND y.corpus_id < x.corpus_id))
+        WHERE cast(floor(cast(list_sum(list_transform(generate_series(1, len(x.cv)),
+          i -> floor(x.cv[i]::DOUBLE * y.cv[i]::DOUBLE * 1000000))) as bigint)
+          / sqrt(x.cn::DOUBLE * y.cn::DOUBLE) * 1000000) as bigint) >= 150000),
+      hist AS (SELECT a.* FROM a LEFT JOIN drops d ON d.corpus_id = a.corpus_id
+        WHERE d.corpus_id IS NULL),
+      rq AS (SELECT * FROM a WHERE corpus_id < 30),
+      near AS (SELECT x.corpus_id,
+          max(cast(floor(cast(list_sum(list_transform(generate_series(1, len(x.cv)),
+            i -> floor(x.cv[i]::DOUBLE * y.cv[i]::DOUBLE * 1000000))) as bigint)
+            / sqrt(x.cn::DOUBLE * y.cn::DOUBLE) * 1000000) as bigint)) AS near_max_q
+        FROM rq x JOIN hist y ON x.centroid = y.centroid GROUP BY 1)
+      SELECT rq.corpus_id AS request_id, rq.centroid, rq.cos_c,
+        near.near_max_q,
+        (near.near_max_q IS NULL OR near.near_max_q < 150000) AS admit
+      FROM rq LEFT JOIN near ON near.corpus_id = rq.corpus_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -2955,5 +3011,5 @@ object Queries {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92)
 }

@@ -226,6 +226,51 @@ object RequestResponse {
       .withColumnRenamed("query_id", "request_id")
 
   /**
+   * SemDeDup admission probe — the ingest-gate form of
+   * [[Similarity.semDedupIncrement]]: "does this candidate's embedding
+   * already have a KEPT semantic near-twin in the corpus?", answered off
+   * the persisted kept-vector history ([[Similarity.semDedupAssigned]]'s
+   * kept rows, `(corpus_id, cv, cn, centroid)`) under the frozen
+   * centroid table. One row per request: `(request_id, centroid, cos_c,
+   * near_max_q, admit)` — `near_max_q` is the max quantized cosine to
+   * any kept cell-mate (NULL when the request's cell holds none),
+   * `admit` iff that max is NULL or below `minCosQ`. A replayed
+   * already-kept vector finds ITSELF at cos 1e6 and is refused — the
+   * same replay-absorption semantics as the increment.
+   *
+   * The probe judges each request INDEPENDENTLY against history only
+   * (no within-batch rank pass): it answers "would this single
+   * candidate be admitted right now". Folding an admitted batch that
+   * may contain internal near-twins is the maintenance job —
+   * [[Similarity.semDedupIncrement]] applies the batch rank rule there.
+   *
+   * 100 TB shape: requests are assigned row-locally against the
+   * broadcast seeds, then BROADCAST into one equi-join probing the
+   * history scan on `centroid` (partition history by centroid — the
+   * probe prunes to the request cells); nothing corpus-scale shuffles
+   * per trigger.
+   */
+  def semDedupProbe(requests: DataFrame, history: DataFrame,
+      seeds: DataFrame, reqId: String, reqVec: String,
+      minCosQ: Long): DataFrame = {
+    val req = requests.select(col(reqId).as("corpus_id"),
+      col(reqVec).as("cv"), VectorOps.norm_q(col(reqVec)).as("cn"))
+    val a = Similarity.assignWithScore(req, seeds)
+    val near = history
+      .select(col("centroid"), col("cv").as("mv"), col("cn").as("mn"))
+      .join(broadcast(a.select(col("centroid"), col("corpus_id"),
+        col("cv"), col("cn"))), Seq("centroid"))
+      .groupBy(col("corpus_id"))
+      .agg(max(Similarity.cosQ(VectorOps.dot_q(col("cv"), col("mv")),
+        col("cn"), col("mn"))).as("near_max_q"))
+    a.join(near, Seq("corpus_id"), "left")
+      .select(col("corpus_id").as("request_id"), col("centroid"),
+        col("cos_c"), col("near_max_q"),
+        (col("near_max_q").isNull || col("near_max_q") < minCosQ)
+          .as("admit"))
+  }
+
+  /**
    * LM quality probe — the ingest-gate form of the CCNet LM filter:
    * score a request batch against the PERSISTED bigram model and emit
    * `(request_id, n_bigrams, lm_q, tier)`. Value-identical to

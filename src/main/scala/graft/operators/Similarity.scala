@@ -84,7 +84,7 @@ object Similarity {
   }
 
   /** Quantized cosine in e6 units from a quantized dot and two quantized norms. */
-  private def cosQ(dotQ: Column, nA: Column, nB: Column): Column =
+  private[operators] def cosQ(dotQ: Column, nA: Column, nB: Column): Column =
     floor(VectorOps.cosineScore(dotQ, nA, nB) * 1e6).cast(LongType)
 
   /**

@@ -173,6 +173,26 @@ object RequestService {
         rawEnriched, rawC1, rawVocabPlus1, reqId, reqText))
 
   /**
+   * Start the SemDeDup admission gate: per micro-batch of candidate
+   * embeddings, "does a KEPT semantic near-twin already exist?" against
+   * the persisted kept-vector history (`Similarity.semDedupAssigned`'s
+   * kept rows, appended per maintenance epoch by
+   * `Similarity.semDedupIncrement`) under the frozen centroid table
+   * (`RequestResponse.semDedupProbe`). Every trigger assigns its
+   * requests row-locally against the broadcast seeds and probes the
+   * history scan in place — history is never shuffled per trigger.
+   * Cache/persist `history` and `seeds`; both are re-used every trigger.
+   */
+  def startSemDedupGate(spark: SparkSession, requests: DataFrame,
+      history: DataFrame, seeds: DataFrame,
+      reqId: String, reqVec: String,
+      responseTable: String, checkpoint: String, minCosQ: Long,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    startService(requests, responseTable, checkpoint, trigger)(batch =>
+      RequestResponse.semDedupProbe(batch, history, seeds,
+        reqId, reqVec, minCosQ))
+
+  /**
    * Start the embedding-match service against a PRE-BUILT IVF index —
    * the 100 TB serving shape: the index `(corpus_id, cv, cn, centroid)`
    * (built once via `Similarity.assignIncrement` and appended as new

@@ -585,4 +585,59 @@ class RequestServiceSpec extends SparkSpec {
     assert(got.exists(s => s.head == 9999L && s(1) == 0L && s(2) == null),
       s"unscoreable request lost or mis-scored: ${got.toSeq}")
   }
+
+  test("semDedup gate service: stream off the persisted kept-history ≡ batch probe, replayed keeper refused, kill/resume") {
+    import spark.implicits._
+    import graft.operators.{Similarity, VectorOps}
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding").cache()
+    val c = emb.select($"vec_id".as("corpus_id"), $"embedding".as("cv"),
+      VectorOps.norm_q($"embedding").as("cn"))
+    val seeds = c.where($"corpus_id" % 16 === 0)
+      .select($"corpus_id".as("seed_id"), $"cv".as("sv"), $"cn".as("sn"))
+      .cache()
+    val tau = 150000L
+    val history = Similarity.semDedupAssigned(c, seeds, tau)
+      .where($"kept").select($"corpus_id", $"cv", $"cn", $"centroid")
+      .cache()
+    val reqRows = emb.where($"vec_id" < 6).collect()
+      .map(r => VecReq(r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.request_id)
+
+    val cp = Files.createTempDirectory("sdcp").toString
+    val table = Files.createTempDirectory("sdtbl").toString
+    val in = MemoryStream[VecReq](Encoders.product[VecReq], spark)
+    def start() = RequestService.startSemDedupGate(spark, in.toDF(),
+      history, seeds, "request_id", "qvec", table, cp, tau)
+    var q = start()
+    in.addData(reqRows.take(3).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    q = start()
+    in.addData(reqRows.drop(3).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = new ExactlyOnceSink(table).read(spark)
+      .select($"request_id", $"centroid", $"cos_c", $"near_max_q", $"admit")
+      .collect().map(_.toSeq)
+    assert(got.length == got.distinct.length, "duplicate responses after resume")
+    val reqDf = reqRows.toSeq.map(r => (r.request_id, r.qvec))
+      .toDF("request_id", "qvec")
+    val expected = RequestResponse.semDedupProbe(reqDf, history, seeds,
+      "request_id", "qvec", tau)
+      .select($"request_id", $"centroid", $"cos_c", $"near_max_q", $"admit")
+      .collect().map(_.toSeq).toSet
+    assert(got.toSet == expected && got.length == reqRows.length)
+    // replay absorption: every request that IS a kept history vector
+    // must be refused (it finds itself at cos 1e6)
+    val keptIds = history.where($"corpus_id" < 6)
+      .select($"corpus_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty, "test needs at least one kept request id")
+    keptIds.foreach { id =>
+      val row = got.find(_.head == id).get
+      assert(row(3) == 1000000L && row(4) == false,
+        s"replayed keeper $id not refused: $row")
+    }
+  }
 }
