@@ -3004,6 +3004,34 @@ object Queries {
         (near.near_max_q IS NULL OR near.near_max_q < 150000) AS admit
       FROM rq LEFT JOIN near ON near.corpus_id = rq.corpus_id"""))
 
+  // corpus drift monitor (TextAnalysis.epochDrift): per-epoch unigram
+  // total-variation distance from the corpus-wide distribution, e6
+  // quantized, one tokenize pass — absent-term mass reconstructed
+  // arithmetically (Qtot − Σ_present q), never an epochs×vocab outer
+  // join. Epochs here are the deterministic doc_id % 4 slices.
+  private val q93 = QueryDef("q93_epoch_drift",
+    (s, d) => TextAnalysis.epochDrift(
+      rd(s, d, "documents").withColumn("epoch", col("doc_id") % 4),
+      "epoch", "text"),
+    Some("""WITH tok AS (SELECT doc_id % 4 AS epoch,
+        unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+      pg AS (SELECT epoch, term, cast(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+      gt AS (SELECT epoch, cast(sum(tf) AS BIGINT) AS tot_g FROM pg GROUP BY 1),
+      gl AS (SELECT term, cast(sum(tf) AS BIGINT) AS tf_all FROM pg GROUP BY 1),
+      qv AS (SELECT term, 1000000 * tf_all
+          // cast((SELECT sum(tf_all) FROM gl) AS BIGINT) AS q FROM gl),
+      qt AS (SELECT cast(sum(q) AS BIGINT) AS qtot FROM qv),
+      pr AS (SELECT pg.epoch, 1000000 * pg.tf // gt.tot_g AS p, qv.q
+        FROM pg JOIN gt USING (epoch) JOIN qv USING (term)),
+      ag AS (SELECT epoch, cast(count(*) AS BIGINT) AS n_terms,
+          cast(sum(abs(p - q)) AS BIGINT) AS s_abs,
+          cast(sum(q) AS BIGINT) AS s_q
+        FROM pr GROUP BY 1)
+      SELECT ag.epoch, ag.n_terms, gt.tot_g AS n_toks,
+        cast((ag.s_abs + qt.qtot - ag.s_q) // 2 AS BIGINT) AS tv_q
+      FROM ag JOIN gt USING (epoch) CROSS JOIN qt"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3011,5 +3039,5 @@ object Queries {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91, q92)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
 }

@@ -335,6 +335,101 @@ object TextAnalysis {
       .withColumn("rare_q",
         floor(lit(1000) * col("rare_toks") / col("n_toks")).cast(LongType))
   }
+
+  // ==========================================================================
+  // Distribution-drift monitoring (epoch vs corpus unigram distributions)
+  // ==========================================================================
+
+  /**
+   * Total-variation distance between two term-frequency tables `(term,
+   * tf)` — the corpus drift monitor: "did this crawl epoch's unigram
+   * distribution shift away from the corpus?". Probabilities are
+   * quantized per-term to e6 units (`floor(1e6·tf/total)`, exact integer
+   * arithmetic — the same log-free convention as the LM plane, so the
+   * DuckDB oracle reproduces it digit-for-digit) and
+   * `tv_q = floor(Σ|p−q|/2)`: 0 = identical distributions, ~1e6 =
+   * disjoint vocabularies. One output row: `(ref_terms, other_terms,
+   * tv_q)`.
+   *
+   * Compose with [[lexiconIncrement]]: fold each committed epoch into
+   * the persisted corpus lexicon, and drift-check the epoch's own counts
+   * against it — neither side ever re-tokenizes history.
+   *
+   * 100 TB shape: both inputs are vocabulary-sized aggregates (already
+   * reduced from token scale by their builds); the full-outer join on
+   * `term` re-uses the hash partitioning their groupBys left, and the
+   * two totals are 1-row aggregates broadcast back — nothing
+   * token-scale moves.
+   */
+  def distributionDrift(ref: DataFrame, other: DataFrame): DataFrame = {
+    val r = ref.select(col("term"), col("tf").as("tf_r"))
+    val o = other.select(col("term"), col("tf").as("tf_o"))
+    val totR = r.agg(sum(col("tf_r")).as("tot_r"))
+    val totO = o.agg(sum(col("tf_o")).as("tot_o"))
+    r.join(o, Seq("term"), "full_outer")
+      .crossJoin(broadcast(totR)).crossJoin(broadcast(totO))
+      .select(col("tf_r"), col("tf_o"),
+        floor(lit(1000000L) * coalesce(col("tf_r"), lit(0L)) / col("tot_r"))
+          .cast(LongType).as("q"),
+        floor(lit(1000000L) * coalesce(col("tf_o"), lit(0L)) / col("tot_o"))
+          .cast(LongType).as("p"))
+      .agg(count(col("tf_r")).as("ref_terms"),
+        count(col("tf_o")).as("other_terms"),
+        floor(sum(abs(col("p") - col("q"))) / lit(2)).cast(LongType)
+          .as("tv_q"))
+  }
+
+  /**
+   * Per-group distribution drift against the whole corpus in ONE
+   * tokenize pass — the epoch-drift dashboard: group documents by crawl
+   * epoch (or source, or shard) and report each group's total-variation
+   * distance from the corpus-wide unigram distribution. Returns one row
+   * per group: `(groupCol, n_terms, n_toks, tv_q)` with the same e6
+   * quantization as [[distributionDrift]] (spec-asserted equal to it
+   * group-by-group).
+   *
+   * Terms a group never uses still pull its distribution away from the
+   * corpus; rather than outer-joining every group against the full
+   * vocabulary (groups × vocab rows), the absent mass is reconstructed
+   * arithmetically: Σ_absent q = Qtot − Σ_present q, with `Qtot` the
+   * corpus' total quantized mass (a scalar). So
+   * `tv_q = floor((Σ_present|p−q| + Qtot − Σ_present q) / 2)` — exact,
+   * and the join stays group-vocabulary sized.
+   *
+   * 100 TB shape: ONE token-scale explode feeds the `(group, term)`
+   * count; the corpus-wide counts are a rollup of that same aggregate
+   * (exchange-reused, the corpus is not re-tokenized), per-group totals
+   * broadcast back, and the only other shuffle is the vocabulary-scale
+   * equi-join of group counts against corpus counts on `term`.
+   */
+  def epochDrift(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    require(groupCol != "term" && groupCol != "tf" && groupCol != "q",
+      s"group column '$groupCol' clashes with an internal name")
+    val pg = docs
+      .select(col(groupCol), explode(wordArray(col(textCol))).as("term"))
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf"))
+    val gt = pg.groupBy(col(groupCol)).agg(sum(col("tf")).as("tot_g"))
+    val gl = pg.groupBy(col("term")).agg(sum(col("tf")).as("tf_all"))
+    val qv = gl.crossJoin(broadcast(gl.agg(sum(col("tf_all")).as("tot_all"))))
+      .select(col("term"),
+        floor(lit(1000000L) * col("tf_all") / col("tot_all"))
+          .cast(LongType).as("q"))
+    val qt = qv.agg(sum(col("q")).as("qtot"))
+    pg.join(broadcast(gt), Seq(groupCol))
+      .join(qv, Seq("term"))
+      .select(col(groupCol),
+        floor(lit(1000000L) * col("tf") / col("tot_g"))
+          .cast(LongType).as("p"),
+        col("q"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(abs(col("p") - col("q"))).as("s_abs"), sum(col("q")).as("s_q"))
+      .crossJoin(broadcast(qt))
+      .join(broadcast(gt), Seq(groupCol))
+      .select(col(groupCol), col("n_terms"), col("tot_g").as("n_toks"),
+        floor((col("s_abs") + col("qtot") - col("s_q")) / lit(2))
+          .cast(LongType).as("tv_q"))
+  }
 }
 
 /**

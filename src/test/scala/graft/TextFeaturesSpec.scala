@@ -345,4 +345,46 @@ class TextFeaturesSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Boolean)].collect().toSet
     assert(inc == got, s"incremental $inc != batch $got")
   }
+
+  test("distribution drift: identity zero, disjoint ~1e6, grouped ≡ pairwise, partition-invariant") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select($"doc_id", $"text").cache()
+    val lexAll = TextAnalysis.termFrequencies(docs, "text").cache()
+    // identity: a distribution is at distance 0 from itself
+    val self = TextAnalysis.distributionDrift(lexAll, lexAll)
+      .as[(Long, Long, Long)].head()
+    assert(self._1 == self._2 && self._3 == 0L, self.toString)
+    // disjoint vocabularies: exactly-dividing totals → tv exactly 1e6
+    val a = Seq(("x", 3L), ("y", 1L)).toDF("term", "tf")
+    val b = Seq(("u", 2L), ("v", 2L), ("w", 4L)).toDF("term", "tf")
+    val dj = TextAnalysis.distributionDrift(a, b).as[(Long, Long, Long)].head()
+    assert(dj == ((2L, 3L, 1000000L)), dj.toString)
+    // grouped form ≡ pairwise operator, group by group (cross-validates
+    // the arithmetic absent-mass reconstruction against the full outer
+    // join), and the per-group stats are layout-invariant
+    val grouped = docs.withColumn("epoch", $"doc_id" % 4)
+    val got = TextAnalysis.epochDrift(grouped, "epoch", "text")
+      .select($"epoch", $"n_terms", $"n_toks", $"tv_q")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.size == 4 && got.exists(_._4 > 0L), got.toString)
+    got.foreach { case (ep, nTerms, nToks, tvq) =>
+      val lexG = TextAnalysis.termFrequencies(
+        docs.where($"doc_id" % 4 === ep), "text")
+      val pw = TextAnalysis.distributionDrift(lexAll, lexG)
+        .as[(Long, Long, Long)].head()
+      assert(pw._2 == nTerms && pw._3 == tvq,
+        s"epoch $ep: grouped ($nTerms, $tvq) != pairwise $pw")
+      assert(nToks > nTerms, s"epoch $ep token/term counts inverted")
+    }
+    val re = TextAnalysis.epochDrift(grouped.repartition(13, $"doc_id"),
+      "epoch", "text")
+      .select($"epoch", $"n_terms", $"n_toks", $"tv_q")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(re == got, "drift not partition-invariant")
+    // internal-name clash is rejected, not silently mangled
+    intercept[IllegalArgumentException] {
+      TextAnalysis.epochDrift(docs.withColumn("term", lit(1)), "term", "text")
+    }
+  }
 }
