@@ -3032,6 +3032,24 @@ object Queries {
         cast((ag.s_abs + qt.qtot - ag.s_q) // 2 AS BIGINT) AS tv_q
       FROM ag JOIN gt USING (epoch) CROSS JOIN qt"""))
 
+  // content-stable train/val/test split (Sampling.trainValTestSplit):
+  // salted 48-bit id hash bucketed 800/100/100 per-mille — the oracle
+  // rebuilds md5(doc_id || '#split') digit-wise like q58's
+  private val q94 = QueryDef("q94_train_val_test",
+    (s, d) => Sampling.trainValTestSplit(
+        rd(s, d, "documents").select(col("doc_id")), "doc_id",
+        trainPm = 800, valPm = 100)
+      .select(col("doc_id"), col("split")),
+    Some("""WITH h AS (SELECT doc_id,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS VARCHAR) || '#split'), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) % 1000 AS b
+        FROM documents)
+      SELECT doc_id, CASE WHEN b < 800 THEN 'train'
+        WHEN b < 900 THEN 'val' ELSE 'test' END AS split FROM h"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3039,5 +3057,5 @@ object Queries {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
 }

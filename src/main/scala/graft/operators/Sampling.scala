@@ -62,6 +62,42 @@ object Sampling {
       .drop("neg_hu")
 
   /**
+   * Deterministic train/validation/test split — eval-set construction as
+   * a pure function of the row id: the id's salted 48-bit hash mod 1000
+   * is bucketed against `[0, trainPm) / [trainPm, trainPm+valPm) /
+   * rest`. Key by a CONTENT-stable id (e.g. the canonical URL,
+   * [[UrlOps.canonicalUrl]]) and a re-crawled page can never migrate
+   * across the train/eval boundary between corpus versions — the leakage
+   * guarantee eval sets need. Returns the input plus `split ∈ {train,
+   * val, test}`.
+   *
+   * The hash is SALTED (`md5(id || '#' || salt)`) so the split is
+   * independent of [[bernoulli]] / [[shardAssign]] / [[stratifiedTopN]],
+   * which all consume the unsalted id hash — without the salt, a
+   * `bernoulli(p)` sample of the corpus would land entirely inside
+   * `train` for any `trainPm ≥ p` (both predicates read the same
+   * `hu mod 1000`). Distinct salts give independent splits; the same
+   * salt is reproducible anywhere md5 exists.
+   *
+   * Growing `trainPm` only MOVES rows val/test → train (buckets are
+   * fixed; only thresholds shift), so the eval sets of a stricter split
+   * nest inside a looser one — re-planning the ratio never leaks train
+   * docs into eval. Stateless predicate: pipelines into the scan stage,
+   * no shuffle.
+   */
+  def trainValTestSplit(df: DataFrame, idCol: String,
+      trainPm: Int, valPm: Int, salt: String = "split"): DataFrame = {
+    require(trainPm >= 0 && valPm >= 0 && trainPm + valPm <= 1000,
+      s"per-mille bounds: trainPm=$trainPm valPm=$valPm must sum <= 1000")
+    val bucket = hashUniform48(
+      concat(col(idCol).cast(StringType), lit("#" + salt))) % 1000
+    df.withColumn("split",
+      when(bucket < trainPm, "train")
+        .when(bucket < trainPm + valPm, "val")
+        .otherwise("test"))
+  }
+
+  /**
    * Deterministic training-shard export: assigns every row a shard in
    * `[0, nShards)` and a dense position within its shard, both pure
    * functions of the row id — the reproducible global shuffle a training

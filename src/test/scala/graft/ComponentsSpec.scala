@@ -177,6 +177,34 @@ class ComponentsSpec extends SparkSpec {
     assert(a.select(countDistinct($"shard")).as[Long].head() == 8L)
   }
 
+  test("trainValTestSplit: exhaustive, nests by threshold, salt-independent of bernoulli") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("doc_id")
+    val s1 = Sampling.trainValTestSplit(ids, "doc_id", 700, 150).cache()
+    // every row labeled, proportions near 700/150/150
+    val byS = s1.groupBy($"split").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(byS.keySet == Set("train", "val", "test") && byS.values.sum == 2000L)
+    assert(byS("train") > 1300 && byS("train") < 1500, byS.toString)
+    // growing trainPm only moves rows INTO train; eval sets nest
+    val s2 = Sampling.trainValTestSplit(ids, "doc_id", 850, 75)
+    val t1 = s1.where($"split" === "train").select($"doc_id")
+    val t2 = s2.where($"split" === "train").select($"doc_id")
+    assert(t1.exceptAll(t2).isEmpty && t1.count() < t2.count(),
+      "train sets must nest as trainPm grows")
+    // salted hash: a bernoulli sample is NOT confined to one split (the
+    // unsalted hash would put every sampled row in train)
+    val sampled = Sampling.bernoulli(ids, "doc_id", 300)
+    val splitsOfSample = Sampling.trainValTestSplit(sampled, "doc_id", 700, 150)
+      .select($"split").distinct().as[String].collect().toSet
+    assert(splitsOfSample == Set("train", "val", "test"),
+      s"bernoulli sample collapsed into $splitsOfSample — salt broken")
+    // deterministic across partitioning/input order
+    val s1b = Sampling.trainValTestSplit(
+      ids.orderBy(rand(11)).repartition(13), "doc_id", 700, 150)
+    assert(s1.exceptAll(s1b).isEmpty && s1b.exceptAll(s1).isEmpty)
+  }
+
   test("bernoulliByStratum: rates nest, allowlist drops, partitioning-invariant") {
     import spark.implicits._
     val docs = (0L until 600L).map(i => (i, if (i % 3 == 0) "en" else "de"))
