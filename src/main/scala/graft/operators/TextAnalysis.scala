@@ -405,8 +405,16 @@ object TextAnalysis {
   def epochDrift(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
     require(groupCol != "term" && groupCol != "tf" && groupCol != "q",
       s"group column '$groupCol' clashes with an internal name")
+    // rows with a NULL group key are excluded up front (they could never
+    // reach the output — the per-group join is inner). Filtering HERE,
+    // plus the never-true term filter, also keeps every branch's isnull
+    // constraints identical, so the joins cannot infer an extra filter
+    // into one branch and break the canonical subtree match that lets
+    // all five consumers REUSE one (group, term) exchange (plan-asserted)
     val pg = docs
+      .where(col(groupCol).isNotNull)
       .select(col(groupCol), explode(wordArray(col(textCol))).as("term"))
+      .where(col("term").isNotNull)
       .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf"))
     val gt = pg.groupBy(col(groupCol)).agg(sum(col("tf")).as("tot_g"))
     val gl = pg.groupBy(col("term")).agg(sum(col("tf")).as("tf_all"))

@@ -225,6 +225,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggs >= 2, s"no partial+final aggregate pair on doc_id:\n$p")
   }
 
+  test("semDedup serving/maintenance: requests broadcast INTO history, history never broadcast") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val c = emb.select($"vec_id".as("corpus_id"), $"embedding".as("cv"),
+      graft.operators.VectorOps.norm_q($"embedding").as("cn"))
+    val seeds = c.where($"corpus_id" % 16 === 0)
+      .select($"corpus_id".as("seed_id"), $"cv".as("sv"), $"cn".as("sn"))
+    val hist = Similarity.semDedupAssigned(c, seeds, 150000L)
+      .where($"kept").select($"corpus_id", $"cv", $"cn", $"centroid")
+    val p = plan(graft.operators.RequestResponse.semDedupProbe(
+      emb.where($"vec_id" < 5), hist, seeds, "vec_id", "embedding", 150000L))
+    // request assignment is the seed broadcast (nested-loop over the tiny
+    // frozen seed table); the history probe must be a hash equi-join on
+    // centroid with the REQUEST side as the build (BuildRight — history
+    // scales with the corpus and must never be the broadcast side)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"seeds not broadcast:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("BuildRight")),
+      s"history probe not a BuildRight broadcast equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked in:\n$p")
+    val pInc = plan(Similarity.semDedupIncrement(hist,
+      c.where($"corpus_id" % 2 === 1), seeds, 150000L))
+    assert(pInc.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("BuildRight")),
+      s"increment's history probe not BuildRight:\n$pInc")
+    assert(!pInc.contains("CartesianProduct"), s"cartesian in increment:\n$pInc")
+  }
+
+  test("epochDrift: one tokenize pass (token exchange reused), totals broadcast") {
+    import spark.implicits._
+    // AQE off so static exchange reuse is visible in the plan string
+    // (same reasoning as the q21 test above)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+        .withColumn("epoch", $"doc_id" % 4)
+      val p = plan(graft.operators.TextAnalysis.epochDrift(docs, "epoch", "text"))
+      // the (group, term) token-scale aggregate feeds the per-group
+      // totals, the corpus rollup, AND the probe join: its exchange must
+      // be REUSED, not recomputed — one tokenize of the corpus, not five
+      val scans = p.split("Scan parquet").length - 1
+      val reuses = p.split("ReusedExchange").length - 1
+      assert(scans == 1, s"corpus tokenized $scans times — reuse lost:\n$p")
+      assert(reuses >= 3, s"only $reuses reused exchanges:\n$p")
+      // per-group totals and the two scalar totals are broadcast back;
+      // the only non-broadcast join is the vocab-scale equi-join on term
+      assert(p.contains("BroadcastHashJoin"), s"group totals not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian leaked in:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("epochOrder: one exchange on shard, sort is in-partition") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
