@@ -141,4 +141,58 @@ object IndexMaintenance {
     (done, LanguageModel.enrichModel(counts), LanguageModel.c1Of(counts),
       LanguageModel.vocabPlusOne(counts))
   }
+
+  /**
+   * SemDeDup maintenance loop: keep the KEPT-VECTOR history table caught
+   * up with the corpus, epoch by epoch, exactly once. Unlike
+   * [[catchUp]]'s row-local contract, the increment here is
+   * HISTORY-DEPENDENT — each epoch's verdicts consult every vector kept
+   * so far ([[graft.operators.Similarity.semDedupIncrement]]'s greedy
+   * claim rule) — so the fold order is part of the semantics: epochs are
+   * processed ascending, which makes any run over the same epoch
+   * sequence (including a kill/resume) produce the identical history
+   * table. A replayed epoch is absorbed twice over: the sink's manifest
+   * skips the write, and even a forced recompute would drop every row
+   * (each vector finds itself in history at cos 1e6).
+   *
+   * The history table this maintains is exactly what the serving tier
+   * probes ([[RequestService.startSemDedupGate]]) and rows are
+   * `(corpus_id, cv, cn, centroid)` — partition/bucket it by `centroid`
+   * so the per-trigger probe prunes to the request cells. `seeds` is the
+   * FROZEN centroid table (same table the gate broadcasts); changing it
+   * invalidates the history (cells shift) — rebuild, don't mix.
+   *
+   * Returns the epoch ids folded by this call.
+   */
+  def semDedupCatchUp(spark: SparkSession, corpus: ExactlyOnceSink,
+      history: ExactlyOnceSink, idCol: String, vecCol: String,
+      seeds: DataFrame, minCosQ: Long): Seq[Long] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.{Similarity, VectorOps}
+    corpus.compactHi().filterNot(history.committed).foreach { h =>
+      throw new IllegalStateException(
+        s"corpus epochs <= $h were compacted into a snapshot before being " +
+        "folded into the semDedup history; rebuild the history from " +
+        "corpus.read() (one semDedupAssigned batch committed as epoch " +
+        s"$h) and resume maintenance from there")
+    }
+    val todo = corpus.committedEpochs().filterNot(history.committed).sorted
+    todo.foreach { e =>
+      val chunk = corpus.readBetween(spark, e - 1, e)
+        .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+          VectorOps.norm_q(col(vecCol)).as("cn"))
+      val hist =
+        if (history.committedEpochs().isEmpty && history.compactHi().isEmpty)
+          chunk.select(col("corpus_id"), col("cv"), col("cn"),
+            lit(0L).as("centroid")).where(lit(false))
+        else history.read(spark)
+          .select(col("corpus_id"), col("cv"), col("cn"), col("centroid"))
+      val kept = Similarity.semDedupIncrement(hist, chunk, seeds, minCosQ)
+        .where(col("kept")).select(col("corpus_id"), col("centroid"))
+        .join(chunk, Seq("corpus_id"))
+        .select(col("corpus_id"), col("cv"), col("cn"), col("centroid"))
+      history.write(kept, e)
+    }
+    todo
+  }
 }

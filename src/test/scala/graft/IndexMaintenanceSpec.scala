@@ -56,6 +56,80 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(rows(viaIndex) == rows(direct) && rows(viaIndex).nonEmpty)
   }
 
+  test("semDedupCatchUp: ascending fold ≡ manual epoch sequence; resumes; probe serves off it") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.{Similarity, VectorOps}
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select("vec_id", "embedding").cache()
+    def shape(df: DataFrame) = df.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("cv"), VectorOps.norm_q(col("embedding")).as("cn"))
+    val seeds = shape(emb.where(col("vec_id") % 16 === 0))
+      .select(col("corpus_id").as("seed_id"), col("cv").as("sv"),
+        col("cn").as("sn")).cache()
+    val tau = 150000L
+
+    val dir = Files.createTempDirectory("sdmnt").toString
+    val corpus = new ExactlyOnceSink(s"$dir/corpus")
+    val history = new ExactlyOnceSink(s"$dir/history")
+    (0 to 2).foreach(e =>
+      corpus.write(emb.where(col("vec_id") % 3 === e), e.toLong))
+
+    // manual ascending fold — the reference semantics
+    val chunks = (0 to 2).map(e => shape(emb.where(col("vec_id") % 3 === e)))
+    var hist = chunks.head.select(col("corpus_id"), col("cv"), col("cn"),
+      lit(0L).as("centroid")).where(lit(false))
+    val perEpochKept = chunks.map { c =>
+      val kept = Similarity.semDedupIncrement(hist, c, seeds, tau)
+        .where(col("kept")).select(col("corpus_id"), col("centroid"))
+        .join(c, Seq("corpus_id"))
+        .select(col("corpus_id"), col("cv"), col("cn"), col("centroid"))
+        .localCheckpoint()
+      hist = hist.unionByName(kept).localCheckpoint()
+      kept
+    }
+
+    // crash-resume: epoch 0 already folded by a previous maintainer run —
+    // the loop must skip it (manifest = state) and fold exactly the gap
+    history.write(perEpochKept.head, 0L)
+    assert(IndexMaintenance.semDedupCatchUp(spark, corpus, history,
+      "vec_id", "embedding", seeds, tau) == Seq(1L, 2L))
+    def ids(df: DataFrame) = rows(df.select("corpus_id", "centroid"))
+    assert(ids(history.read(spark)) == ids(hist) && ids(hist).nonEmpty,
+      "maintained history != manual ascending fold")
+    assert(ids(history.read(spark)).size < emb.count(),
+      "nothing was ever dropped — threshold too strict to exercise the fold")
+    // idempotent: caught up ⇒ no-op
+    assert(IndexMaintenance.semDedupCatchUp(spark, corpus, history,
+      "vec_id", "embedding", seeds, tau).isEmpty)
+    // corpus grows: only the new epoch folds, claims against ALL history
+    corpus.write(emb.where(col("vec_id") % 3 === 1)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")), 3L)
+    assert(IndexMaintenance.semDedupCatchUp(spark, corpus, history,
+      "vec_id", "embedding", seeds, tau) == Seq(3L))
+    // every re-offered twin of an already-kept epoch-1 vector is dropped:
+    // the history's verdict, not the batch rule, decides
+    val rekept = history.read(spark).where(col("corpus_id") >= 100000L)
+      .select((col("corpus_id") - 100000L).as("orig")).collect().map(_.getLong(0)).toSet
+    val origKept = history.read(spark)
+      .where(col("corpus_id") < 100000L && col("corpus_id") % 3 === 1)
+      .select(col("corpus_id")).collect().map(_.getLong(0)).toSet
+    assert(rekept.intersect(origKept).isEmpty,
+      s"replayed twins of kept vectors survived: ${rekept.intersect(origKept).take(5)}")
+    // the serving gate probes the maintained table directly: re-offering
+    // KEPT vectors must refuse every one (each finds itself at cos 1e6);
+    // chunk-dropped vectors carry no such guarantee (their claimer may
+    // itself have been dropped) so only kept ids are asserted
+    val keptReq = history.read(spark).where(col("corpus_id") < 50)
+      .select(col("corpus_id").as("vec_id"), col("cv").as("embedding"))
+    val nReq = keptReq.count()
+    assert(nReq > 0, "need kept vectors below id 50 for the probe check")
+    val probe = RequestResponse.semDedupProbe(keptReq,
+      history.read(spark).select("corpus_id", "cv", "cn", "centroid"),
+      seeds, "vec_id", "embedding", tau)
+    assert(probe.where(!col("admit")).count() == nReq,
+      "kept corpus vectors re-offered to the gate must all be refused")
+  }
+
   test("corpus compacted past unindexed epochs fails loudly; single-batch rebuild recovers") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("idxmntc").toString
