@@ -3050,6 +3050,27 @@ object Queries {
       SELECT doc_id, CASE WHEN b < 800 THEN 'train'
         WHEN b < 900 THEN 'val' ELSE 'test' END AS split FROM h"""))
 
+  // feature-hashed unigram vectors (TextAnalysis.hashedTfVector): the
+  // hashing-trick featurizer that makes the semantic plane runnable at
+  // ingest without a model-served embedding — per-token 48-bit md5 hash
+  // rebuilt digit-wise in the oracle, bucket = h mod dim, sign = bit 20
+  private val q95 = QueryDef("q95_hashed_tf",
+    (s, d) => TextAnalysis.hashedTfVector(
+      rd(s, d, "documents"), "doc_id", "text", dim = 32),
+    Some("""WITH tok AS (SELECT doc_id,
+        string_split_regex(trim(coalesce(text, '')), '\s+') AS ts
+        FROM documents),
+      hv AS (SELECT doc_id, list_transform(ts, t ->
+          list_sum(list_transform(generate_series(1, 12),
+            j -> cast(strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1 AS BIGINT)
+              * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                  16777216,1048576,65536,4096,256,16,1])[j]))) AS hs
+        FROM tok)
+      SELECT doc_id, list_transform(generate_series(0, 31), i ->
+          cast(coalesce(list_sum(list_transform(list_filter(hs, h -> h % 32 = i),
+            h -> ((h // 1048576) % 2) * 2 - 1)), 0) AS BIGINT)) AS tf_vec
+      FROM hv"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3057,5 +3078,5 @@ object Queries {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
 }

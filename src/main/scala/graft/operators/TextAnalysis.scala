@@ -337,6 +337,48 @@ object TextAnalysis {
   }
 
   // ==========================================================================
+  // Feature-hashed text vectors (the self-contained embedding surrogate)
+  // ==========================================================================
+
+  /**
+   * Feature-hashed unigram vector — the "hashing trick" (Weinberger et
+   * al. 2009): each whitespace token lands in bucket `hash48(token) mod
+   * dim` with a ±1 sign drawn from an independent bit of the same hash
+   * (bit 20 — disjoint from the bucket bits for every `dim ≤ 2^20`),
+   * summed with multiplicity. Returns `(id, tf_vec: array<long>)`, one
+   * row per doc (NULL text = blank text, like [[wordArray]]); cast to
+   * `array<float>` to feed the [[Similarity]] / SemDeDup planes — this
+   * is the deterministic featurizer that makes the semantic plane
+   * runnable END TO END at ingest when no model-served embedding column
+   * exists (a learned embedding is strictly better when available; this
+   * one is engine-portable and oracle-checkable, the repo's md5-derived
+   * determinism convention).
+   *
+   * Physical shape: entirely row-local codegen'd HOFs — ONE md5 per
+   * token (hashes materialized per row before bucketing, never
+   * recomputed per bucket), then `dim` integer folds over the hash
+   * array; zero shuffle, pipelines into the scan with the other ingest
+   * gates. Cost is O(n + dim·n) integer work per doc — `dim` here is
+   * gate-sized (tens), not model-sized.
+   */
+  def hashedTfVector(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 20), s"dim=$dim out of [2, 2^20]")
+    val dimL = lit(dim.toLong)
+    val hv = transform(wordArray(coalesce(col(textCol), lit(""))),
+      t => conv(substring(md5(t.cast(BinaryType)), 1, 12), 16, 10)
+        .cast(LongType))
+    docs.select(col(idCol), hv.as("__hv"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          aggregate(
+            filter(col("__hv"), h => h % dimL === i.cast(LongType)),
+            lit(0L),
+            (acc, h) => acc + (shiftright(h, 20) % 2L) * 2L - 1L))
+          .as("tf_vec"))
+  }
+
+  // ==========================================================================
   // Distribution-drift monitoring (epoch vs corpus unigram distributions)
   // ==========================================================================
 

@@ -346,6 +346,45 @@ class TextFeaturesSpec extends SparkSpec {
     assert(inc == got, s"incremental $inc != batch $got")
   }
 
+  test("hashedTfVector: ≡ independent Scala md5 reference, parity, determinism, null text") {
+    import spark.implicits._
+    val dim = 32
+    def ref(text: String): Seq[Long] = {
+      val v = Array.fill(dim)(0L)
+      text.trim.split("\\s+", -1).foreach { t =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        val h = java.lang.Long.parseLong(
+          md.take(6).map("%02x".format(_)).mkString, 16)
+        v((h % dim).toInt) += (if (((h >> 20) & 1L) == 1L) 1L else -1L)
+      }
+      v.toSeq
+    }
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select($"doc_id", $"text").where($"doc_id" < 20).cache()
+    val got = TextAnalysis.hashedTfVector(docs, "doc_id", "text", dim)
+      .as[(Long, Seq[Long])].collect().toMap
+    val texts = docs.as[(Long, String)].collect().toMap
+    assert(got.size == 20)
+    texts.foreach { case (id, t) =>
+      assert(got(id) == ref(Option(t).getOrElse("")),
+        s"doc $id diverges from the reference implementation")
+      // each token contributes ±1: total parity == token-count parity
+      val n = Option(t).getOrElse("").trim.split("\\s+", -1).length
+      assert(((got(id).sum - n) % 2 + 2) % 2 == 0, s"parity broken for $id")
+    }
+    // null text = blank text: one empty token, a well-defined vector
+    val nulled = TextAnalysis.hashedTfVector(
+      Seq((1L, null: String), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", dim).as[(Long, Seq[Long])].collect().toMap
+    assert(nulled(1L) == nulled(2L) && nulled(1L).map(math.abs).sum == 1L)
+    // partitioning/input order cannot change a row-local vector
+    val re = TextAnalysis.hashedTfVector(
+      docs.orderBy(rand(5)).repartition(7), "doc_id", "text", dim)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(re == got)
+  }
+
   test("distribution drift: identity zero, disjoint ~1e6, grouped ≡ pairwise, partition-invariant") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
