@@ -22,7 +22,8 @@ import graft.streaming._
  *     --table /out/pages_sessions --metrics /out/progress.jsonl \
  *     [--join-meta | --near-dup | --prep | --link-graph
  *      | --oov-gate /lexicon.parquet [--oov-max 500]
- *      | --lm-gate /bigram_counts.parquet [--lm-min 30000]] \
+ *      | --lm-gate /bigram_counts.parquet [--lm-min 30000]
+ *      | --sem-gate /semgate_dir [--sem-tau 900000] [--sem-dim 32]] \
  *     [--buckets 64 [--bucket-by host]] [--jsonl /warc/jsonl]
  *
  * Kill it at any point and resubmit with the same --checkpoint/--table:
@@ -37,7 +38,7 @@ object PagePipelineApp {
     val flags = Set("--join-meta", "--near-dup", "--prep", "--link-graph")
     val valueOpts = Set("--pages", "--hosts", "--rate", "--checkpoint", "--table", "--metrics",
       "--buckets", "--bucket-by", "--jsonl", "--oov-gate", "--oov-max",
-      "--lm-gate", "--lm-min")
+      "--lm-gate", "--lm-min", "--sem-gate", "--sem-tau", "--sem-dim")
     val kvArgs = args.filterNot(flags.contains)
     // sliding(2, 2) silently discards a trailing odd element — a final
     // `--buckets` with no value would be ignored and the app would run
@@ -163,6 +164,29 @@ object PagePipelineApp {
           b.join(keep, Seq("url"), "left_semi")
         }
         (pages.toDF(), gate)
+      } else if (a.contains("--sem-gate")) {
+        // semantic-dedup-gated ingest: each page is feature-hashed
+        // row-locally (TextAnalysis.hashedTfVector — the deterministic
+        // embedding surrogate) and refused iff a KEPT near-twin already
+        // sits in the persisted semDedup history (RequestResponse
+        // .semDedupGateKeep). The gate dir holds the two artifacts the
+        // probe needs — `history/` (corpus_id, cv, cn, centroid; the
+        // semDedupCatchUp-maintained kept-vector table) and `seeds/`
+        // (seed_id, sv, sn; the FROZEN centroid table) — build both with
+        // graft.tools.PrepareSemGate or the maintenance loop. Note the
+        // synthetic generator cycles page ids after one pass: cycled
+        // re-crawls carry IDENTICAL text, so with a history built from
+        // the same generator they are refused at cos 1e6 — the streaming
+        // mirror of the q92 replay-absorption contract.
+        val gateDir = a("--sem-gate")
+        val history = spark.read.parquet(s"$gateDir/history").cache()
+        val semSeeds = spark.read.parquet(s"$gateDir/seeds").cache()
+        val tau = a.getOrElse("--sem-tau", "900000").toLong
+        val dim = a.getOrElse("--sem-dim", "32").toInt
+        val gate = (b: org.apache.spark.sql.DataFrame) =>
+          graft.operators.RequestResponse.semDedupGateKeep(
+            b, history, semSeeds, "url", "text", dim, tau)
+        (pages.toDF(), gate)
       } else if (nearDup) {
         // the full ingest-dedup pipeline in ONE query (chained stateful
         // operators): exact fingerprint dedup first (cheap, catches
@@ -204,7 +228,7 @@ object PagePipelineApp {
       if (linkGraph) None // edge deltas carry no event time
       else if (prep || nearDup) Some("ts")
       else if (joinMeta || a.contains("--oov-gate")
-        || a.contains("--lm-gate")) Some("warc_ts")
+        || a.contains("--lm-gate") || a.contains("--sem-gate")) Some("warc_ts")
       else Some("session_start")
     val sink = new ExactlyOnceSink(table,
       if (nBuckets > 0) Some(bucketColName) else None, statsCol)

@@ -250,6 +250,38 @@ object RequestResponse {
    * probe prunes to the request cells); nothing corpus-scale shuffles
    * per trigger.
    */
+  /**
+   * Ingest-time semantic admission gate over TEXT — the full-rate form
+   * of [[semDedupProbe]] for pipelines with no model-served embedding
+   * column: each candidate doc is feature-hashed row-locally
+   * ([[TextAnalysis.hashedTfVector]], cast to float) and probed against
+   * the persisted kept-vector history; only ADMITTED input rows return
+   * (left-semi on the id). Rows whose hashed vector cancels to exactly
+   * zero (no cosine defined) are admitted — they cannot claim or be
+   * claimed.
+   *
+   * 100 TB shape: what broadcasts is the batch's hashed+assigned
+   * vectors — at gate-sized `dim` (tens) a 10⁵-page trigger is a few
+   * MB, which is why this full-rate gate can keep semDedupProbe's
+   * history-probed-in-place join while the text-based probes
+   * (rare-token, span) must switch to shuffled joins at full rate. The
+   * history table is scanned once per trigger, never shuffled —
+   * cache/persist it.
+   */
+  def semDedupGateKeep(batch: DataFrame, history: DataFrame,
+      seeds: DataFrame, idCol: String, textCol: String, dim: Int,
+      minCosQ: Long): DataFrame = {
+    val vecs = TextAnalysis.hashedTfVector(
+        batch.select(col(idCol), col(textCol)), idCol, textCol, dim)
+      .select(col(idCol), col("tf_vec").cast("array<float>").as("__vec"))
+      .withColumn("__cn", VectorOps.norm_q(col("__vec")))
+    val zeroNorm = vecs.where(col("__cn") === 0L).select(col(idCol))
+    val admitted = semDedupProbe(vecs.where(col("__cn") > 0L), history,
+        seeds, idCol, "__vec", minCosQ)
+      .where(col("admit")).select(col("request_id").as(idCol))
+    batch.join(zeroNorm.unionByName(admitted), Seq(idCol), "left_semi")
+  }
+
   def semDedupProbe(requests: DataFrame, history: DataFrame,
       seeds: DataFrame, reqId: String, reqVec: String,
       minCosQ: Long): DataFrame = {

@@ -354,15 +354,28 @@ object TextAnalysis {
    * one is engine-portable and oracle-checkable, the repo's md5-derived
    * determinism convention).
    *
-   * Physical shape: entirely row-local codegen'd HOFs — ONE md5 per
-   * token (hashes materialized per row before bucketing, never
-   * recomputed per bucket), then `dim` integer folds over the hash
-   * array; zero shuffle, pipelines into the scan with the other ingest
-   * gates. Cost is O(n + dim·n) integer work per doc — `dim` here is
-   * gate-sized (tens), not model-sized.
+   * Physical shape: one codegen'd row-local pass ([[HashedTfVec]],
+   * `doGenCode`) — ONE md5 per token, accumulated straight into the
+   * `dim`-long vector (O(n + dim) per doc); zero shuffle, pipelines into
+   * the scan with the other ingest gates. The interpreted HOF twin
+   * ([[hashedTfVectorHof]]) is kept as the spec'd semantic oracle.
    */
   def hashedTfVector(docs: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 20), s"dim=$dim out of [2, 2^20]")
+    docs.select(col(idCol),
+      org.apache.spark.sql.graftshim.Bridge.column(HashedTfVec(
+        org.apache.spark.sql.graftshim.Bridge.expression(
+          coalesce(col(textCol), lit(""))), dim)).as("tf_vec"))
+  }
+
+  /** Interpreted higher-order-function twin of [[hashedTfVector]] — the
+    * spec'd semantic oracle for [[HashedTfVec]] (value-identical by
+    * construction; asserted over adversarial whitespace). `dim`
+    * interpreted folds over the per-token hash array per row, so
+    * nothing in the serving path uses it. */
+  private[graft] def hashedTfVectorHof(docs: DataFrame, idCol: String,
+      textCol: String, dim: Int): DataFrame = {
     require(dim >= 2 && dim <= (1 << 20), s"dim=$dim out of [2, 2^20]")
     val dimL = lit(dim.toLong)
     val hv = transform(wordArray(coalesce(col(textCol), lit(""))),
@@ -970,5 +983,67 @@ object MinRollingHash {
       i += 1
     }
     min
+  }
+}
+
+/**
+ * `hashed_tf(text, dim): array<long>` — the feature-hashing-trick
+ * unigram vector behind [[TextAnalysis.hashedTfVector]] as ONE codegen'd
+ * row-local pass: tokenize (trim + `\s+`, Spark `split` semantics), md5
+ * each token once, accumulate ±1 into bucket `h48 mod dim` (sign = hash
+ * bit 20). The interpreted HOF twin is
+ * [[TextAnalysis.hashedTfVectorHof]] (value-identical, spec-asserted) —
+ * the hot ingest gate must not pay the interpreted-HOF chain's `dim`
+ * folds per row.
+ */
+case class HashedTfVec(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim >= 2 && dim <= (1 << 20), s"dim=$dim out of [2, 2^20]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hashed_tf"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"hashed_tf requires string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    HashedTfVec.compute(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.HashedTfVec.compute($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedTfVec =
+    copy(child = newChild)
+}
+
+object HashedTfVec {
+  import java.nio.charset.StandardCharsets
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private val splitter = java.util.regex.Pattern.compile("\\s+")
+
+  /** Static so generated code and interpreted eval share one body. */
+  def compute(text: UTF8String, dim: Int): GenericArrayData = {
+    // UTF8String.trim() strips 0x20 only — same as Spark's trim(col);
+    // Pattern.split(s, -1) keeps leading/trailing empties — same as
+    // Spark's split(str, "\\s+") default limit (the HOF twin's path)
+    val toks = splitter.split(text.trim().toString, -1)
+    val v = new Array[Long](dim)
+    val md = Md5Hash.local()
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      md.update(toks(i).getBytes(StandardCharsets.UTF_8))
+      val d = md.digest()
+      // first 12 hex digits of the md5 = first 6 bytes, big-endian —
+      // exactly conv(substring(md5(t), 1, 12), 16, 10)
+      var h = 0L
+      var j = 0
+      while (j < 6) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      v((h % dim).toInt) += (if (((h >> 20) & 1L) == 1L) 1L else -1L)
+      i += 1
+    }
+    new GenericArrayData(v)
   }
 }

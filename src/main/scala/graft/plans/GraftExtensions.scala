@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Coalesce, Expression, ExpressionInfo, Literal}
 
 import graft.functions.ExtractHtmlText
-import graft.operators.{LangId, LshBucket, MinHashBandSigs, MinRollingHash, PqAdcScore, QualityScore, QuantizedDot, SimHash64}
+import graft.operators.{HashedTfVec, LangId, LshBucket, MinHashBandSigs, MinRollingHash, PqAdcScore, QualityScore, QuantizedDot, SimHash64}
 
 /**
  * SQL surface of the engine's custom expressions, injected via
@@ -55,6 +55,13 @@ object GraftExtensions {
         case other =>
           throw new IllegalArgumentException(s"lsh_bucket nPlanes must be a literal, got $other")
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("hashed_tf",
+      (args: Seq[Expression]) => args match {
+        case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(d, _)) =>
+          HashedTfVec(t, d.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(s"hashed_tf(text, dim) with literal dim; got $other")
+      }, "scala_udf")
   }
 }
 
@@ -101,6 +108,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           MinHashBandSigs(t, n.toString.toInt, b.toString.toInt)
         case other =>
           throw new IllegalArgumentException(s"minhash_band_sigs(text, n, bands) with literal n/bands; got $other")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_tf"),
+      info("hashed_tf", "hashed_tf(text, dim) - feature-hashed unigram vector (hashing trick)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(d, _)) =>
+          HashedTfVec(t, d.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(s"hashed_tf(text, dim) with literal dim; got $other")
       }))
     ext.injectFunction((
       FunctionIdentifier("lsh_bucket"),

@@ -84,4 +84,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val expect = (0 until 2).map(b => Seq("a b c", "b c d").map(sh => md5hex(s"$sh|$b")).min)
     assert(sigs == expect, s"got $sigs expected $expect")
   }
+
+  test("hashed_tf callable from SQL and equal to the md5 definition") {
+    val r = spark.sql("SELECT hashed_tf('a b a', 8) AS v").collect()(0)
+    val v = r.getSeq[Long](0)
+    def h48(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+    val expect = Array.fill(8)(0L)
+    Seq("a", "b", "a").foreach { t =>
+      val h = h48(t)
+      expect((h % 8).toInt) += (if (((h >> 20) & 1L) == 1L) 1L else -1L)
+    }
+    assert(v == expect.toSeq, s"got $v expected ${expect.toSeq}")
+  }
 }

@@ -383,6 +383,20 @@ class TextFeaturesSpec extends SparkSpec {
       docs.orderBy(rand(5)).repartition(7), "doc_id", "text", dim)
       .as[(Long, Seq[Long])].collect().toMap
     assert(re == got)
+    // codegen'd expression ≡ interpreted HOF twin — on real docs AND
+    // adversarial whitespace (the tokenizer-parity surface)
+    val adversarial = Seq(
+      (900L, "  leading"), (901L, "trailing   "), (902L, " \t\n mixed  ws "),
+      (903L, ""), (904L, "   "), (905L, "one"), (906L, "a b c"),
+      (907L, "tab\tsep\ttoks"), (908L, "nl\nsep\ntoks"), (909L, "ÜñíçÖdé tökens 漢字"))
+      .toDF("doc_id", "text")
+    for (df <- Seq(docs, adversarial)) {
+      val expr = TextAnalysis.hashedTfVector(df, "doc_id", "text", dim)
+        .as[(Long, Seq[Long])].collect().toMap
+      val hof = TextAnalysis.hashedTfVectorHof(df, "doc_id", "text", dim)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(expr == hof, "expression diverges from the HOF semantic oracle")
+    }
   }
 
   test("distribution drift: identity zero, disjoint ~1e6, grouped ≡ pairwise, partition-invariant") {
