@@ -253,6 +253,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pInc.contains("CartesianProduct"), s"cartesian in increment:\n$pInc")
   }
 
+  test("semDedup text gate: codegen'd hashed_tf in the scan, batch broadcast, history probed in place") {
+    import spark.implicits._
+    import graft.operators.{RequestResponse, TextAnalysis, VectorOps}
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select($"doc_id", $"text")
+    val corpus = TextAnalysis.hashedTfVector(docs, "doc_id", "text", 32)
+      .select($"doc_id".as("corpus_id"), $"tf_vec".cast("array<float>").as("cv"))
+      .withColumn("cn", VectorOps.norm_q($"cv")).where($"cn" > 0L)
+    val seeds = corpus.where($"corpus_id" % 16 === 0)
+      .select($"corpus_id".as("seed_id"), $"cv".as("sv"), $"cn".as("sn"))
+    val hist = Similarity.semDedupAssigned(corpus, seeds, 900000L)
+      .where($"kept").select($"corpus_id", $"cv", $"cn", $"centroid")
+    val p = plan(RequestResponse.semDedupGateKeep(
+      docs.select(concat(lit("u"), $"doc_id").as("url"), $"text"),
+      hist, seeds, "url", "text", 32, 900000L))
+    // the featurizer is the single-pass expression, not the HOF chain
+    assert(p.contains("hashed_tf"), s"codegen'd featurizer missing:\n$p")
+    assert(!p.contains("transform(") || !p.contains("aggregate("),
+      s"interpreted HOF fold leaked into the gate path:\n$p")
+    // the batch probes history via a BuildRight broadcast equi-join —
+    // history (corpus-scale) must never be the broadcast side
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("BuildRight")),
+      s"history probe not a BuildRight broadcast equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked in:\n$p")
+  }
+
   test("epochDrift: one tokenize pass (token exchange reused), totals broadcast") {
     import spark.implicits._
     // AQE off so static exchange reuse is visible in the plan string
