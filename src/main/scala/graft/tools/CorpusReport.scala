@@ -94,6 +94,13 @@ object CorpusReport {
         sum(when($"rare_q" >= 500, 1L).otherwise(0L)).as("oov_docs"))
       .head()
 
+    // per-source distribution drift vs the corpus (TV distance, e6):
+    // which sources are pulling the unigram mix away — the operational
+    // "is this crawl slice weird" signal, one tokenize pass
+    val drift = TextAnalysis.epochDrift(docs, "source", "text")
+      .orderBy($"tv_q".desc, $"source").limit(5)
+      .select($"source", $"tv_q").as[(String, Long)].collect()
+
     // a raised getLong would NPE on an empty corpus (sum() of no rows is
     // NULL even when count is 0) — zero-fill instead of crashing
     def gl(r: org.apache.spark.sql.Row, i: Int): Long =
@@ -110,6 +117,8 @@ object CorpusReport {
       .mkString("[", ",", "]")
     val worstJson = worstSources.map { case (s, d) =>
       s"{${jStr(s)}:$d}" }.mkString("[", ",", "]")
+    val driftJson = drift.map { case (s, d) =>
+      s"{${jStr(s)}:$d}" }.mkString("[", ",", "]")
     val dupPm = 1000L * (gl(totals, 0) - gl(totals, 3)) /
       math.max(gl(totals, 0), 1L)
     println(
@@ -122,7 +131,8 @@ object CorpusReport {
       s""""oov":{"rare_tokens":${gl(oov, 0)},"all_tokens":${gl(oov, 1)},""" +
       s""""flagged_docs":${gl(oov, 2)}},""" +
       s""""lang_mix":$langJson,"quality_deciles":$histJson,""" +
-      s""""worst_dup_sources":$worstJson}""")
+      s""""worst_dup_sources":$worstJson,""" +
+      s""""drifting_sources":$driftJson}""")
     spark.stop()
   }
 }
