@@ -282,6 +282,27 @@ object RequestResponse {
     batch.join(zeroNorm.unionByName(admitted), Seq(idCol), "left_semi")
   }
 
+  /**
+   * The distinct argmax cells of a (tiny) request batch — collected to
+   * the driver so a centroid-PARTITIONED history table can be pruned
+   * with a LITERAL `isin` before [[semDedupProbe]] scans it. Spark's
+   * dynamic partition pruning declines this join (the request side
+   * carries no selective predicate, so the DPP benefit heuristic never
+   * fires — measured), and without pruning every trigger scans the full
+   * corpus-scale history table's file listing. One collect of ≤
+   * |seeds| longs per trigger is the price; only worth it when the
+   * request batch probes a few cells (the per-trigger gate), not a
+   * full-rate batch whose cells cover the table anyway.
+   */
+  def requestCells(requests: DataFrame, seeds: DataFrame,
+      reqId: String, reqVec: String): Seq[Long] = {
+    val req = requests.select(col(reqId).as("corpus_id"),
+      col(reqVec).as("cv"), VectorOps.norm_q(col(reqVec)).as("cn"))
+    Similarity.assignWithScore(req, seeds)
+      .select(col("centroid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+  }
+
   def semDedupProbe(requests: DataFrame, history: DataFrame,
       seeds: DataFrame, reqId: String, reqVec: String,
       minCosQ: Long): DataFrame = {

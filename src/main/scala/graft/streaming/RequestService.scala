@@ -182,15 +182,33 @@ object RequestService {
    * requests row-locally against the broadcast seeds and probes the
    * history scan in place — history is never shuffled per trigger.
    * Cache/persist `history` and `seeds`; both are re-used every trigger.
+   *
+   * `pruneHistory = true` is the serving shape for a history table
+   * PARTITIONED by `centroid` (e.g. `PrepareSemGate`'s layout): each
+   * trigger first collects the request batch's distinct cells (≤
+   * |seeds| longs — `RequestResponse.requestCells`) and probes
+   * `history` behind a LITERAL `centroid IN (...)` filter, which lands
+   * in the scan's PartitionFilters (static pruning, plan-asserted) —
+   * Spark's dynamic partition pruning declines this join, so without
+   * the literal every trigger reads the full corpus-scale listing. Skip
+   * it for an unpartitioned or cached history, or full-rate batches
+   * whose cells cover the table.
    */
   def startSemDedupGate(spark: SparkSession, requests: DataFrame,
       history: DataFrame, seeds: DataFrame,
       reqId: String, reqVec: String,
       responseTable: String, checkpoint: String, minCosQ: Long,
+      pruneHistory: Boolean = false,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
-    startService(requests, responseTable, checkpoint, trigger)(batch =>
-      RequestResponse.semDedupProbe(batch, history, seeds,
-        reqId, reqVec, minCosQ))
+    startService(requests, responseTable, checkpoint, trigger) { batch =>
+      import org.apache.spark.sql.functions.col
+      val h = if (!pruneHistory) history
+        else {
+          val cells = RequestResponse.requestCells(batch, seeds, reqId, reqVec)
+          history.where(col("centroid").isin(cells: _*))
+        }
+      RequestResponse.semDedupProbe(batch, h, seeds, reqId, reqVec, minCosQ)
+    }
 
   /**
    * Start the embedding-match service against a PRE-BUILT IVF index —

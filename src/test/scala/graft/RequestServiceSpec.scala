@@ -639,5 +639,37 @@ class RequestServiceSpec extends SparkSpec {
       assert(row(3) == 1000000L && row(4) == false,
         s"replayed keeper $id not refused: $row")
     }
+
+    // pruned serving shape: the SAME requests against a centroid-
+    // PARTITIONED history dir with pruneHistory=true — identical
+    // responses, and the literal cell filter reaches PartitionFilters
+    // (static pruning; DPP declines this join, measured)
+    val hdir = Files.createTempDirectory("sdhist").toString + "/history"
+    history.write.partitionBy("centroid").parquet(hdir)
+    val histOnDisk = spark.read.parquet(hdir)
+    val cp2 = Files.createTempDirectory("sdcp2").toString
+    val table2 = Files.createTempDirectory("sdtbl2").toString
+    val in2 = MemoryStream[VecReq](Encoders.product[VecReq], spark)
+    val q2 = RequestService.startSemDedupGate(spark, in2.toDF(),
+      histOnDisk, seeds, "request_id", "qvec", table2, cp2, tau,
+      pruneHistory = true)
+    in2.addData(reqRows.toIndexedSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    val gotPruned = new ExactlyOnceSink(table2).read(spark)
+      .select($"request_id", $"centroid", $"cos_c", $"near_max_q", $"admit")
+      .collect().map(_.toSeq).toSet
+    assert(gotPruned == got.toSet, "pruned history gate diverges from unpruned")
+    val cells = graft.operators.RequestResponse.requestCells(
+      reqRows.toSeq.map(r => (r.request_id, r.qvec)).toDF("request_id", "qvec"),
+      seeds, "request_id", "qvec")
+    val prunedPlan = graft.operators.RequestResponse.semDedupProbe(
+      reqRows.toSeq.map(r => (r.request_id, r.qvec)).toDF("request_id", "qvec"),
+      histOnDisk.where($"centroid".isin(cells: _*)), seeds,
+      "request_id", "qvec", tau)
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains(" IN (")),
+      s"literal cell filter missing from PartitionFilters:\n$prunedPlan")
   }
 }
