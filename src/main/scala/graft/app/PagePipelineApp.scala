@@ -183,6 +183,19 @@ object PagePipelineApp {
         val semSeeds = spark.read.parquet(s"$gateDir/seeds").cache()
         val tau = a.getOrElse("--sem-tau", "900000").toLong
         val dim = a.getOrElse("--sem-dim", "32").toInt
+        // fail at startup, not silently at runtime: zero seeds would
+        // blackhole the whole stream (nothing assignable => nothing
+        // admitted), and a dim mismatched with the artifacts would
+        // truncate every dot product (QuantizedDot zips to the shorter
+        // array) and systematically deflate cosines — the gate would
+        // quietly stop deduplicating
+        val seedDims = semSeeds.select(size(col("sv"))).limit(1).collect()
+        if (seedDims.isEmpty)
+          sys.error(s"--sem-gate $gateDir: seeds table is empty — rebuild " +
+            "the artifacts with a smaller seedMod (graft.tools.PrepareSemGate)")
+        if (seedDims.head.getInt(0) != dim)
+          sys.error(s"--sem-dim $dim does not match the artifacts' " +
+            s"dimension ${seedDims.head.getInt(0)} ($gateDir/seeds)")
         val gate = (b: org.apache.spark.sql.DataFrame) =>
           graft.operators.RequestResponse.semDedupGateKeep(
             b, history, semSeeds, "url", "text", dim, tau)

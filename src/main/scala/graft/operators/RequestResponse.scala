@@ -94,22 +94,6 @@ object RequestResponse {
   }
 
   /**
-   * Near-duplicate probe served off the persisted minhash band index
-   * `(doc_id, band, sig)` that [[Dedup.incrementalNearDupKeepers]]
-   * maintains: request texts build their band signatures ROWWISE
-   * ([[MinHashBandSigs]], stateless codegen'd projection), candidates
-   * are the docs sharing ≥ 1 band bucket (index equi-join — the corpus
-   * is never re-shingled wholesale), and the exact quantized Jaccard is
-   * verified on the CANDIDATE SET ONLY: just the candidate docs' texts
-   * are fetched (semi-join point lookup — prunable on a bucketed table)
-   * and shingled. Returns (request_id, doc_id, jacc_q ≥ minJaccQ).
-   *
-   * Same candidate-generation/verification split as
-   * [[Dedup.minhashLshPairs]], so the answer is exact with respect to
-   * the LSH candidate definition (bucket mates), not an unverified
-   * sketch.
-   */
-  /**
    * Span-duplication probe — the span-level ingest-gate question "how
    * much of this candidate document already exists VERBATIM in the
    * corpus?", answered off the persisted `(span_hash, n_docs)` table
@@ -185,6 +169,22 @@ object RequestResponse {
         floor(lit(1000) * col("rare_toks") / col("n_toks")).cast(LongType))
   }
 
+  /**
+   * Near-duplicate probe served off the persisted minhash band index
+   * `(doc_id, band, sig)` that [[Dedup.incrementalNearDupKeepers]]
+   * maintains: request texts build their band signatures ROWWISE
+   * ([[MinHashBandSigs]], stateless codegen'd projection), candidates
+   * are the docs sharing ≥ 1 band bucket (index equi-join — the corpus
+   * is never re-shingled wholesale), and the exact quantized Jaccard is
+   * verified on the CANDIDATE SET ONLY: just the candidate docs' texts
+   * are fetched (semi-join point lookup — prunable on a bucketed table)
+   * and shingled. Returns (request_id, doc_id, jacc_q ≥ minJaccQ).
+   *
+   * Same candidate-generation/verification split as
+   * [[Dedup.minhashLshPairs]], so the answer is exact with respect to
+   * the LSH candidate definition (bucket mates), not an unverified
+   * sketch.
+   */
   def nearDupProbe(requests: DataFrame, bandIndex: DataFrame, corpus: DataFrame,
       reqId: String, reqText: String, docId: String, docText: String,
       n: Int = 3, bands: Int = 8, minJaccQ: Long = 500L): DataFrame = {
@@ -226,39 +226,17 @@ object RequestResponse {
       .withColumnRenamed("query_id", "request_id")
 
   /**
-   * SemDeDup admission probe — the ingest-gate form of
-   * [[Similarity.semDedupIncrement]]: "does this candidate's embedding
-   * already have a KEPT semantic near-twin in the corpus?", answered off
-   * the persisted kept-vector history ([[Similarity.semDedupAssigned]]'s
-   * kept rows, `(corpus_id, cv, cn, centroid)`) under the frozen
-   * centroid table. One row per request: `(request_id, centroid, cos_c,
-   * near_max_q, admit)` — `near_max_q` is the max quantized cosine to
-   * any kept cell-mate (NULL when the request's cell holds none),
-   * `admit` iff that max is NULL or below `minCosQ`. A replayed
-   * already-kept vector finds ITSELF at cos 1e6 and is refused — the
-   * same replay-absorption semantics as the increment.
-   *
-   * The probe judges each request INDEPENDENTLY against history only
-   * (no within-batch rank pass): it answers "would this single
-   * candidate be admitted right now". Folding an admitted batch that
-   * may contain internal near-twins is the maintenance job —
-   * [[Similarity.semDedupIncrement]] applies the batch rank rule there.
-   *
-   * 100 TB shape: requests are assigned row-locally against the
-   * broadcast seeds, then BROADCAST into one equi-join probing the
-   * history scan on `centroid` (partition history by centroid — the
-   * probe prunes to the request cells); nothing corpus-scale shuffles
-   * per trigger.
-   */
-  /**
    * Ingest-time semantic admission gate over TEXT — the full-rate form
    * of [[semDedupProbe]] for pipelines with no model-served embedding
    * column: each candidate doc is feature-hashed row-locally
    * ([[TextAnalysis.hashedTfVector]], cast to float) and probed against
    * the persisted kept-vector history; only ADMITTED input rows return
-   * (left-semi on the id). Rows whose hashed vector cancels to exactly
-   * zero (no cosine defined) are admitted — they cannot claim or be
-   * claimed.
+   * (left-semi on the id). A row whose hashed vector cancels to exactly
+   * zero is admitted — the zero-guarded cosine scores it 0 from
+   * everything (it can neither claim nor be claimed), so no separate
+   * branch is needed and the featurization runs ONCE per row (a split
+   * plan would re-tokenize and re-hash every page per branch —
+   * measured 2× on the full-rate path).
    *
    * 100 TB shape: what broadcasts is the batch's hashed+assigned
    * vectors — at gate-sized `dim` (tens) a 10⁵-page trigger is a few
@@ -266,7 +244,9 @@ object RequestResponse {
    * history-probed-in-place join while the text-based probes
    * (rare-token, span) must switch to shuffled joins at full rate. The
    * history table is scanned once per trigger, never shuffled —
-   * cache/persist it.
+   * cache/persist it. `dim` must match the history/seeds artifacts
+   * (ragged arrays would silently truncate the dot product — the app
+   * validates at startup).
    */
   def semDedupGateKeep(batch: DataFrame, history: DataFrame,
       seeds: DataFrame, idCol: String, textCol: String, dim: Int,
@@ -274,12 +254,10 @@ object RequestResponse {
     val vecs = TextAnalysis.hashedTfVector(
         batch.select(col(idCol), col(textCol)), idCol, textCol, dim)
       .select(col(idCol), col("tf_vec").cast("array<float>").as("__vec"))
-      .withColumn("__cn", VectorOps.norm_q(col("__vec")))
-    val zeroNorm = vecs.where(col("__cn") === 0L).select(col(idCol))
-    val admitted = semDedupProbe(vecs.where(col("__cn") > 0L), history,
-        seeds, idCol, "__vec", minCosQ)
+    val admitted = semDedupProbe(vecs, history, seeds, idCol, "__vec",
+        minCosQ)
       .where(col("admit")).select(col("request_id").as(idCol))
-    batch.join(zeroNorm.unionByName(admitted), Seq(idCol), "left_semi")
+    batch.join(admitted, Seq(idCol), "left_semi")
   }
 
   /**
@@ -303,6 +281,36 @@ object RequestResponse {
       .collect().map(_.getLong(0)).toSeq
   }
 
+  /**
+   * SemDeDup admission probe — the ingest-gate form of
+   * [[Similarity.semDedupIncrement]]: "does this candidate's embedding
+   * already have a KEPT semantic near-twin in the corpus?", answered off
+   * the persisted kept-vector history ([[Similarity.semDedupAssigned]]'s
+   * kept rows, `(corpus_id, cv, cn, centroid)`) under the frozen
+   * centroid table. One row per request: `(request_id, centroid, cos_c,
+   * near_max_q, admit)` — `near_max_q` is the max quantized cosine to
+   * any kept cell-mate (NULL when the request's cell holds none),
+   * `admit` iff that max is NULL or below `minCosQ`. A replayed
+   * already-kept vector finds ITSELF at cos 1e6 and is refused — the
+   * same replay-absorption semantics as the increment.
+   *
+   * The probe judges each request INDEPENDENTLY against history only
+   * (no within-batch rank pass): it answers "would this single
+   * candidate be admitted right now". Folding an admitted batch that
+   * may contain internal near-twins is the maintenance job —
+   * [[Similarity.semDedupIncrement]] applies the batch rank rule there.
+   *
+   * 100 TB shape: requests are assigned row-locally against the
+   * broadcast seeds, then BROADCAST into one equi-join probing the
+   * history scan on `centroid` (partition history by centroid — the
+   * probe prunes to the request cells); nothing corpus-scale shuffles
+   * per trigger.
+   *
+   * PRECONDITION: `seeds` must be non-empty — with zero seeds nothing
+   * can be assigned, so the probe emits ZERO rows (and a gate built on
+   * it refuses everything). The service/app entry points validate this
+   * once at start; ad-hoc callers should too.
+   */
   def semDedupProbe(requests: DataFrame, history: DataFrame,
       seeds: DataFrame, reqId: String, reqVec: String,
       minCosQ: Long): DataFrame = {

@@ -83,9 +83,15 @@ object Similarity {
     TopK.perKey(scored, "query_id", "corpus_id", "cos_q", k, "corpus_id", "cos_q")
   }
 
-  /** Quantized cosine in e6 units from a quantized dot and two quantized norms. */
+  /** Quantized cosine in e6 units from a quantized dot and two quantized
+    * norms. A ZERO norm (no cosine defined) scores 0, not NaN: the double
+    * division would yield NaN and the long cast would throw under ANSI
+    * mode (Spark 4's default) — the guard makes zero-norm vectors
+    * deterministic everywhere (they assign to the lowest seed and sit at
+    * cosine 0 from everything, so dedup planes always ADMIT them). */
   private[operators] def cosQ(dotQ: Column, nA: Column, nB: Column): Column =
-    floor(VectorOps.cosineScore(dotQ, nA, nB) * 1e6).cast(LongType)
+    when(nA === 0L || nB === 0L, lit(0L))
+      .otherwise(floor(VectorOps.cosineScore(dotQ, nA, nB) * 1e6).cast(LongType))
 
   /**
    * IVF (inverted-file) ANN — the coarse-quantizer scale path, complement

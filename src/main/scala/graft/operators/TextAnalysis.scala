@@ -421,17 +421,17 @@ object TextAnalysis {
     val o = other.select(col("term"), col("tf").as("tf_o"))
     val totR = r.agg(sum(col("tf_r")).as("tot_r"))
     val totO = o.agg(sum(col("tf_o")).as("tot_o"))
+    // integral `div`, not `/`: double division drifts from the oracle's
+    // integer quotient once totals pass ~2^53-scale products — the same
+    // reason the LM plane quantizes with div (LanguageModel.scoreDocs)
     r.join(o, Seq("term"), "full_outer")
       .crossJoin(broadcast(totR)).crossJoin(broadcast(totO))
       .select(col("tf_r"), col("tf_o"),
-        floor(lit(1000000L) * coalesce(col("tf_r"), lit(0L)) / col("tot_r"))
-          .cast(LongType).as("q"),
-        floor(lit(1000000L) * coalesce(col("tf_o"), lit(0L)) / col("tot_o"))
-          .cast(LongType).as("p"))
+        expr("1000000 * coalesce(tf_r, 0L) div tot_r").as("q"),
+        expr("1000000 * coalesce(tf_o, 0L) div tot_o").as("p"))
       .agg(count(col("tf_r")).as("ref_terms"),
         count(col("tf_o")).as("other_terms"),
-        floor(sum(abs(col("p") - col("q"))) / lit(2)).cast(LongType)
-          .as("tv_q"))
+        expr("sum(abs(p - q)) div 2").as("tv_q"))
   }
 
   /**
@@ -458,7 +458,12 @@ object TextAnalysis {
    * equi-join of group counts against corpus counts on `term`.
    */
   def epochDrift(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
-    require(groupCol != "term" && groupCol != "tf" && groupCol != "q",
+    // every internal name of the plan AND of the output: a clashing
+    // group column would otherwise die mid-plan with an ambiguous-
+    // reference error (or silently duplicate an output column)
+    val reserved = Set("term", "tf", "tf_all", "tot_all", "tot_g", "p",
+      "q", "qtot", "n_terms", "s_abs", "s_q", "n_toks", "tv_q")
+    require(!reserved.contains(groupCol),
       s"group column '$groupCol' clashes with an internal name")
     // rows with a NULL group key are excluded up front (they could never
     // reach the output — the per-group join is inner). Filtering HERE,
@@ -474,24 +479,19 @@ object TextAnalysis {
     val gt = pg.groupBy(col(groupCol)).agg(sum(col("tf")).as("tot_g"))
     val gl = pg.groupBy(col("term")).agg(sum(col("tf")).as("tf_all"))
     val qv = gl.crossJoin(broadcast(gl.agg(sum(col("tf_all")).as("tot_all"))))
-      .select(col("term"),
-        floor(lit(1000000L) * col("tf_all") / col("tot_all"))
-          .cast(LongType).as("q"))
+      .select(col("term"), expr("1000000 * tf_all div tot_all").as("q"))
     val qt = qv.agg(sum(col("q")).as("qtot"))
     pg.join(broadcast(gt), Seq(groupCol))
       .join(qv, Seq("term"))
       .select(col(groupCol),
-        floor(lit(1000000L) * col("tf") / col("tot_g"))
-          .cast(LongType).as("p"),
-        col("q"))
+        expr("1000000 * tf div tot_g").as("p"), col("q"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_terms"),
         sum(abs(col("p") - col("q"))).as("s_abs"), sum(col("q")).as("s_q"))
       .crossJoin(broadcast(qt))
       .join(broadcast(gt), Seq(groupCol))
       .select(col(groupCol), col("n_terms"), col("tot_g").as("n_toks"),
-        floor((col("s_abs") + col("qtot") - col("s_q")) / lit(2))
-          .cast(LongType).as("tv_q"))
+        expr("(s_abs + qtot - s_q) div 2").as("tv_q"))
   }
 }
 

@@ -199,7 +199,12 @@ object RequestService {
       reqId: String, reqVec: String,
       responseTable: String, checkpoint: String, minCosQ: Long,
       pruneHistory: Boolean = false,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    // once at start: empty seeds would silently answer ZERO rows per
+    // trigger (nothing assignable) — a gate that blackholes its stream
+    require(!seeds.isEmpty,
+      "semDedup gate started with an EMPTY seeds table — nothing can be " +
+      "assigned; rebuild the centroid table (see PrepareSemGate)")
     startService(requests, responseTable, checkpoint, trigger) { batch =>
       import org.apache.spark.sql.functions.col
       val h = if (!pruneHistory) history
@@ -209,6 +214,7 @@ object RequestService {
         }
       RequestResponse.semDedupProbe(batch, h, seeds, reqId, reqVec, minCosQ)
     }
+  }
 
   /**
    * Start the embedding-match service against a PRE-BUILT IVF index —

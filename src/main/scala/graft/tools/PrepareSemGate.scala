@@ -62,6 +62,10 @@ object PrepareSemGate {
         col("cn").as("sn"))
     seeds.write.mode("overwrite").parquet(s"$outDir/seeds")
     val frozenSeeds = spark.read.parquet(s"$outDir/seeds")
+    val nSeeds = frozenSeeds.count()
+    require(nSeeds > 0, s"seed sample came out EMPTY (nPages=$nPages, " +
+      s"seedMod=$seedMod over 48-bit hashed ids — expected ~nPages/seedMod " +
+      "seeds); rerun with a smaller seedMod")
     Similarity.semDedupAssigned(corpus, frozenSeeds, tau)
       .where(col("kept"))
       .select(col("corpus_id"), col("cv"), col("cn"), col("centroid"))
@@ -69,7 +73,8 @@ object PrepareSemGate {
       // partitioned by centroid: the serving probe prunes to its cells
       .partitionBy("centroid").parquet(s"$outDir/history")
     val n = spark.read.parquet(s"$outDir/history").count()
-    println(s"sem-gate artifacts in $outDir: $n kept vectors, dim=$dim, tau=$tau")
+    println(s"sem-gate artifacts in $outDir: $n kept vectors, " +
+      s"$nSeeds seeds, dim=$dim, tau=$tau")
     spark.stop()
   }
 }

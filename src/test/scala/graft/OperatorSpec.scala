@@ -274,6 +274,14 @@ class OperatorSpec extends SparkSpec {
       "url", "text", dim, tau)
     assert(out.columns.toSeq == batch.columns.toSeq)
     assert(out.exceptAll(batch).isEmpty)
+    // a zero-norm vector (no cosine defined) is deterministically
+    // ADMITTED via the zero-guarded cosine — one row out, no NaN crash
+    // under ANSI, cos_c/near_max at exactly 0
+    val zeroReq = Seq(("z", Array.fill(dim)(0.0f))).toDF("rid", "rv")
+    val zp = RequestResponse.semDedupProbe(zeroReq, history, seeds,
+      "rid", "rv", tau).collect()
+    assert(zp.length == 1 && zp(0).getAs[Boolean]("admit") &&
+      zp(0).getAs[Long]("cos_c") == 0L, zp.mkString)
   }
 
   test("brute-force topk: self is nearest when query is in corpus") {
