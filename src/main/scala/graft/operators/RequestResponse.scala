@@ -234,9 +234,10 @@ object RequestResponse {
    * (left-semi on the id). A row whose hashed vector cancels to exactly
    * zero is admitted — the zero-guarded cosine scores it 0 from
    * everything (it can neither claim nor be claimed), so no separate
-   * branch is needed and the featurization runs ONCE per row (a split
-   * plan would re-tokenize and re-hash every page per branch —
-   * measured 2× on the full-rate path).
+   * branch is needed and the featurization subtree appears ONCE in the
+   * plan (a zero-norm split branch would duplicate it — Catalyst does
+   * not share unmaterialized subplans; end-to-end the gate is
+   * join-bound, so the win is plan hygiene more than throughput).
    *
    * 100 TB shape: what broadcasts is the batch's hashed+assigned
    * vectors — at gate-sized `dim` (tens) a 10⁵-page trigger is a few
