@@ -2429,21 +2429,11 @@ object Queries {
     g AS (SELECT src_host, dst_host, count(*) AS n FROM e
       WHERE src_host <> dst_host GROUP BY 1, 2)"""
 
-  private val q79 = QueryDef("q79_outlink_graph",
-    (s, d) => LinkGraph.hostEdges(linkPages(s, d), "html", "host"),
-    Some(s"""WITH $linkEdgesSql
-      SELECT src_host, dst_host, cast(n AS BIGINT) AS n_links FROM g"""))
-
-  // integer-arithmetic PageRank (3 rounds, damping 0.85, micro-units) over
-  // the q79 edge list — every step BIGINT floor division, so the oracle
-  // replays the iterations digit-for-digit (same discipline as q54's
-  // integer idf). The '//'-vs-'div' pairing and the final BIGINT cast
-  // keep DuckDB's HUGEINT sums off the wire (the q58 lesson).
-  private val q80 = QueryDef("q80_host_pagerank",
-    (s, d) => LinkGraph.pagerankInt(
-      LinkGraph.hostEdges(linkPages(s, d), "html", "host"), iters = 3),
-    Some(s"""WITH $linkEdgesSql,
-      deg AS (SELECT src_host AS h, sum(n) AS d FROM g GROUP BY 1),
+  /** shared oracle CTE chain: q80's 3-round integer PageRank over `g` —
+    * used verbatim by q80 AND q83 so the two can never assert different
+    * arithmetic (same sharing discipline as [[linkEdgesSql]]). */
+  private val pagerankSql =
+    """deg AS (SELECT src_host AS h, sum(n) AS d FROM g GROUP BY 1),
       nodes AS (SELECT DISTINCT h FROM
         (SELECT src_host AS h FROM g UNION SELECT dst_host FROM g)),
       r0 AS (SELECT h, cast(1000000 AS BIGINT) AS r FROM nodes),
@@ -2464,7 +2454,23 @@ object Queries {
         JOIN deg ON g.src_host = deg.h GROUP BY 1),
       r3 AS (SELECT nodes.h,
           150000 + (850000 * coalesce(c3.c, 0)) // 1000000 AS r
-        FROM nodes LEFT JOIN c3 USING (h))
+        FROM nodes LEFT JOIN c3 USING (h))"""
+
+  private val q79 = QueryDef("q79_outlink_graph",
+    (s, d) => LinkGraph.hostEdges(linkPages(s, d), "html", "host"),
+    Some(s"""WITH $linkEdgesSql
+      SELECT src_host, dst_host, cast(n AS BIGINT) AS n_links FROM g"""))
+
+  // integer-arithmetic PageRank (3 rounds, damping 0.85, micro-units) over
+  // the q79 edge list — every step BIGINT floor division, so the oracle
+  // replays the iterations digit-for-digit (same discipline as q54's
+  // integer idf). The '//'-vs-'div' pairing and the final BIGINT cast
+  // keep DuckDB's HUGEINT sums off the wire (the q58 lesson).
+  private val q80 = QueryDef("q80_host_pagerank",
+    (s, d) => LinkGraph.pagerankInt(
+      LinkGraph.hostEdges(linkPages(s, d), "html", "host"), iters = 3),
+    Some(s"""WITH $linkEdgesSql,
+      $pagerankSql
       SELECT h AS host, cast(r AS BIGINT) AS rank_micro FROM r3"""))
 
   // the q79/q80 chain served off the INCREMENTALLY-maintained edge table:
@@ -2521,36 +2527,15 @@ object Queries {
       Components.keeperPerCluster(labels, Some(scores))
     },
     Some(s"""WITH $linkEdgesSql,
-      deg AS (SELECT src_host AS h, sum(n) AS d FROM g GROUP BY 1),
-      nodes AS (SELECT DISTINCT h FROM
-        (SELECT src_host AS h FROM g UNION SELECT dst_host FROM g)),
-      r0 AS (SELECT h, cast(1000000 AS BIGINT) AS r FROM nodes),
-      c1 AS (SELECT g.dst_host AS h, sum((r0.r * g.n) // deg.d) AS c
-        FROM g JOIN r0 ON g.src_host = r0.h
-        JOIN deg ON g.src_host = deg.h GROUP BY 1),
-      r1 AS (SELECT nodes.h,
-          150000 + (850000 * coalesce(c1.c, 0)) // 1000000 AS r
-        FROM nodes LEFT JOIN c1 USING (h)),
-      c2 AS (SELECT g.dst_host AS h, sum((r1.r * g.n) // deg.d) AS c
-        FROM g JOIN r1 ON g.src_host = r1.h
-        JOIN deg ON g.src_host = deg.h GROUP BY 1),
-      r2 AS (SELECT nodes.h,
-          150000 + (850000 * coalesce(c2.c, 0)) // 1000000 AS r
-        FROM nodes LEFT JOIN c2 USING (h)),
-      c3 AS (SELECT g.dst_host AS h, sum((r2.r * g.n) // deg.d) AS c
-        FROM g JOIN r2 ON g.src_host = r2.h
-        JOIN deg ON g.src_host = deg.h GROUP BY 1),
-      r3 AS (SELECT nodes.h,
-          150000 + (850000 * coalesce(c3.c, 0)) // 1000000 AS r
-        FROM nodes LEFT JOIN c3 USING (h)),
+      $pagerankSql,
       docs AS (SELECT doc_id,
           'h' || cast(doc_id % 50 AS VARCHAR) || '.example.com' AS host,
           md5(text) AS fp
         FROM documents),
       sc AS (SELECT d.doc_id, d.fp, r3.r AS score
-        FROM docs d JOIN r3 ON d.host = r3.h),
+        FROM docs d LEFT JOIN r3 ON d.host = r3.h),
       k AS (SELECT fp, doc_id, row_number() OVER
-          (PARTITION BY fp ORDER BY score DESC, doc_id ASC) AS rn
+          (PARTITION BY fp ORDER BY score DESC NULLS LAST, doc_id ASC) AS rn
         FROM sc)
       SELECT fp AS cluster_id, cast(doc_id AS BIGINT) AS keeper
       FROM k WHERE rn = 1"""))

@@ -132,7 +132,13 @@ object PagePipelineApp {
         // path (10⁴–10⁵ pages per trigger), so it uses rareTokenStats's
         // SHUFFLED lexicon join — rareTokenProbe's broadcast form is
         // sized for a handful of candidate docs per trigger, not this
-        val lexicon = spark.read.parquet(a("--oov-gate")).cache()
+        // re-summed per term so BOTH a single-build lexicon AND the
+        // epoch-PARTIAL table IndexMaintenance.lexiconCatchUp maintains
+        // serve correctly (serving the partial rows raw would join a
+        // term once per epoch and double-count — the exact failure the
+        // catchUp docs warn about); a no-op for already-folded tables
+        val lexicon = spark.read.parquet(a("--oov-gate"))
+          .groupBy(col("term")).agg(sum(col("tf")).as("tf")).cache()
         val maxRareQ = a.getOrElse("--oov-max", "500").toLong
         val gate = (b: org.apache.spark.sql.DataFrame) => {
           val keep = graft.operators.TextAnalysis.rareTokenStats(
@@ -154,7 +160,10 @@ object PagePipelineApp {
         // the CACHED counts — model-scale work, cheap next to the batch.
         // Length-gate semantics: pages with < 2 tokens are unscoreable
         // and FAIL the gate (scoreDocs emits no row for them).
-        val counts = spark.read.parquet(a("--lm-gate")).cache()
+        // re-summed per bigram for the same reason as --oov-gate: the
+        // lmModelCatchUp table is epoch-partial counts
+        val counts = spark.read.parquet(a("--lm-gate"))
+          .groupBy(col("bg")).agg(sum(col("c2")).as("c2")).cache()
         val minLmQ = a.getOrElse("--lm-min", "30000").toLong
         val gate = (b: org.apache.spark.sql.DataFrame) => {
           val keep = graft.operators.LanguageModel.scoreDocs(

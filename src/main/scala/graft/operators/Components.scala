@@ -148,7 +148,11 @@ object Components {
    * the highest-scoring member, ties broken by min id — fully
    * deterministic either way, so incremental label maintenance
    * ([[ccIncrement]]) followed by keeper selection equals batch
-   * (spec-asserted).
+   * (spec-asserted). Members ABSENT from `scores` rank below every
+   * scored member (LEFT join, nulls last), and a cluster with no scored
+   * member at all falls back to the min-id keeper — the one-keeper-per-
+   * cluster contract holds for every cluster, never silently dropping
+   * one (which would delete every copy of its content downstream).
    *
    * Returns `(cluster_id, keeper)`. Scale: labels are pair-graph-sized
    * (a sliver of the corpus); min-id keepers are one partial-aggregated
@@ -161,12 +165,12 @@ object Components {
       labels.groupBy($"cluster_id").agg(min($"id").as("keeper"))
     case Some(sc) =>
       val scored = labels.join(
-        sc.select($"id", $"score"), Seq("id"))
+        sc.select($"id", $"score"), Seq("id"), "left")
       scored
         .withColumn("__rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy($"cluster_id")
-            .orderBy($"score".desc, $"id".asc)))
+            .orderBy($"score".desc_nulls_last, $"id".asc)))
         .where($"__rn" === 1)
         .select($"cluster_id", $"id".as("keeper"))
   }

@@ -41,10 +41,14 @@ object LinkGraph {
     * (relative links need the base URL and resolution policy — callers
     * that want them resolve against their own url column first). The
     * pattern is RE2-portable (no lookaround, no backrefs) so a DuckDB
-    * oracle counts the same links. */
+    * oracle counts the same links. `href` must follow a delimiter —
+    * `(?:[^>]*\\s)?href=` — so an attribute merely ENDING in href
+    * (`data-xhref="…"`) cannot fabricate a phantom edge; a whitespace-
+    * embedded ` href=` inside a quoted attribute VALUE can still fool
+    * it (template-grade, documented). */
   def outlinkUrls(html: Column): Column =
     regexp_extract_all(html.cast(StringType),
-      lit("(?i)<a\\s[^>]*href=[\"'](https?://[^\"']+)[\"']"), lit(1))
+      lit("(?i)<a\\s(?:[^>]*\\s)?href=[\"'](https?://[^\"']+)[\"']"), lit(1))
 
   /** Registrable host of an absolute URL: authority lowercased, any
     * `:port` suffix and userinfo stripped — the aggregation key of a
@@ -75,7 +79,7 @@ object LinkGraph {
       .agg(count(lit(1)).as("n_links"))
 
   private val anchorPat =
-    "(?i)<a\\s[^>]*href=[\"'](https?://[^\"']+)[\"'][^>]*>([^<]*)</a>"
+    "(?i)<a\\s(?:[^>]*\\s)?href=[\"'](https?://[^\"']+)[\"'][^>]*>([^<]*)</a>"
 
   /**
    * Anchor-text index `(dst_host, anchor, n_links)` — what the web says
@@ -84,8 +88,14 @@ object LinkGraph {
    * classic link-based retrieval field — anchor terms describe the
    * target better than the target's own text — and a training-data
    * label source). Intra-host links are dropped (self-description is
-   * the page's own job); anchors are whitespace-trimmed, empty anchors
-   * (image links) kept as `''` so link mass is conserved vs [[hostEdges]].
+   * the page's own job); anchors are whitespace-trimmed, and empty
+   * anchors are kept as `''`. NOTE anchor link mass is a SUBSET of
+   * [[hostEdges]]' mass, not equal to it: the anchor group is `[^<]*`,
+   * so a link whose anchor contains nested markup (`<a href=…><img …>
+   * </a>`, `<b>bold</b>` anchors) contributes an edge but NO anchor row
+   * — reconciling the two tables shows a deficit equal to the nested-
+   * markup links (template-grade extraction, same contract as
+   * [[outlinkUrls]]).
    *
    * Extraction is two aligned `regexp_extract_all` passes over the page
    * bytes with the SAME pattern (group 1 = href, group 2 = anchor), so

@@ -206,6 +206,13 @@ object TrainingExport {
    */
   def epochOrder(packs: DataFrame, shardCol: String, keyCol: String,
       epoch: Long): DataFrame = {
+    // fail fast on reserved names (the repo-wide internal-name guard
+    // convention): withColumn would otherwise silently OVERWRITE a
+    // pre-existing `ord` — e.g. chaining a second epoch's order without
+    // renaming the first would clobber it, not error
+    require(!packs.columns.contains("ord") && !packs.columns.contains("__ehu"),
+      s"input already carries 'ord'/'__ehu' — rename the previous epoch's " +
+      "order column before deriving another")
     val w = Window.partitionBy(col(shardCol)).orderBy(col("__ehu"), col(keyCol))
     packs
       .withColumn("__ehu", Sampling.hashUniform48(

@@ -129,6 +129,15 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     // cluster 1: 2 and 3 tie at 90 -> min id 2; cluster 7: tie at 5 -> 7
     assert(got == Map(1L -> 2L, 7L -> 7L), got.toString)
+    // score coverage gaps never drop a cluster: a partially-scored
+    // cluster ranks scoreless members last; a fully-unscored cluster
+    // falls back to the min-id keeper (one keeper per cluster, ALWAYS)
+    val gappy = Seq((1L, 1L), (2L, 1L), (20L, 20L), (30L, 20L))
+      .toDF("id", "cluster_id")
+    val partial = Seq((2L, 5L)).toDF("id", "score") // 1, 20, 30 unscored
+    val g2 = Components.keeperPerCluster(gappy, Some(partial))
+      .as[(Long, Long)].collect().toMap
+    assert(g2 == Map(1L -> 2L, 20L -> 20L), g2.toString)
   }
 
   test("corpusToPacks transitive dedup: one gated member per cluster, gated-min survives") {
