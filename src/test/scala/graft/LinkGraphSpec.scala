@@ -15,6 +15,7 @@ class LinkGraphSpec extends SparkSpec {
         |<a href="/relative/skip">rel</a>
         |<a href="ftp://files.example.com/f">ftp</a>
         |<a name="anchor-no-href">none</a>
+        |<a data-xhref="https://phantom.example.com/x">suffix-attr, NOT a link</a>
         |</body></html>""".stripMargin
     val got = Seq(html).toDF("h")
       .select(LinkGraph.outlinkUrls(encode(col("h"), "UTF-8")).as("u"))
