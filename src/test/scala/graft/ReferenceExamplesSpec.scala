@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.examples.ReferenceExamples
+import graft.functions.ExtractHtmlText.extract_html_text
+import graft.operators.Windows
+import graft.sources.{PageGen, PageGenConfig}
+
+/**
+ * The nine reference example topologies (E1–E9), assembled through the
+ * fluent facade, run end-to-end on the deterministic page corpus — the
+ * program-level "switch and run" check on top of per-operator coverage.
+ */
+class ReferenceExamplesSpec extends SparkSpec {
+
+  private lazy val cfg = PageGenConfig(nPages = 1500, nHosts = 40)
+  private lazy val pages = PageGen.rawPages(spark, cfg).toDF()
+  private lazy val texts = pages
+    .withColumn("text", extract_html_text(col("html"))).drop("html")
+
+  test("E1 grayscale: normalized form + sliding viewer windows") {
+    val out = ReferenceExamples.e1Grayscale(pages)
+    assert(out.columns.toSet == Set("host", "n", "w_start", "w_end"))
+    // each page lands in exactly two 1h/30m windows
+    assert(out.agg(sum(col("n"))).head.getLong(0) == 2L * cfg.nPages)
+  }
+
+  test("E2 face detection: planted templates match their own pages first") {
+    val templates = texts.orderBy(col("url")).limit(2)
+      .select(col("url").as("template_url"), col("text").as("template_text"))
+    val out = ReferenceExamples.e2FaceDetection(spark, pages, templates)
+    val self = out.where(col("request_id") === col("doc_id"))
+      .select(col("request_id"), col("score_q"), col("rk"))
+      .collect()
+    assert(self.length == 2 &&
+      self.forall(r => r.getLong(1) == 1000L && r.getLong(2) == 1L), self.mkString(";"))
+  }
+
+  test("E3 multiple features: both branches reunited per url") {
+    val out = ReferenceExamples.e3MultipleFeatures(pages)
+    assert(out.columns.toSet == Set("url", "quality_q", "lang_pred"))
+    assert(out.count() == cfg.nPages &&
+      out.where(col("quality_q").isNull || col("lang_pred").isNull).isEmpty)
+  }
+
+  test("E4 sequential features: one pair per successor, deltas consistent") {
+    val out = ReferenceExamples.e4SequentialFeatures(pages)
+    val hosts = texts.select(col("host")).distinct().count()
+    assert(out.count() == cfg.nPages - hosts)
+    assert(out.where(col("flow") =!= col("len") - col("prev_len")).isEmpty)
+  }
+
+  test("E5 tiling: recombined tiles reproduce every page's text") {
+    val out = ReferenceExamples.e5Tiling(pages, nTiles = 4)
+    val bad = out.join(texts.select(col("url"), col("text")), Seq("url"))
+      .where(col("recombined_text") =!= col("text") || col("n_sections") =!= 4)
+    assert(out.count() == cfg.nPages && bad.isEmpty)
+  }
+
+  test("E6 group of frames: fixed-size groups per host cover the corpus") {
+    val out = ReferenceExamples.e6GroupOfFrames(pages, n = 4)
+    assert(out.agg(sum(col("n_rows"))).head.getLong(0) == cfg.nPages)
+    assert(out.where(col("n_rows") > 4).isEmpty)
+    // only the LAST batch of a host may be ragged
+    val ragged = out.groupBy(col("host"))
+      .agg(count(when(col("n_rows") < 4, 1)).as("partial"))
+    assert(ragged.where(col("partial") > 1).isEmpty)
+  }
+
+  test("E7 fetch+operate: one fused stage, zero exchanges, values right") {
+    val out = ReferenceExamples.e7FetchOperate(pages)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val direct = texts
+      .withColumn("quality_q", graft.operators.TextAnalysis.qualityScore(col("text")))
+      .withColumn("tokens", graft.operators.TextAnalysis.tokenCount(col("text")))
+    assert(out.select(col("url"), col("quality_q"), col("tokens"))
+      .exceptAll(direct.select(col("url"), col("quality_q"), col("tokens"))).isEmpty)
+  }
+
+  test("E8 background subtraction: chain equals the session-window plane") {
+    val out = ReferenceExamples.e8BackgroundSubtraction(pages)
+    val direct = Windows.session(texts, "warc_ts", "30 minutes", Seq(col("host")),
+      Seq(count(lit(1)).as("n_pages"), sum(length(col("text"))).as("chars")))
+    assert(out.count() > 0 && out.exceptAll(direct).isEmpty
+      && direct.exceptAll(out).isEmpty)
+  }
+
+  test("E9 contrast enhancement: per-page scalar in the per-mille range") {
+    val out = ReferenceExamples.e9ContrastEnhancement(pages)
+    assert(out.count() == cfg.nPages)
+    assert(out.where(col("enhanced_q") < 0 || col("enhanced_q") > 1000).isEmpty)
+  }
+}
