@@ -86,6 +86,33 @@ class ReferenceExamplesSpec extends SparkSpec {
       && direct.exceptAll(out).isEmpty)
   }
 
+  test("E7 chain runs unchanged on a stream (mode-agnostic facade)") {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.model.RawPage
+    val bounds = PageGen.hostBoundaries(cfg)
+    val rows = (0L until 60L).map { id =>
+      val g = PageGen.genPage(cfg, bounds, id)
+      RawPage(g.url, g.host, g.warc_ts, g.html)
+    }
+    val input = MemoryStream[RawPage](Encoders.product[RawPage], spark)
+    val q = ReferenceExamples.e7FetchOperate(input.toDF())
+      .writeStream.format("memory").queryName("e7_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(30)); q.processAllAvailable()
+      input.addData(rows.drop(30)); q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val got = spark.table("e7_stream")
+      .select(col("url"), col("quality_q"), col("tokens"))
+      .collect().map(_.toSeq).toSet
+    val want = ReferenceExamples.e7FetchOperate(rows.toDF())
+      .select(col("url"), col("quality_q"), col("tokens"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.size == 60)
+  }
+
   test("E9 contrast enhancement: per-page scalar in the per-mille range") {
     val out = ReferenceExamples.e9ContrastEnhancement(pages)
     assert(out.count() == cfg.nPages)
