@@ -59,13 +59,34 @@ final class GraftTopology private (
     new GraftTopology(d, stages :+ name)
   }
 
+  /** Synthesized labels (groupings, merge) are auto-numbered on repeat —
+   *  re-partitioning by the same key twice is a legal topology; only
+   *  USER-chosen stage ids are strictly unique. */
+  private def uniqueLabel(base: String): String =
+    if (!stages.contains(base)) base
+    else Iterator.from(2).map(i => s"$base#$i").find(!stages.contains(_)).get
+
+  /** Branch stage logs may share only their common PREFIX (the shared
+   *  lineage of a fan-out); any other collision is two different stages
+   *  under one name — rejected loudly, because the combined plan would
+   *  also carry colliding observation names. */
+  private def combineStages(other: GraftTopology): Vector[String] = {
+    val common = stages.zip(other.stages).takeWhile { case (a, b) => a == b }.length
+    val tail = other.stages.drop(common)
+    val clash = tail.filter(stages.contains)
+    require(clash.isEmpty,
+      s"branches reuse non-prefix stage name(s): ${clash.mkString(", ")}")
+    stages ++ tail
+  }
+
   /** `SingleInputBolt(op)` analog: one named transform stage. Adjacent
    *  `op` stages fuse into one codegen span — no per-hop cost. */
   def op(name: String)(f: DataFrame => DataFrame): GraftTopology =
     next(name, f(df))
 
   /** [[op]] plus a per-batch row counter accumulated inside the fused
-   *  plan (`Dataset.observe`) — the Storm UI per-bolt "executed" count.
+   *  plan (`Dataset.observe`) — the Storm UI per-bolt **emitted** count
+   *  (rows leaving the stage; a filter's survivors, not its input).
    *  Batch: read via `Observation`/`QueryExecutionListener`; streaming:
    *  `StreamingQueryProgress.observedMetrics(name)`. */
   def observed(name: String)(f: DataFrame => DataFrame): GraftTopology =
@@ -75,17 +96,17 @@ final class GraftTopology private (
    *  downstream same-key stages share one exchange (the planner reuses
    *  it). For a single aggregation this is a wasted shuffle — omit it
    *  and let Catalyst place the exchange. Hot-key inputs should use
-   *  `Windows.saltedAgg` instead (two-phase, the reference's
+   *  `SkewAgg.saltedAgg` instead (two-phase, the reference's
    *  fieldsGrouping hotspot fix). */
   def fieldsGrouping(first: String, rest: String*): GraftTopology =
-    next(s"fields:${(first +: rest).mkString(",")}",
+    next(uniqueLabel(s"fields:${(first +: rest).mkString(",")}"),
       df.repartition((first +: rest).map(col): _*))
 
   /** `shuffleGrouping` analog: round-robin rebalance to `n` partitions.
    *  Storm's default edge; here only worth an exchange when upstream
    *  splits are ragged or skewed (e.g. a few giant files). */
   def shuffleGrouping(n: Int): GraftTopology =
-    next(s"shuffle:$n", df.repartition(n))
+    next(uniqueLabel(s"shuffle:$n"), df.repartition(n))
 
   /** Small-dimension enrichment — the reference's allGrouping model
    *  distribution (`grouping` of model/metadata to every bolt instance):
@@ -101,18 +122,16 @@ final class GraftTopology private (
    *  join: apply watermarks upstream (see `PageStream.joinPagesWithMeta`
    *  for the house pattern). */
   def fanIn(name: String, other: GraftTopology, keys: Seq[String],
-      joinType: String = "inner"): GraftTopology = {
-    val merged = new GraftTopology(df,
-      stages ++ other.stages.filterNot(stages.contains))
-    merged.next(name, df.join(other.df, keys, joinType))
-  }
+      joinType: String = "inner"): GraftTopology =
+    new GraftTopology(df, combineStages(other))
+      .next(name, df.join(other.df, keys, joinType))
 
   /** Multi-edge subscription (a bolt subscribing to several upstreams):
    *  union by column NAME, so branch column order can differ. */
   def merge(other: GraftTopology): GraftTopology = {
-    val merged = new GraftTopology(df,
-      stages ++ other.stages.filterNot(stages.contains))
-    merged.next(s"merge:${other.stages.lastOption.getOrElse("branch")}",
+    val merged = new GraftTopology(df, combineStages(other))
+    merged.next(merged.uniqueLabel(
+      s"merge:${other.stages.lastOption.getOrElse("branch")}"),
       df.unionByName(other.df))
   }
 
@@ -158,6 +177,8 @@ object GraftTopology {
   /** `setSpout` analog: any batch or streaming DataFrame is a source —
    *  `spark.read.parquet`, `PageStream.fromRate`, `JsonlPages
    *  .streamPages`, a MemoryStream. One topology, either mode. */
-  def from(source: DataFrame, name: String = "source"): GraftTopology =
+  def from(source: DataFrame, name: String = "source"): GraftTopology = {
+    require(name.nonEmpty, "source stage name must be non-empty")
     new GraftTopology(source, Vector(name))
+  }
 }

@@ -73,10 +73,17 @@ object ReferenceExamples {
    *  `FeatureCombinerOp` reunite per frame. Here: quality and language
    *  branches, fan-in on url ([[GraftTopology.fanIn]]). */
   def e3MultipleFeatures(pages: DataFrame): DataFrame = {
+    // Both branches extend the SAME scaled topology (shared-prefix stage
+    // logs). Cost note: a self-join does not reuse shared lineage — the
+    // extraction stage evaluates once per branch (Storm fanned out
+    // materialized tuples; Spark re-runs lineage unless persisted). This
+    // keeps the example's SHAPE; the production form for same-row
+    // features is E7's single fused projection — both features in one
+    // pass, no join at all.
     val scaled = GraftTopology.from(pages, "scale_src").op("scale")(extracted)
     val quality = scaled.op("quality_branch")(
       _.select(col("url"), TextAnalysis.qualityScore(col("text")).as("quality_q")))
-    val lang = GraftTopology.from(scaled.build, "lang_src").op("lang_branch")(
+    val lang = scaled.op("lang_branch")(
       _.select(col("url"), TextAnalysis.langId(col("text")).as("lang_pred")))
     quality.fanIn("combiner", lang, Seq("url")).build
   }

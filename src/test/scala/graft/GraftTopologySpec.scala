@@ -95,6 +95,24 @@ class GraftTopologySpec extends SparkSpec {
     val t = GraftTopology.from(pages).op("extract")(extractStage)
     intercept[IllegalArgumentException] { t.op("extract")(identity) }
     intercept[IllegalArgumentException] { t.op("")(identity) }
+    intercept[IllegalArgumentException] { GraftTopology.from(pages, "") }
+  }
+
+  test("repeated groupings auto-number; branch logs share only their prefix") {
+    // re-partitioning by the same key twice is a legal topology
+    val twice = GraftTopology.from(pages)
+      .fieldsGrouping("host").op("a")(identity).fieldsGrouping("host")
+    assert(twice.stages == Vector("source", "fields:host", "a", "fields:host#2"))
+    // two branches off one topology share the prefix once in the fan-in log
+    val root = GraftTopology.from(pages).op("extract")(extractStage)
+    val b1 = root.op("q")(_.select(col("url"), length(col("text")).as("len1")))
+    val b2 = root.op("l")(_.select(col("url"), length(col("text")).as("len2")))
+    val joined = b1.fanIn("combine", b2, Seq("url"))
+    assert(joined.stages == Vector("source", "extract", "q", "l", "combine"))
+    // a NON-prefix name collision is two different stages under one name
+    val clash = root.op("x")(identity)
+      .op("q")(_.select(col("url"), length(col("text")).as("len3")))
+    intercept[IllegalArgumentException] { b1.fanIn("c2", clash, Seq("url")) }
   }
 
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
