@@ -108,6 +108,14 @@ final class GraftTopology private (
   def shuffleGrouping(n: Int): GraftTopology =
     next(uniqueLabel(s"shuffle:$n"), df.repartition(n))
 
+  /** Event-time watermark stage — the declaration Storm's TTL caches
+   *  made implicitly (`BatchInputBolt` History eviction): bounds state
+   *  and defines window finality for every downstream stateful stage.
+   *  No-op semantics on batch plans, so a chain with a watermark runs
+   *  unchanged in either mode. */
+  def watermark(tsCol: String, delay: String): GraftTopology =
+    next(uniqueLabel(s"watermark:$tsCol"), df.withWatermark(tsCol, delay))
+
   /** Small-dimension enrichment — the reference's allGrouping model
    *  distribution (`grouping` of model/metadata to every bolt instance):
    *  the dim is broadcast, the main stream never moves. */

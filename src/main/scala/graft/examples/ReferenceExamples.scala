@@ -38,14 +38,19 @@ object ReferenceExamples {
    *  sliding-window viewer. Grayscale collapses channels; the text
    *  analog collapses case/punctuation ([[TextAnalysis.fingerprint]]'s
    *  normal form). The viewer's sliding window of recent frames is the
-   *  1h/30m sliding count per host. */
-  def e1Grayscale(pages: DataFrame): DataFrame =
-    GraftTopology.from(pages)
+   *  1h/30m sliding count per host. The reference runs this topology on
+   *  a LIVE stream; pass `watermarkDelay` to run the identical chain on
+   *  a streaming source (append-mode window finality) — omitted, the
+   *  same chain is the batch mirror. */
+  def e1Grayscale(pages: DataFrame, watermarkDelay: Option[String] = None): DataFrame = {
+    val base = GraftTopology.from(pages)
       .op("scale")(extracted)
       .op("grayscale")(_.withColumn("gray", TextAnalysis.fingerprint(col("text"))))
+    watermarkDelay.fold(base)(d => base.watermark("warc_ts", d))
       .op("streamer")(d => Windows.sliding(d, "warc_ts", "1 hour", "30 minutes",
         Seq(col("host")), Seq(count(lit(1)).as("n"))))
       .build
+  }
 
   /** E2_FacedetectionTopology.java:46-66 — spout → HaarCascade face
    *  detect → ROI extraction → drawer. Detection-against-a-broadcast-

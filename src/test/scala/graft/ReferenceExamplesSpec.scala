@@ -86,6 +86,36 @@ class ReferenceExamplesSpec extends SparkSpec {
       && direct.exceptAll(out).isEmpty)
   }
 
+  test("E1 chain streams with a watermark stage; windows equal the batch mirror") {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.model.RawPage
+    val bounds = PageGen.hostBoundaries(cfg)
+    val rows = (0L until 80L).map { id =>
+      val g = PageGen.genPage(cfg, bounds, id)
+      RawPage(g.url, g.host, g.warc_ts, g.html)
+    }
+    val lastUs = rows.map(_.warc_ts.getTime).max
+    def flush(offsetH: Int) = RawPage("http://zz.flush/x", "zz.flush",
+      new java.sql.Timestamp(lastUs + offsetH * 3600L * 1000L), Array[Byte]())
+    val input = MemoryStream[RawPage](Encoders.product[RawPage], spark)
+    val q = ReferenceExamples.e1Grayscale(input.toDF(), Some("10 minutes"))
+      .writeStream.format("memory").queryName("e1_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(40)); q.processAllAvailable()
+      input.addData(rows.drop(40)); q.processAllAvailable()
+      input.addData(flush(3)); q.processAllAvailable()
+      input.addData(flush(6)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("e1_stream").where(col("host") =!= "zz.flush")
+      .collect().map(_.toSeq).toSet
+    import spark.implicits._
+    val want = ReferenceExamples.e1Grayscale(rows.toDF())
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("E7 chain runs unchanged on a stream (mode-agnostic facade)") {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
