@@ -163,7 +163,24 @@ final class GraftTopology private (
   def startSink(tableDir: String, checkpointDir: String,
       triggerSec: Int = 5, bucketBy: Option[(String, Int)] = None,
       statsCol: Option[String] = None,
-      perBatch: DataFrame => DataFrame = identity): StreamingQuery = {
+      perBatch: DataFrame => DataFrame = GraftTopology.IdentityBatch): StreamingQuery = {
+    // validate at start, not at the first micro-batch (the app's rule:
+    // an async unresolved-column death inside foreachBatch is the worst
+    // way to learn a stage dropped the routing column). A custom
+    // perBatch may change the schema before the sink, so the column
+    // checks only apply when rows go to the sink as-is.
+    bucketBy.foreach { case (_, n) =>
+      require(n > 0, s"bucketBy needs a positive bucket count, got $n") }
+    if (perBatch eq GraftTopology.IdentityBatch) {
+      bucketBy.foreach { case (route, _) =>
+        require(df.columns.contains(route),
+          s"bucketBy route column '$route' is not a topology output column " +
+            s"(writes: ${df.columns.mkString(", ")})")
+      }
+      statsCol.foreach(c => require(df.columns.contains(c),
+        s"statsCol '$c' is not a topology output column " +
+          s"(writes: ${df.columns.mkString(", ")})"))
+    }
     val bucketColName = bucketBy.map { case (route, _) => s"${route}_bucket" }
     val sink = new ExactlyOnceSink(tableDir, bucketColName, statsCol)
     def withBucket(d: DataFrame): DataFrame = bucketBy match {
@@ -182,6 +199,11 @@ final class GraftTopology private (
 }
 
 object GraftTopology {
+  /** The default no-op per-batch transform; startSink's build-time
+   *  column checks apply only when this default is in use (a custom
+   *  perBatch may reshape rows before the sink). */
+  val IdentityBatch: DataFrame => DataFrame = identity
+
   /** `setSpout` analog: any batch or streaming DataFrame is a source —
    *  `spark.read.parquet`, `PageStream.fromRate`, `JsonlPages
    *  .streamPages`, a MemoryStream. One topology, either mode. */

@@ -65,6 +65,16 @@ object PagePipelineApp {
     val nearDup = args.contains("--near-dup")
     val prep = args.contains("--prep")
     val linkGraph = args.contains("--link-graph")
+    // modes are mutually exclusive — the mode chain below would otherwise
+    // resolve a conflict silently by if/else order (e.g. --near-dup
+    // --oov-gate would run the gate and silently skip dedup)
+    val pickedModes = Seq("--join-meta" -> joinMeta, "--near-dup" -> nearDup,
+      "--prep" -> prep, "--link-graph" -> linkGraph,
+      "--oov-gate" -> a.contains("--oov-gate"),
+      "--lm-gate" -> a.contains("--lm-gate"),
+      "--sem-gate" -> a.contains("--sem-gate")).collect { case (n, true) => n }
+    if (pickedModes.length > 1)
+      sys.error(s"pipeline modes are mutually exclusive, got: ${pickedModes.mkString(" ")}")
 
     val builder = SparkSession.builder()
       .appName("graft-page-pipeline")
@@ -205,6 +215,14 @@ object PagePipelineApp {
         if (seedDims.head.getInt(0) != dim)
           sys.error(s"--sem-dim $dim does not match the artifacts' " +
             s"dimension ${seedDims.head.getInt(0)} ($gateDir/seeds)")
+        // the history table must agree too: a seeds/history dim mismatch
+        // (artifacts rebuilt at a different dim) would pass the seeds
+        // check yet still truncate every history dot product. An EMPTY
+        // history is legal (cold-start gate: nothing kept yet).
+        val histDims = history.select(size(col("cv"))).limit(1).collect()
+        if (histDims.nonEmpty && histDims.head.getInt(0) != dim)
+          sys.error(s"--sem-dim $dim does not match the history table's " +
+            s"dimension ${histDims.head.getInt(0)} ($gateDir/history)")
         val gate = (b: org.apache.spark.sql.DataFrame) =>
           graft.operators.RequestResponse.semDedupGateKeep(
             b, history, semSeeds, "url", "text", dim, tau)

@@ -24,8 +24,19 @@ import graft.operators.{TextAnalysis, Topology, Windows}
  * DataFrame so callers pick the sink (`build` semantics), exactly like
  * the examples' last bolt fed `MjpegStreamingOp` or `DrawFeaturesOp`.
  *
- * Each function takes the raw pages table `(url, host, warc_ts, html)` —
- * batch or streaming, the chains are mode-agnostic except where noted.
+ * Each function takes the raw pages table `(url, host, warc_ts, html)`.
+ * Mode: [[e1Grayscale]] (with `watermarkDelay`) and [[e7FetchOperate]]
+ * run unchanged on a streaming source (both spec'd);
+ * [[e9ContrastEnhancement]] is stateless and streams the same way;
+ * [[e8BackgroundSubtraction]]'s
+ * streaming twin is the `Sessionize` plane (identical output, spec'd
+ * there). The remaining chains use batch-only constructs in this form —
+ * `lag`/`row_number` ordered windows (e4, e6), unwatermarked
+ * groupBy-merge (e5), and multi-step aggregation (e2, e3's fan-in of
+ * aggregated branches would need watermarked join bounds) — exactly the
+ * shapes the engine's streaming plane re-expresses with
+ * `flatMapGroupsWithState` state (`Sessionize`, `PatternDetect`,
+ * `StreamDedup`) when they must run unbounded.
  */
 object ReferenceExamples {
 

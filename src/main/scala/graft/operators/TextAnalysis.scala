@@ -343,9 +343,13 @@ object TextAnalysis {
   /**
    * Feature-hashed unigram vector — the "hashing trick" (Weinberger et
    * al. 2009): each whitespace token lands in bucket `hash48(token) mod
-   * dim` with a ±1 sign drawn from an independent bit of the same hash
-   * (bit 20 — disjoint from the bucket bits for every `dim ≤ 2^20`),
-   * summed with multiplicity. Returns `(id, tf_vec: array<long>)`, one
+   * dim` with a ±1 sign drawn from bit 20 of the same hash, summed with
+   * multiplicity. For power-of-two dims the sign bit is exactly
+   * disjoint from the bucket bits (bucket = low `log2 dim` bits); for
+   * other dims `mod dim` mixes all hash bits, so sign and bucket are
+   * merely hash-decorrelated, not structurally independent — use a
+   * power-of-two dim where the Weinberger unbiasedness argument is
+   * wanted verbatim (every in-repo caller does: 32/64). Returns `(id, tf_vec: array<long>)`, one
    * row per doc (NULL text = blank text, like [[wordArray]]); cast to
    * `array<float>` to feed the [[Similarity]] / SemDeDup planes — this
    * is the deterministic featurizer that makes the semantic plane

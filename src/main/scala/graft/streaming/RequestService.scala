@@ -193,6 +193,16 @@ object RequestService {
    * the literal every trigger reads the full corpus-scale listing. Skip
    * it for an unpartitioned or cached history, or full-rate batches
    * whose cells cover the table.
+   *
+   * Cost accounting for `pruneHistory`: the row-local request
+   * assignment runs twice per trigger — once (with a collect) to learn
+   * the cells, once inside the probe — because reusing one assignment
+   * across the collect and the probe would need a per-trigger persist
+   * inside foreachBatch. That doubles only the tiny broadcast side
+   * (|batch| × |seeds| dot products); the thing being bought is the
+   * pruning of the corpus-scale history READ. For gate-sized request
+   * batches the trade is strongly favorable; for full-rate batches it
+   * is one more reason to skip the flag (above).
    */
   def startSemDedupGate(spark: SparkSession, requests: DataFrame,
       history: DataFrame, seeds: DataFrame,
