@@ -136,6 +136,24 @@ class GraftTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startSink rejects unknown bucket/stats columns at start, not mid-stream") {
+    val input = MemoryStream[PageLite](Encoders.product[PageLite], spark)
+    val topo = GraftTopology.from(input.toDF(), "mem_src")
+      .op("narrow")(_.select(col("host"), col("text_len")))
+    intercept[IllegalArgumentException] {
+      topo.startSink("/tmp/never-created", "/tmp/never-created-cp",
+        bucketBy = Some(("warc_ts", 8)))
+    }
+    intercept[IllegalArgumentException] {
+      topo.startSink("/tmp/never-created", "/tmp/never-created-cp",
+        statsCol = Some("warc_ts"))
+    }
+    intercept[IllegalArgumentException] {
+      topo.startSink("/tmp/never-created", "/tmp/never-created-cp",
+        bucketBy = Some(("host", 0)))
+    }
+  }
+
   test("startSink runs the topology into the exactly-once table") {
     val table = Files.createTempDirectory("topo-sink").toString
     val cp = Files.createTempDirectory("topo-cp").toString
