@@ -137,13 +137,31 @@ object ReferenceExamples {
       .build
 
   /** E6_GroupOfFramesTopology.java:60-84 — frames are grouped into
-   *  `GroupOfFrames` of fixed size for the group-wise optical flow:
-   *  [[Topology.groupN]] per host in event-time order. */
+   *  `GroupOfFrames` of fixed size and the optical flow runs GROUP-wise
+   *  (`OpticalFlowOp` over each `GroupOfFrames`): [[Topology.groupN]]
+   *  per host in event-time order, then the within-group flow — summed
+   *  successive length deltas — computed row-locally over each packed
+   *  group with array HOFs (no second shuffle: the group rows are
+   *  already assembled). */
   def e6GroupOfFrames(pages: DataFrame, n: Int = 4): DataFrame =
     GraftTopology.from(pages)
       .op("scale")(extracted)
+      // ts leads the payload struct: collect_list order is unspecified,
+      // so the flow stage array_sorts each group by (ts, url) first —
+      // the same explicit-ordering rule recombine applies to tiles
       .op("grouper")(d => Topology.groupN(d, "host", "warc_ts",
-        struct(col("url"), length(col("text")).as("len")), n))
+        struct(col("warc_ts").as("ts"), col("url"),
+          length(col("text")).as("len")), n))
+      .op("optical_flow")(d => d
+        .withColumn("_sorted", array_sort(col("group")))
+        .withColumn("flow_sum",
+          aggregate(
+            zip_with(
+              slice(col("_sorted"), lit(1), size(col("_sorted")) - 1),
+              slice(col("_sorted"), lit(2), size(col("_sorted")) - 1),
+              (a, b) => abs(b.getField("len") - a.getField("len"))),
+            lit(0L), (acc, x) => acc + x))
+        .drop("_sorted"))
       .build
 
   /** E7_FetchOperateCombiTopology.java:51-63 — `FetchAndOperateFetcher`

@@ -66,6 +66,19 @@ class ReferenceExamplesSpec extends SparkSpec {
     val ragged = out.groupBy(col("host"))
       .agg(count(when(col("n_rows") < 4, 1)).as("partial"))
     assert(ragged.where(col("partial") > 1).isEmpty)
+    // group-wise flow equals an independent explode + lag recomputation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host"), col("batch_id"))
+      .orderBy(col("g.ts"), col("g.url"))
+    val ref = out.select(col("host"), col("batch_id"), explode(col("group")).as("g"))
+      .withColumn("prev", lag(col("g.len"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("host"), col("batch_id"))
+      .agg(sum(abs(col("g.len") - col("prev"))).as("ref_flow"))
+    val bad = out.join(ref, Seq("host", "batch_id"), "left")
+      .where(col("flow_sum") =!= coalesce(col("ref_flow"), lit(0L)))
+    assert(bad.isEmpty)
+    assert(out.where(col("n_rows") === 1 && col("flow_sum") =!= 0).isEmpty)
   }
 
   test("E7 fetch+operate: one fused stage, zero exchanges, values right") {
