@@ -31,7 +31,8 @@ import graft.operators.{TextAnalysis, Topology, Windows}
  * [[e8BackgroundSubtraction]]'s
  * streaming twin is the `Sessionize` plane (identical output, spec'd
  * there). The remaining chains use batch-only constructs in this form —
- * `lag`/`row_number` ordered windows (e4, e6), unwatermarked
+ * `lag`/`row_number` ordered windows (e4 — whose streaming twin is
+ * `graft.streaming.SequentialPairs` — and e6), unwatermarked
  * groupBy-merge (e5), and multi-step aggregation (e2, e3's fan-in of
  * aggregated branches would need watermarked join bounds) — exactly the
  * shapes the engine's streaming plane re-expresses with
@@ -107,7 +108,10 @@ object ReferenceExamples {
   /** E4_SequentialFeaturesTopology.java:59-77 — `SequentialFrameOp`
    *  pairs each frame with its predecessor for sequential features.
    *  Successor pairing per host in event-time order via `lag` (the
-   *  q09/q14 OpticalFlow mapping), emitting the inter-page deltas. */
+   *  q09/q14 OpticalFlow mapping), emitting the inter-page deltas.
+   *  Streaming twin: `graft.streaming.SequentialPairs.pairs` — the same
+   *  pairing watermark-final on an unbounded stream (spec'd ≡ this lag
+   *  mirror). */
   def e4SequentialFeatures(pages: DataFrame): DataFrame =
     GraftTopology.from(pages)
       .op("scale")(extracted)
