@@ -108,6 +108,17 @@ final class GraftTopology private (
   def shuffleGrouping(n: Int): GraftTopology =
     next(uniqueLabel(s"shuffle:$n"), df.repartition(n))
 
+  /** [[observed]] for BATCH topologies wanting the counter
+   *  synchronously: attach a caller-owned `Observation` — after the
+   *  first action on the built plan, `obs.get("rows")` returns the
+   *  stage's emitted count without any listener plumbing. (Streaming
+   *  chains use [[observed]]: Observation does not support streaming
+   *  Datasets.) */
+  def observedWith(obs: org.apache.spark.sql.Observation)(
+      f: DataFrame => DataFrame): GraftTopology =
+    next(uniqueLabel(s"observed:${obs.name}"),
+      f(df).observe(obs, count(lit(1)).as("rows")))
+
   /** Event-time watermark stage — the declaration Storm's TTL caches
    *  made implicitly (`BatchInputBolt` History eviction): bounds state
    *  and defines window finality for every downstream stateful stage.

@@ -71,7 +71,10 @@ object ReferenceExamples {
    *  both sides key by `xxhash64(url)` — the house numeric-id bridge for
    *  string-keyed corpora. `templates` needs (template_url,
    *  template_text); output rows are (request_id, doc_id, score_q, rk)
-   *  over those hashes. */
+   *  over those hashes. Streaming twin: the long-running DRPC service
+   *  (`RequestService.startTextMatch` / `startIndexedTextMatch` — the
+   *  q33/q52 serving plane), which runs this exact match per request
+   *  micro-batch with exactly-once responses. */
   def e2FaceDetection(spark: SparkSession, pages: DataFrame,
       templates: DataFrame, minScoreQ: Long = 500L): DataFrame =
     GraftTopology.from(pages)

@@ -136,6 +136,16 @@ class GraftTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observedWith surfaces a batch stage's emitted count synchronously") {
+    val obs = org.apache.spark.sql.Observation("gate_obs")
+    val topo = GraftTopology.from(pages)
+      .op("extract")(extractStage)
+      .observedWith(obs)(_.where(length(col("text")) > 50))
+    assert(topo.stages.last == "observed:gate_obs")
+    val total = topo.build.count()
+    assert(obs.get("rows").asInstanceOf[Long] == total && total > 0)
+  }
+
   test("startSink rejects unknown bucket/stats columns at start, not mid-stream") {
     val input = MemoryStream[PageLite](Encoders.product[PageLite], spark)
     val topo = GraftTopology.from(input.toDF(), "mem_src")
