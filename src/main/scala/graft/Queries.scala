@@ -3056,6 +3056,63 @@ object Queries {
             h -> ((h // 1048576) % 2) * 2 - 1)), 0) AS BIGINT)) AS tf_vec
       FROM hv"""))
 
+  // BPE tokenizer-training plane (Bpe.scala): q96 is the learn loop's
+  // inner pair-count step at round 0 (raw chars, freq-weighted) — the
+  // oracle rebuilds it from substr pairs; the learn LOOP itself is
+  // spec-verified against an in-spec reference implementation (BpeSpec,
+  // argmax-per-round not SQL-expressible without recursive aggregates).
+  private val q96 = QueryDef("q96_bpe_pair_counts",
+    (s, d) => {
+      val wf = Bpe.wordFreqs(rd(s, d, "documents"), "text")
+      Bpe.pairCounts(
+        wf.select(Bpe.render(col("word")).as("r"), col("freq")), "r", "freq")
+    },
+    Some("""WITH w AS (SELECT word, cast(count(*) AS BIGINT) AS f FROM
+        (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+         FROM documents) WHERE word <> '' GROUP BY 1),
+      p AS (SELECT substr(w.word, i, 1) AS a, substr(w.word, i + 1, 1) AS b,
+          w.f FROM w, unnest(generate_series(1, length(w.word) - 1)) AS u(i))
+      SELECT a, b, cast(sum(f) AS BIGINT) AS cnt FROM p GROUP BY 1, 2"""))
+
+  // BPE application via the codegen'd BpeEncode expression (the
+  // vocab-scale encoder) under a fixed 5-merge table that exercises
+  // recursive merges (so→rt needs both parents) — the oracle is the
+  // replace-chain twin (Bpe.encodeChain) rebuilt verbatim in SQL on the
+  // U+0001-rendered form; expression ≡ chain is additionally
+  // fuzz-asserted in BpeSpec.
+  private val bpeStaticMerges = Seq(
+    Bpe.Merge("s", "o", 0L, 0), Bpe.Merge("r", "t", 0L, 1),
+    Bpe.Merge("so", "rt", 0L, 2), Bpe.Merge("e", "r", 0L, 3),
+    Bpe.Merge("o", "r", 0L, 4))
+  private val q97 = QueryDef("q97_bpe_encode",
+    (s, d) => rd(s, d, "documents")
+      .select(col("doc_id"),
+        Bpe.encode(coalesce(col("text"), lit("")), bpeStaticMerges).as("enc"))
+      .select(col("doc_id"),
+        when(col("enc") === "", 0L)
+          .otherwise(size(split(col("enc"), " ")).cast(LongType)).as("n_toks"),
+        md5(col("enc").cast(BinaryType)).as("enc_md5")),
+    Some("""WITH n AS (SELECT doc_id,
+        trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+        FROM documents),
+      r0 AS (SELECT doc_id,
+        regexp_replace(t, '(\S)', chr(1) || '\1' || chr(1), 'g') AS s FROM n),
+      r1 AS (SELECT doc_id, replace(s,
+        chr(1)||'s'||chr(1)||chr(1)||'o'||chr(1), chr(1)||'so'||chr(1)) AS s FROM r0),
+      r2 AS (SELECT doc_id, replace(s,
+        chr(1)||'r'||chr(1)||chr(1)||'t'||chr(1), chr(1)||'rt'||chr(1)) AS s FROM r1),
+      r3 AS (SELECT doc_id, replace(s,
+        chr(1)||'so'||chr(1)||chr(1)||'rt'||chr(1), chr(1)||'sort'||chr(1)) AS s FROM r2),
+      r4 AS (SELECT doc_id, replace(s,
+        chr(1)||'e'||chr(1)||chr(1)||'r'||chr(1), chr(1)||'er'||chr(1)) AS s FROM r3),
+      r5 AS (SELECT doc_id, replace(s,
+        chr(1)||'o'||chr(1)||chr(1)||'r'||chr(1), chr(1)||'or'||chr(1)) AS s FROM r4),
+      f AS (SELECT doc_id,
+        replace(replace(s, chr(1)||chr(1), ' '), chr(1), '') AS enc FROM r5)
+      SELECT doc_id, CASE WHEN enc = '' THEN 0
+        ELSE cast(len(string_split(enc, ' ')) AS BIGINT) END AS n_toks,
+        md5(enc) AS enc_md5 FROM f"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3063,5 +3120,5 @@ object Queries {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
 }
