@@ -3113,6 +3113,63 @@ object Queries {
         ELSE cast(len(string_split(enc, ' ')) AS BIGINT) END AS n_toks,
         md5(enc) AS enc_md5 FROM f"""))
 
+  // tokenizer-aware packing: the q64 export layout driven by BPE token
+  // counts instead of whitespace counts — the composition a real
+  // training export runs (the learned tokenizer defines the budget).
+  // Oracle = q97's replace chain (token counts) composed into q64's
+  // shard/pack windows, digit-for-digit.
+  private val q98 = QueryDef("q98_bpe_packing",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+        .select(col("doc_id"),
+          Bpe.encode(coalesce(col("text"), lit("")), bpeStaticMerges).as("enc"))
+        .select(col("doc_id"),
+          when(col("enc") === "", 0L)
+            .otherwise(size(split(col("enc"), " ")).cast(LongType)).as("toks"))
+      Sampling.packByTokenBudget(docs, "doc_id", "toks",
+          budget = 256L, nShards = 4)
+        .groupBy(col("shard"), col("pack"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("pack_tokens"),
+          min(col("pack_off")).as("first_off"))
+    },
+    Some("""WITH n AS (SELECT doc_id,
+        trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+        FROM documents),
+      r0 AS (SELECT doc_id,
+        regexp_replace(t, '(\S)', chr(1) || '\1' || chr(1), 'g') AS s FROM n),
+      r1 AS (SELECT doc_id, replace(s,
+        chr(1)||'s'||chr(1)||chr(1)||'o'||chr(1), chr(1)||'so'||chr(1)) AS s FROM r0),
+      r2 AS (SELECT doc_id, replace(s,
+        chr(1)||'r'||chr(1)||chr(1)||'t'||chr(1), chr(1)||'rt'||chr(1)) AS s FROM r1),
+      r3 AS (SELECT doc_id, replace(s,
+        chr(1)||'so'||chr(1)||chr(1)||'rt'||chr(1), chr(1)||'sort'||chr(1)) AS s FROM r2),
+      r4 AS (SELECT doc_id, replace(s,
+        chr(1)||'e'||chr(1)||chr(1)||'r'||chr(1), chr(1)||'er'||chr(1)) AS s FROM r3),
+      r5 AS (SELECT doc_id, replace(s,
+        chr(1)||'o'||chr(1)||chr(1)||'r'||chr(1), chr(1)||'or'||chr(1)) AS s FROM r4),
+      e AS (SELECT doc_id,
+        replace(replace(s, chr(1)||chr(1), ' '), chr(1), '') AS enc FROM r5),
+      h AS (SELECT doc_id,
+        CASE WHEN enc = '' THEN 0
+          ELSE cast(len(string_split(enc, ' ')) AS BIGINT) END AS toks,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) AS hu
+        FROM e),
+      s AS (SELECT doc_id, toks, cast(hu % 4 AS BIGINT) AS shard,
+        row_number() OVER (PARTITION BY hu % 4 ORDER BY hu ASC, doc_id ASC) AS pos
+      FROM h),
+      c AS (SELECT shard, toks,
+        coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY pos ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM s)
+      SELECT shard, cast(cb // 256 AS BIGINT) AS pack, count(*) AS n_docs,
+        cast(sum(toks) AS BIGINT) AS pack_tokens,
+        cast(min(cb % 256) AS BIGINT) AS first_off
+      FROM c GROUP BY shard, cb // 256"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3120,5 +3177,6 @@ object Queries {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
+    q98)
 }

@@ -160,6 +160,24 @@ object Bpe {
       lit(Sep), lit(""))
   }
 
+  /** The merge list as a persistable model table `(rank, a, b, count)` —
+    * the artifact a training pipeline writes once after [[learn]] and
+    * every encode job loads. */
+  def mergesDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.a, m.b, m.count)).toDF("rank", "a", "b", "count")
+  }
+
+  /** Load a persisted merge table back into application order. The
+    * artifact is model-sized (≤ vocab rows), so the collect here is the
+    * same tiny model-load every encode job pays once. */
+  def mergesFrom(df: DataFrame): Seq[Merge] =
+    df.select(col("rank").cast(IntegerType), col("a"), col("b"),
+        col("count").cast(LongType))
+      .orderBy(col("rank").asc).collect().toSeq
+      .map(r => Merge(r.getString(1), r.getString(2), r.getLong(3), r.getInt(0)))
+
   /** Vocab-scale encoder: tokens of `text` under `merges`, space-joined
     * (tokens never contain spaces), via the codegen'd [[BpeEncode]]
     * expression — value-identical to [[encodeChain]] (spec-asserted,

@@ -184,6 +184,15 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("merge table round-trips through its persistable DataFrame form") {
+    val wf = Bpe.wordFreqs(docsDf(corpus), "text")
+    val merges = Bpe.learn(wf, "word", "freq", 6)
+    assert(merges.nonEmpty)
+    val back = Bpe.mergesFrom(Bpe.mergesDf(spark, merges)
+      .orderBy(rand(7))) // storage order must not matter
+    assert(back === merges)
+  }
+
   test("BpeEncode is null-intolerant and type-checked") {
     val merges = Seq(Merge("a", "b", 0L, 0))
     val s = spark

@@ -280,6 +280,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian leaked in:\n$p")
   }
 
+  test("BPE: wordFreqs partial-aggregates map-side; encode is one codegen'd projection") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val pWf = plan(Bpe.wordFreqs(docs, "text"))
+    // the corpus-scale count must combine map-side: partial+final pair
+    val aggs = pWf.split("HashAggregate").length - 1
+    assert(aggs >= 2, s"wordFreqs lost its partial aggregate:\n$pWf")
+    // encoding is a row-local projection INSIDE whole-stage codegen
+    // (no exchange, no interpreted fallback) — the scan and the
+    // bpe_encode projection share one codegen span
+    val merges = Seq(Bpe.Merge("s", "o", 0L, 0), Bpe.Merge("r", "t", 0L, 1))
+    val pEnc = plan(docs.select($"doc_id", Bpe.encode($"text", merges).as("enc")))
+    assert(pEnc.linesIterator.exists(l =>
+        l.contains("bpe_encode") && l.contains("*(")),
+      s"bpe_encode not in a codegen span:\n$pEnc")
+    assert(!pEnc.contains("Exchange"), s"encode projection shuffles:\n$pEnc")
+  }
+
   test("epochDrift: one tokenize pass (token exchange reused), totals broadcast") {
     import spark.implicits._
     // AQE off so static exchange reuse is visible in the plan string
