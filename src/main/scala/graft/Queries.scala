@@ -3084,15 +3084,10 @@ object Queries {
     Bpe.Merge("s", "o", 0L, 0), Bpe.Merge("r", "t", 0L, 1),
     Bpe.Merge("so", "rt", 0L, 2), Bpe.Merge("e", "r", 0L, 3),
     Bpe.Merge("o", "r", 0L, 4))
-  private val q97 = QueryDef("q97_bpe_encode",
-    (s, d) => rd(s, d, "documents")
-      .select(col("doc_id"),
-        Bpe.encode(coalesce(col("text"), lit("")), bpeStaticMerges).as("enc"))
-      .select(col("doc_id"),
-        when(col("enc") === "", 0L)
-          .otherwise(size(split(col("enc"), " ")).cast(LongType)).as("n_toks"),
-        md5(col("enc").cast(BinaryType)).as("enc_md5")),
-    Some("""WITH n AS (SELECT doc_id,
+  // q97/q98's shared oracle chain: the U+0001-rendered replace chain of
+  // bpeStaticMerges (Bpe.encodeChain rebuilt verbatim), ending in CTE
+  // `bpe(doc_id, enc)`.
+  private val bpeChainCtes = """n AS (SELECT doc_id,
         trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
         FROM documents),
       r0 AS (SELECT doc_id,
@@ -3107,11 +3102,21 @@ object Queries {
         chr(1)||'e'||chr(1)||chr(1)||'r'||chr(1), chr(1)||'er'||chr(1)) AS s FROM r3),
       r5 AS (SELECT doc_id, replace(s,
         chr(1)||'o'||chr(1)||chr(1)||'r'||chr(1), chr(1)||'or'||chr(1)) AS s FROM r4),
-      f AS (SELECT doc_id,
-        replace(replace(s, chr(1)||chr(1), ' '), chr(1), '') AS enc FROM r5)
+      bpe AS (SELECT doc_id,
+        replace(replace(s, chr(1)||chr(1), ' '), chr(1), '') AS enc FROM r5)"""
+
+  private val q97 = QueryDef("q97_bpe_encode",
+    (s, d) => rd(s, d, "documents")
+      .select(col("doc_id"),
+        Bpe.encode(coalesce(col("text"), lit("")), bpeStaticMerges).as("enc"))
+      .select(col("doc_id"),
+        when(col("enc") === "", 0L)
+          .otherwise(size(split(col("enc"), " ")).cast(LongType)).as("n_toks"),
+        md5(col("enc").cast(BinaryType)).as("enc_md5")),
+    Some(s"""WITH $bpeChainCtes
       SELECT doc_id, CASE WHEN enc = '' THEN 0
         ELSE cast(len(string_split(enc, ' ')) AS BIGINT) END AS n_toks,
-        md5(enc) AS enc_md5 FROM f"""))
+        md5(enc) AS enc_md5 FROM bpe"""))
 
   // tokenizer-aware packing: the q64 export layout driven by BPE token
   // counts instead of whitespace counts — the composition a real
@@ -3132,23 +3137,7 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("pack_tokens"),
           min(col("pack_off")).as("first_off"))
     },
-    Some("""WITH n AS (SELECT doc_id,
-        trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
-        FROM documents),
-      r0 AS (SELECT doc_id,
-        regexp_replace(t, '(\S)', chr(1) || '\1' || chr(1), 'g') AS s FROM n),
-      r1 AS (SELECT doc_id, replace(s,
-        chr(1)||'s'||chr(1)||chr(1)||'o'||chr(1), chr(1)||'so'||chr(1)) AS s FROM r0),
-      r2 AS (SELECT doc_id, replace(s,
-        chr(1)||'r'||chr(1)||chr(1)||'t'||chr(1), chr(1)||'rt'||chr(1)) AS s FROM r1),
-      r3 AS (SELECT doc_id, replace(s,
-        chr(1)||'so'||chr(1)||chr(1)||'rt'||chr(1), chr(1)||'sort'||chr(1)) AS s FROM r2),
-      r4 AS (SELECT doc_id, replace(s,
-        chr(1)||'e'||chr(1)||chr(1)||'r'||chr(1), chr(1)||'er'||chr(1)) AS s FROM r3),
-      r5 AS (SELECT doc_id, replace(s,
-        chr(1)||'o'||chr(1)||chr(1)||'r'||chr(1), chr(1)||'or'||chr(1)) AS s FROM r4),
-      e AS (SELECT doc_id,
-        replace(replace(s, chr(1)||chr(1), ' '), chr(1), '') AS enc FROM r5),
+    Some(s"""WITH $bpeChainCtes,
       h AS (SELECT doc_id,
         CASE WHEN enc = '' THEN 0
           ELSE cast(len(string_split(enc, ' ')) AS BIGINT) END AS toks,
@@ -3157,7 +3146,7 @@ object Queries {
                  substr(md5(cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
             * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
                 16777216,1048576,65536,4096,256,16,1])[j])) AS hu
-        FROM e),
+        FROM bpe),
       s AS (SELECT doc_id, toks, cast(hu % 4 AS BIGINT) AS shard,
         row_number() OVER (PARTITION BY hu % 4 ORDER BY hu ASC, doc_id ASC) AS pos
       FROM h),
