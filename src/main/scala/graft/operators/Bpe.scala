@@ -226,8 +226,9 @@ case class BpeEncode(child: org.apache.spark.sql.catalyst.expressions.Expression
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ranks)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
-      "java.util.HashMap<String, Integer>")
+    // raw type: Janino's generics support is partial, and the generated
+    // cast must stay compilable (BpeSpec pins this with fallback=false)
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
     defineCodeGen(ctx, ev, c => s"graft.operators.BpeEncode.compute($c, $ranksRef)")
   }
 

@@ -193,6 +193,28 @@ class BpeSpec extends SparkSpec {
     assert(back === merges)
   }
 
+  test("BpeEncode's generated code actually compiles (no silent interpreted fallback)") {
+    // whole-stage codegen falls back to interpreted eval on Janino
+    // compile errors by default, which value-checks can't see — disable
+    // the fallback so a broken doGenCode (e.g. a generic cast Janino
+    // can't parse) fails loudly here
+    val merges = Seq(Merge("s", "o", 0L, 0), Merge("so", "r", 0L, 1))
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val out = docsDf(Seq("sorrow sor so")).select(
+        Bpe.encode(col("text"), merges).as("e")).collect()
+      assert(out(0).getString(0) === "sor r o w sor so")
+    }
+  }
+
+  private def withSQLConf(kv: (String, String))(f: => Unit): Unit = {
+    val prev = spark.conf.getOption(kv._1)
+    spark.conf.set(kv._1, kv._2)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(kv._1, v)
+      case None => spark.conf.unset(kv._1)
+    }
+  }
+
   test("BpeEncode is null-intolerant and type-checked") {
     val merges = Seq(Merge("a", "b", 0L, 0))
     val s = spark
