@@ -3159,6 +3159,35 @@ object Queries {
         cast(min(cb % 256) AS BIGINT) AS first_off
       FROM c GROUP BY shard, cb // 256"""))
 
+  // tokenizer fitness: per-source BPE compression ratio (non-space chars
+  // per BPE token, e3-quantized) — the measurement a vocab-size /
+  // merge-budget decision reads. Same chain oracle; ratio arithmetic is
+  // integer so the rollup is bit-portable.
+  private val q99 = QueryDef("q99_bpe_compression",
+    (s, d) => rd(s, d, "documents")
+      .select(col("source"),
+        length(regexp_replace(coalesce(col("text"), lit("")), "\\s", ""))
+          .cast(LongType).as("chars"),
+        Bpe.encode(coalesce(col("text"), lit("")), bpeStaticMerges).as("enc"))
+      .select(col("source"), col("chars"),
+        when(col("enc") === "", 0L)
+          .otherwise(size(split(col("enc"), " ")).cast(LongType)).as("toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("chars")).as("chars"), sum(col("toks")).as("bpe_toks"))
+      .select(col("source"), col("chars"), col("bpe_toks"),
+        expr("chars * 1000 div bpe_toks").as("chars_per_tok_e3")),
+    Some(s"""WITH $bpeChainCtes,
+      t AS (SELECT d.source,
+          cast(length(regexp_replace(coalesce(d.text, ''), '\\s', '', 'g'))
+            AS BIGINT) AS chars,
+          CASE WHEN bpe.enc = '' THEN 0
+            ELSE cast(len(string_split(bpe.enc, ' ')) AS BIGINT) END AS toks
+        FROM documents d JOIN bpe ON bpe.doc_id = d.doc_id)
+      SELECT source, cast(sum(chars) AS BIGINT) AS chars,
+        cast(sum(toks) AS BIGINT) AS bpe_toks,
+        cast(sum(chars) * 1000 // sum(toks) AS BIGINT) AS chars_per_tok_e3
+      FROM t GROUP BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3167,5 +3196,5 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98)
+    q98, q99)
 }
