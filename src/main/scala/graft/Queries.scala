@@ -3188,6 +3188,42 @@ object Queries {
         cast(sum(chars) * 1000 // sum(toks) AS BIGINT) AS chars_per_tok_e3
       FROM t GROUP BY source"""))
 
+  // winnowing local fingerprints (MOSS): per-doc rollup of the selected
+  // (pos, fp) set — count, position sum, and an md5 digest of the sorted
+  // "pos:hex" strings, so the oracle must reproduce the SELECTION SET
+  // exactly (rightmost-min per window of w shingle hashes, short docs
+  // winnowed as one window).
+  private val q100 = QueryDef("q100_winnowing",
+    (s, d) => Dedup.winnowingFingerprints(
+        rd(s, d, "documents"), "doc_id", "text", n = 3, w = 4)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"), sum(col("pos")).as("sum_pos"),
+        md5(concat_ws(",", array_sort(collect_list(
+            concat_ws(":", col("pos"), col("fp"))))).cast(BinaryType))
+          .as("fp_digest")),
+    Some("""WITH tok AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS ts FROM documents),
+      p AS (SELECT doc_id, i - 1 AS pos,
+          md5(list_aggregate(ts[i:i+2], 'string_agg', ' ')) AS h
+        FROM tok, unnest(generate_series(1, len(ts) - 2)) AS u(i)),
+      d2 AS (SELECT doc_id, len(ts) - 2 AS nwin FROM tok WHERE len(ts) >= 3),
+      st AS (SELECT doc_id, u.i AS ws, least(4, nwin) AS win
+        FROM d2, unnest(generate_series(0, nwin - least(4, nwin))) AS u(i)),
+      w1 AS (SELECT s.doc_id, s.ws, s.win, min(p.h) AS mh
+        FROM st s JOIN p ON p.doc_id = s.doc_id
+          AND p.pos BETWEEN s.ws AND s.ws + s.win - 1
+        GROUP BY 1, 2, 3),
+      w2 AS (SELECT w1.doc_id, w1.ws, w1.mh, max(p.pos) AS mp
+        FROM w1 JOIN p ON p.doc_id = w1.doc_id AND p.h = w1.mh
+          AND p.pos BETWEEN w1.ws AND w1.ws + w1.win - 1
+        GROUP BY 1, 2, 3),
+      sel AS (SELECT DISTINCT doc_id, mp AS pos, mh AS fp FROM w2)
+      SELECT doc_id, cast(count(*) AS BIGINT) AS n_fps,
+        cast(sum(pos) AS BIGINT) AS sum_pos,
+        md5(string_agg(cast(pos AS VARCHAR) || ':' || fp, ','
+          ORDER BY cast(pos AS VARCHAR) || ':' || fp)) AS fp_digest
+      FROM sel GROUP BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3196,5 +3232,5 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99)
+    q98, q99, q100)
 }

@@ -716,6 +716,37 @@ object Dedup {
     df.select(col(idCol), posexplode(minhash_band_sigs(col(textCol), n, bands))
         .as(Seq("band", "sig")))
       .select(col(idCol), $"band".cast(IntegerType).as("band"), $"sig")
+
+  /** `winnow_hashes(text, n, w): array<string>` of `"pos:hex"` local
+    * fingerprints (see [[WinnowHashes]]). */
+  def winnow_hashes(text: Column, n: Int, w: Int): Column =
+    org.apache.spark.sql.graftshim.Bridge.column(
+      WinnowHashes(org.apache.spark.sql.graftshim.Bridge.expression(text), n, w))
+
+  /**
+   * Winnowing local fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+   * MOSS algorithm) — one row per selected `(id, pos, fp)`: in every
+   * window of `w` consecutive n-token shingle hashes, the RIGHTMOST
+   * minimal hash is selected; the distinct selections are the doc's
+   * fingerprints. The winnowing GUARANTEE (the property none of the
+   * other fingerprint flavors here has): any shared token run of length
+   * ≥ `w + n − 1` between two docs produces at least one SHARED
+   * fingerprint, while only ~2/(w+1) of all windows are kept — `w` is
+   * the standard index-size lever (density↔granularity).
+   *
+   * 100 TB shape: selection is ONE row-local codegen'd pass (monotonic
+   * deque inside [[WinnowHashes]] — O(tokens) per doc, never a
+   * token-scale window shuffle); downstream matching is an equi-join on
+   * the fingerprint hash against a `(fp, n_docs)` table, exactly the
+   * [[spanDf]] machinery at ~2/(w+1) the rows.
+   */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int): DataFrame =
+    df.select(col(idCol),
+        explode(winnow_hashes(col(textCol), n, w)).as("pf"))
+      .select(col(idCol),
+        split($"pf", ":").getItem(0).cast(LongType).as("pos"),
+        split($"pf", ":").getItem(1).as("fp"))
 }
 
 /**
@@ -1046,5 +1077,115 @@ object RemoveSpans {
       k += 1
     }
     UTF8String.fromString(sb.toString)
+  }
+}
+
+/**
+ * `winnow_hashes(text, n, w): array<string>` — winnowing fingerprint
+ * selection as one codegen'd row-local pass. Tokenization and shingle
+ * hashing are EXACTLY [[SpanHashes]]' positional mode (trim + `\s+`,
+ * space-joined n-token shingles, md5 hex), so a winnowing fingerprint is
+ * always a valid span hash and the two index families compose. Over the
+ * positional hash sequence, each window of `w` consecutive hashes
+ * selects its minimal hash — rightmost occurrence on ties (the paper's
+ * rule; hex strings compare like the digest bytes) — via a monotonic
+ * deque, O(tokens) per row; distinct selections are emitted as
+ * `"pos:hex"` in first-selection order. Docs with fewer than `w` windows
+ * are winnowed as ONE window (their single rightmost-min fingerprint) —
+ * the guarantee below then still holds doc-internally.
+ *
+ * Guarantee (spec-asserted with planted runs): two docs sharing a token
+ * run of length ≥ `w + n − 1` share ≥ 1 fingerprint hash.
+ */
+case class WinnowHashes(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    n: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  require(n >= 1, "shingle width must be >= 1 token")
+  require(w >= 1, "winnowing window must be >= 1 shingle")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_hashes requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowHashes.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.WinnowHashes.compute($c, $n, $w)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): WinnowHashes =
+    copy(child = newChild)
+}
+
+object WinnowHashes {
+  import java.nio.charset.StandardCharsets
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val HEX = "0123456789abcdef".toCharArray
+  private val splitter = java.util.regex.Pattern.compile("\\s+")
+
+  /** Static so generated code and interpreted eval share one body. */
+  def compute(text: UTF8String, n: Int, w: Int): GenericArrayData = {
+    // tokenize + hash exactly like SpanHashes.compute positional mode
+    val s = text.trim().toString
+    val toks = splitter.split(s, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val nWin = toks.length - n + 1
+    val hashes = new Array[String](nWin)
+    val md = Md5Hash.local()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < nWin) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+      md.reset()
+      md.update(sb.toString.getBytes(StandardCharsets.UTF_8))
+      val d = md.digest()
+      val cs = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        cs(2 * j) = HEX((d(j) >> 4) & 0xf); cs(2 * j + 1) = HEX(d(j) & 0xf)
+        j += 1
+      }
+      hashes(i) = new String(cs)
+      i += 1
+    }
+    // monotonic deque of indices, values strictly increasing front→back;
+    // pop-while-back>=new keeps the RIGHTMOST occurrence among equals
+    val win = math.min(w, nWin)
+    val deque = new Array[Int](nWin)
+    var head = 0; var tail = 0 // [head, tail) live
+    val selected = new java.util.LinkedHashSet[Integer]()
+    var j = 0
+    while (j < nWin) {
+      while (tail > head && hashes(deque(tail - 1)).compareTo(hashes(j)) >= 0)
+        tail -= 1
+      deque(tail) = j; tail += 1
+      if (deque(head) <= j - win) head += 1
+      if (j >= win - 1) selected.add(Integer.valueOf(deque(head)))
+      j += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) {
+      val p = it.next().intValue
+      out(o) = UTF8String.fromString(p.toString + ":" + hashes(p))
+      o += 1
+    }
+    new GenericArrayData(out)
   }
 }
