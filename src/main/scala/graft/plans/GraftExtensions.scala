@@ -62,6 +62,21 @@ object GraftExtensions {
         case other =>
           throw new IllegalArgumentException(s"hashed_tf(text, dim) with literal dim; got $other")
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("span_hashes",
+      (args: Seq[Expression]) => args match {
+        case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(n, _)) =>
+          graft.operators.SpanHashes(t, n.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(s"span_hashes(text, n) with literal n; got $other")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_hashes",
+      (args: Seq[Expression]) => args match {
+        case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(n, _),
+            org.apache.spark.sql.catalyst.expressions.Literal(w, _)) =>
+          graft.operators.WinnowHashes(t, n.toString.toInt, w.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(s"winnow_hashes(text, n, w) with literal n/w; got $other")
+      }, "scala_udf")
   }
 }
 
@@ -126,6 +141,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           LshBucket(args.head, n.toString.toInt)
         case other =>
           throw new IllegalArgumentException(s"lsh_bucket nPlanes must be a literal, got $other")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("span_hashes"),
+      info("span_hashes", "span_hashes(text, n) - distinct n-token window md5s (span dedup)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(n, _)) =>
+          graft.operators.SpanHashes(t, n.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(s"span_hashes(text, n) with literal n; got $other")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_hashes"),
+      info("winnow_hashes", "winnow_hashes(text, n, w) - winnowing pos:hash local fingerprints"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(n, _),
+            org.apache.spark.sql.catalyst.expressions.Literal(w, _)) =>
+          graft.operators.WinnowHashes(t, n.toString.toInt, w.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(s"winnow_hashes(text, n, w) with literal n/w; got $other")
       }))
   }
 }

@@ -85,6 +85,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sigs == expect, s"got $sigs expected $expect")
   }
 
+  test("span_hashes / winnow_hashes callable from SQL and equal to the Column API") {
+    val r = spark.sql(
+      "SELECT span_hashes('a b c d', 3) AS sp, winnow_hashes('a b c d e f', 2, 3) AS wf")
+      .collect()(0)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getSeq[String](0) == Seq(md5hex("a b c"), md5hex("b c d")))
+    // 5 bigram hashes, w=3: each window's rightmost min — must equal the
+    // expression's own output through the Column API
+    import spark.implicits._
+    val viaColumn = Seq("a b c d e f").toDF("t")
+      .select(graft.operators.Dedup.winnow_hashes($"t", 2, 3).as("wf"))
+      .collect()(0).getSeq[String](0)
+    assert(r.getSeq[String](1) == viaColumn && viaColumn.nonEmpty)
+  }
+
   test("hashed_tf callable from SQL and equal to the md5 definition") {
     val r = spark.sql("SELECT hashed_tf('a b a', 8) AS v").collect()(0)
     val v = r.getSeq[Long](0)
