@@ -68,7 +68,9 @@ object Bpe {
     * non-overlapping replacement — the semantics of both Spark's and
     * DuckDB's `replace` — is exactly BPE's greedy single pass. */
   def render(word: Column): Column =
-    regexp_replace(word, "(.)", Sep + "$1" + Sep)
+    // (?s): Java '.' excludes U+2028/U+2029, which are NOT Java \s and
+    // so can appear inside a word — every char must be wrapped
+    regexp_replace(word, "(?s)(.)", Sep + "$1" + Sep)
 
   /** One learned merge: `rank` is 0-based application order. */
   final case class Merge(a: String, b: String, count: Long, rank: Int)

@@ -106,6 +106,13 @@ class BpeSpec extends SparkSpec {
         "r", "f")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got2 === Map(("a", "a") -> 2L))
+    // U+2028 is not Java \s, so it can sit INSIDE a word — render must
+    // wrap it like any other char (Java '.' without (?s) skips it)
+    val got3 = Bpe.pairCounts(
+        docsDf(Seq("a\u2028b")).select(Bpe.render(col("text")).as("r"), lit(1L).as("f")),
+        "r", "f")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got3 === Map(("a", "\u2028") -> 1L, ("\u2028", "b") -> 1L))
   }
 
   test("learn == reference learner, merges in deterministic rank order") {
