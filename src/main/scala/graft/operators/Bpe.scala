@@ -41,9 +41,12 @@ import org.apache.spark.sql.types._
  * always safe: words are `\s+`-split, so no symbol ever contains one.
  *
  * Determinism: merge picks are totally ordered by (count DESC, a ASC,
- * b ASC), so the learned merge list is a pure function of the word-freq
- * table — identical across partitionings, cluster sizes, and reruns
- * (spec-asserted).
+ * b ASC) with string order = Spark's UTF8String binary order (UTF-8
+ * bytes, i.e. code-point order — NOT Java's UTF-16 `compareTo`, which
+ * disagrees on supplementary-plane symbols), so the learned merge list
+ * is a pure function of the word-freq table — identical across
+ * partitionings, cluster sizes, and reruns (spec-asserted against a
+ * reference learner using the same byte order).
  */
 object Bpe {
 
@@ -173,7 +176,15 @@ object Bpe {
 
   /** Load a persisted merge table back into application order. The
     * artifact is model-sized (≤ vocab rows), so the collect here is the
-    * same tiny model-load every encode job pays once. */
+    * same tiny model-load every encode job pays once.
+    *
+    * PRECONDITION: the table must be a [[learn]] output — ranks dense
+    * from 0 in DEPENDENCY order (a composite symbol's merge ranked
+    * after the merges that build its parts) with no duplicate pairs.
+    * [[encode]] ≡ [[encodeChain]] holds for exactly that class of merge
+    * lists (see [[BpeEncode]]); a hand-edited table violating it gets
+    * greedy-lowest-rank semantics from the expression and in-order
+    * semantics from the chain, which can differ. */
   def mergesFrom(df: DataFrame): Seq[Merge] =
     df.select(col("rank").cast(IntegerType), col("a"), col("b"),
         col("count").cast(LongType))
@@ -194,12 +205,15 @@ object Bpe {
  * `bpe_encode(text, merges): string` — greedy BPE application as one
  * whole-stage-codegen scalar. Per word: repeatedly find the present
  * adjacent pair with the lowest merge rank and merge all its occurrences
- * left to right, until no learnable pair remains. Equivalent to applying
- * the merges in rank order one pass each (a later merge can never create
- * an instance of an earlier-ranked pair: both elements of the earlier
- * pair predate it, and merging never makes two pre-existing symbols
- * newly adjacent) — which is exactly what [[Bpe.encodeChain]] does, so
- * the two are value-identical by construction and the spec fuzzes it.
+ * left to right, until no learnable pair remains. For merge lists in
+ * LEARNED dependency order (every [[Bpe.learn]] output — the required
+ * form, see [[Bpe.mergesFrom]]) this is equivalent to applying the
+ * merges in rank order one pass each: a later merge can never create an
+ * instance of an earlier-ranked pair, because both elements of the
+ * earlier pair predate it and merging never makes two pre-existing
+ * symbols newly adjacent. That is exactly what [[Bpe.encodeChain]]
+ * does, so the two are value-identical by construction and the spec
+ * fuzzes it.
  *
  * The rank map is built once per expression instance and rides the
  * serialized plan (a model artifact, ~1 MB at 32k merges).
@@ -250,7 +264,7 @@ object BpeEncode {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     var r = 0
     merges.foreach { case (a, b) =>
-      m.put(a + " " + b, Integer.valueOf(r)); r += 1
+      m.put(a + " " + b, Integer.valueOf(r)); r += 1
     }
     m
   }
@@ -284,7 +298,7 @@ object BpeEncode {
           var bestA: String = null; var bestB: String = null
           var i = 0
           while (i < n - 1) {
-            val r = ranks.get(syms(i) + " " + syms(i + 1))
+            val r = ranks.get(syms(i) + " " + syms(i + 1))
             if (r != null && r.intValue < bestRank) {
               bestRank = r.intValue; bestA = syms(i); bestB = syms(i + 1)
             }

@@ -1142,6 +1142,10 @@ object WinnowHashes {
     val s = text.trim().toString
     val toks = splitter.split(s, -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    // empty/whitespace-only doc: split yields [""] — at n = 1 that must
+    // NOT produce an md5("") fingerprint every empty doc would share
+    if (toks.length == 1 && toks(0).isEmpty)
+      return new GenericArrayData(Array.empty[Any])
     val nWin = toks.length - n + 1
     val hashes = new Array[String](nWin)
     val md = Md5Hash.local()

@@ -49,7 +49,11 @@ class BpeSpec extends SparkSpec {
       val pc = refPairCounts(vocab)
       if (pc.isEmpty) done = true
       else {
-        val ((a, b), c) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+        // tie-break in UTF-8 BYTE order — the order Spark's UTF8String
+        // sorts by (≠ Java UTF-16 compareTo on supplementary planes)
+        import scala.math.Ordering.Implicits._
+        def u8(s: String): Seq[Int] = s.getBytes("UTF-8").toSeq.map(_ & 0xff)
+        val ((a, b), c) = pc.minBy { case ((a, b), c) => (-c, u8(a), u8(b)) }
         if (c < 2) done = true
         else {
           out += ((a, b, c))
@@ -210,15 +214,6 @@ class BpeSpec extends SparkSpec {
       val out = docsDf(Seq("sorrow sor so")).select(
         Bpe.encode(col("text"), merges).as("e")).collect()
       assert(out(0).getString(0) === "sor r o w sor so")
-    }
-  }
-
-  private def withSQLConf(kv: (String, String))(f: => Unit): Unit = {
-    val prev = spark.conf.getOption(kv._1)
-    spark.conf.set(kv._1, kv._2)
-    try f finally prev match {
-      case Some(v) => spark.conf.set(kv._1, v)
-      case None => spark.conf.unset(kv._1)
     }
   }
 

@@ -23,4 +23,14 @@ abstract class SparkSpec extends AnyFunSuite {
     s
   }
   def sf(dir: String): String = s"/root/testdata/$dir"
+
+  /** Run `f` with a SQL conf overridden, restoring the prior value. */
+  def withSQLConf(kv: (String, String))(f: => Unit): Unit = {
+    val prev = spark.conf.getOption(kv._1)
+    spark.conf.set(kv._1, kv._2)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(kv._1, v)
+      case None => spark.conf.unset(kv._1)
+    }
+  }
 }

@@ -22,10 +22,15 @@ class WinnowingSpec extends SparkSpec {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Independent reference: hashes, then a naive O(L·w) per-window scan
-    * selecting the rightmost minimal hash; distinct selections. */
+    * selecting the rightmost minimal hash; distinct selections.
+    * Tokenization mirrors the operator's contract exactly: trim strips
+    * 0x20 ONLY (UTF8String.trim semantics, not String.trim's <= 0x20),
+    * split keeps interior empties, empty docs yield nothing. */
   private def refWinnow(text: String, n: Int, w: Int): Set[(Long, String)] = {
-    val toks = text.trim.split("\\s+", -1)
+    val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val toks = t.split("\\s+", -1)
     if (toks.length < n) return Set.empty
+    if (toks.length == 1 && toks(0).isEmpty) return Set.empty
     val hs = (0 to toks.length - n)
       .map(i => md5hex(toks.slice(i, i + n).mkString(" ")))
     val win = math.min(w, hs.length)
@@ -58,11 +63,16 @@ class WinnowingSpec extends SparkSpec {
       "a b",                      // toks < n → nothing
       "",                         // empty
       "w w w w w w w w",          // all-equal hashes → rightmost each window
+      "\ta b c d e",              // tab-led: 0x20-only trim keeps the
+                                  // leading empty token (SpanHashes parity)
       "the quick brown fox jumps over the lazy dog")
     val got = run(hand, n = 3, w = 4)
     hand.zipWithIndex.foreach { case (t, i) =>
       assert(got.getOrElse(i.toLong, Set.empty) === refWinnow(t, 3, 4), s"'$t'")
     }
+    // empty/whitespace-only docs emit nothing even at n = 1 (no shared
+    // md5("") fingerprint)
+    assert(run(Seq("", "   "), n = 1, w = 2).values.forall(_.isEmpty))
     val rnd = new scala.util.Random(100L)
     val vocab = Vector("a", "b", "c", "d", "ee", "ff")
     (0 until 6).foreach { round =>
@@ -115,15 +125,10 @@ class WinnowingSpec extends SparkSpec {
   }
 
   test("generated code compiles (fallback=false)") {
-    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try {
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
       val out = docsDf(Seq("m n o p q")).select(
         Dedup.winnow_hashes(col("text"), 3, 4).as("f")).collect()
       assert(out(0).getSeq[String](0).nonEmpty)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
-      case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
 }
