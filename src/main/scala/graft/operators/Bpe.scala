@@ -264,7 +264,9 @@ object BpeEncode {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     var r = 0
     merges.foreach { case (a, b) =>
-      m.put(a + " " + b, Integer.valueOf(r)); r += 1
+      // duplicate pair (malformed table): keep the LOWEST rank — in the
+      // chain the first occurrence merges everything, the repeat no-ops
+      m.putIfAbsent(a + " " + b, Integer.valueOf(r)); r += 1
     }
     m
   }
