@@ -3224,6 +3224,64 @@ object Queries {
           ORDER BY cast(pos AS VARCHAR) || ':' || fp)) AS fp_digest
       FROM sel GROUP BY doc_id"""))
 
+  // robots-exclusion gate (UrlOps.robotsVerdicts, RFC 9309 core): pages
+  // and per-host rule tables derived arithmetically from events (q62's
+  // synthesis convention), exercising longest-prefix wins, allow beats
+  // disallow on length ties, the zero-length universal disallow, and
+  // the no-matching-rule / no-rules-host default-allow — the oracle
+  // resolves the same rules with a row_number over (len DESC, allow
+  // DESC) instead of the operator's struct-max.
+  private val q101 = QueryDef("q101_robots_gate",
+    (s, d) => {
+      val ev = rd(s, d, "events")
+      val pages = ev.select(
+        concat(lit("site"), (col("user_id") % 50).cast(StringType)).as("host"),
+        concat(lit("/p/"), (col("event_id") % 7).cast(StringType),
+          lit("/x"), (col("event_id") % 3).cast(StringType)).as("path"))
+      val hosts = ev.select((col("user_id") % 50).as("h")).distinct()
+      def hostC = concat(lit("site"), col("h").cast(StringType)).as("host")
+      def famC = concat(lit("/p/"), (col("h") % 7).cast(StringType))
+      val rules = hosts
+        .select(hostC, famC.as("prefix"), lit(false).as("allow"))
+        .unionByName(hosts.where(col("h") % 2 === 0)
+          .select(hostC, concat(famC, lit("/x1")).as("prefix"),
+            lit(true).as("allow")))
+        .unionByName(hosts.where(col("h") % 3 === 0)
+          .select(hostC, lit("").as("prefix"), lit(false).as("allow")))
+        .unionByName(hosts.where(col("h") % 5 === 0)
+          .select(hostC, famC.as("prefix"), lit(true).as("allow")))
+      UrlOps.robotsVerdicts(pages, "host", "path", rules)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_paths"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"))
+    },
+    Some("""WITH pg AS (SELECT DISTINCT
+        'site' || cast(user_id % 50 AS VARCHAR) AS host,
+        '/p/' || cast(event_id % 7 AS VARCHAR) || '/x' ||
+          cast(event_id % 3 AS VARCHAR) AS path
+      FROM events),
+      hs AS (SELECT DISTINCT user_id % 50 AS h FROM events),
+      rules AS (
+        SELECT 'site' || cast(h AS VARCHAR) AS host,
+          '/p/' || cast(h % 7 AS VARCHAR) AS prefix, false AS allow FROM hs
+        UNION ALL SELECT 'site' || cast(h AS VARCHAR),
+          '/p/' || cast(h % 7 AS VARCHAR) || '/x1', true FROM hs WHERE h % 2 = 0
+        UNION ALL SELECT 'site' || cast(h AS VARCHAR), '', false
+          FROM hs WHERE h % 3 = 0
+        UNION ALL SELECT 'site' || cast(h AS VARCHAR),
+          '/p/' || cast(h % 7 AS VARCHAR), true FROM hs WHERE h % 5 = 0),
+      m AS (SELECT pg.host, pg.path, r.allow,
+          row_number() OVER (PARTITION BY pg.host, pg.path
+            ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+        FROM pg JOIN rules r ON r.host = pg.host
+          AND starts_with(pg.path, r.prefix)),
+      v AS (SELECT pg.host, pg.path, coalesce(m.allow, true) AS allowed
+        FROM pg LEFT JOIN (SELECT host, path, allow FROM m WHERE rn = 1) m
+          ON m.host = pg.host AND m.path = pg.path)
+      SELECT host, cast(count(*) AS BIGINT) AS n_paths,
+        cast(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
+      FROM v GROUP BY host"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3232,5 +3290,5 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99, q100)
+    q98, q99, q100, q101)
 }

@@ -135,4 +135,51 @@ object UrlOps {
       .agg(max(col("__cap")).as("__cap"))
       .select(col("canon_url") +: payload.map(c => col(s"__cap.`$c`").as(c)): _*)
   }
+
+  /**
+   * Robots-exclusion verdicts (RFC 9309 core) — the crawl-compliance
+   * gate a Common-Crawl-style pipeline applies before fetching or
+   * admitting a page. `robots` is the parsed per-host rule table
+   * `(host, prefix, allow)` (one row per Allow/Disallow line for the
+   * crawler's user-agent group); a path matches a rule when it
+   * STARTS WITH the rule's prefix, and per the RFC the MOST SPECIFIC
+   * (longest-prefix) match wins, with the LEAST RESTRICTIVE (allow)
+   * rule winning length ties. A (host, path) matching no rule — or a
+   * host with no robots rows at all — defaults to allowed. Literal
+   * prefixes only: the `*`/`$` wildcard extension is a documented
+   * non-goal (wildcard rules expand to regexes that neither engine's
+   * prefix machinery can index; the RFC's own core grammar is literal).
+   *
+   * Returns one verdict row per DISTINCT (host, path): `(hostCol,
+   * pathCol, allowed)` — verdicts are per-URL facts, so callers join
+   * them back to page-scale data (or feed [[canonicalizeUrl]] output).
+   *
+   * 100 TB shape: one equi-join on `host` (both sides hash-partitioned;
+   * candidate fan-out = rules-per-host, ~10) and one partial-aggregated
+   * struct-max per (host, path) — the winner is `max(struct(prefix_len,
+   * allow))`, so each partition collapses its own candidates map-side;
+   * no window, no driver state. Rule tables are host-scale (can exceed
+   * broadcast), hence the shuffled join, exactly like the rare-token
+   * lexicon join.
+   */
+  def robotsVerdicts(pages: DataFrame, hostCol: String, pathCol: String,
+      robots: DataFrame): DataFrame = {
+    require(robots.columns.toSeq == Seq("host", "prefix", "allow"),
+      s"robots table must be (host, prefix, allow); got ${robots.columns.toSeq}")
+    val rh = "__graft_rhost"; val rp = "__graft_prefix"; val ra = "__graft_allow"
+    require(!pages.columns.exists(Seq(rh, rp, ra).contains),
+      s"pages must not carry reserved columns $rh/$rp/$ra")
+    val pg = pages.select(col(hostCol), col(pathCol)).distinct()
+    val rules = robots.select(col("host").as(rh), col("prefix").as(rp),
+      col("allow").as(ra))
+    val winner = pg.join(rules, pg(hostCol) === col(rh))
+      .where(col(pathCol).startsWith(col(rp)))
+      .groupBy(col(hostCol), col(pathCol))
+      .agg(max(struct(length(col(rp)).as("l"),
+        col(ra).cast(org.apache.spark.sql.types.IntegerType).as("a"))).as("__w"))
+      .select(col(hostCol), col(pathCol), (col("__w.a") === 1).as("__rule_allow"))
+    pg.join(winner, Seq(hostCol, pathCol), "left")
+      .withColumn("allowed", coalesce(col("__rule_allow"), lit(true)))
+      .drop("__rule_allow")
+  }
 }

@@ -147,4 +147,60 @@ class UrlOpsSpec extends SparkSpec {
     assert(aggs >= 2, s"expected partial+final aggregate pair:\n$p")
     assert(!p.contains("Window"), s"snapshot must not plan a window:\n$p")
   }
+  test("robotsVerdicts: longest match wins, allow wins ties, defaults allow") {
+    import spark.implicits._
+    val rules = Seq(
+      // h1: family disallow + longer allow carve-out
+      ("h1", "/a", false), ("h1", "/a/keep", true),
+      // h2: equal-length tie -> allow (least restrictive) wins
+      ("h2", "/t", false), ("h2", "/t", true),
+      // h3: universal disallow (empty prefix matches everything)
+      ("h3", "", false),
+      ("h3", "/ok", true)
+    ).toDF("host", "prefix", "allow")
+    val pages = Seq(
+      ("h1", "/a/x"),      // family disallow
+      ("h1", "/a/keep/1"), // carve-out allows
+      ("h1", "/b"),        // no matching rule -> allowed
+      ("h2", "/t/q"),      // tie -> allowed
+      ("h3", "/zzz"),      // universal disallow
+      ("h3", "/ok/2"),     // longer allow beats universal
+      ("h9", "/anything")  // host with no rules -> allowed
+    ).toDF("host", "path")
+    val got = UrlOps.robotsVerdicts(pages, "host", "path", rules)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(got === Map(
+      ("h1", "/a/x") -> false, ("h1", "/a/keep/1") -> true,
+      ("h1", "/b") -> true, ("h2", "/t/q") -> true,
+      ("h3", "/zzz") -> false, ("h3", "/ok/2") -> true,
+      ("h9", "/anything") -> true))
+    // verdicts are per DISTINCT (host, path): duplicate page rows collapse
+    val dup = UrlOps.robotsVerdicts(
+      pages.unionByName(pages), "host", "path", rules)
+    assert(dup.count() === pages.count())
+  }
+
+  test("robotsVerdicts: schema and reserved-column validation fail fast") {
+    import spark.implicits._
+    val pages = Seq(("h", "/p")).toDF("host", "path")
+    val badRules = Seq(("h", true, "/p")).toDF("host", "allow", "prefix")
+    intercept[IllegalArgumentException] {
+      UrlOps.robotsVerdicts(pages, "host", "path", badRules)
+    }
+    val clash = Seq(("h", "/p", "x")).toDF("host", "path", "__graft_prefix")
+    intercept[IllegalArgumentException] {
+      UrlOps.robotsVerdicts(clash, "host", "path",
+        Seq(("h", "/p", true)).toDF("host", "prefix", "allow"))
+    }
+  }
+
+  test("robotsVerdicts: shuffled equi-join + partial struct-max, no window") {
+    import spark.implicits._
+    val rules = Seq(("h1", "/a", false)).toDF("host", "prefix", "allow")
+    val pages = Seq(("h1", "/a/x")).toDF("host", "path")
+    val p = UrlOps.robotsVerdicts(pages, "host", "path", rules)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"rule resolution must not plan a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked in:\n$p")
+  }
 }
