@@ -3282,6 +3282,59 @@ object Queries {
         cast(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
       FROM v GROUP BY host"""))
 
+  // trained linear quality filter (LinearFilter.train): 3 batch integer
+  // perceptron epochs on hashed-tf features (dim 16) with lang='en' as
+  // the training signal — the fastText-style classifier gate, trained
+  // BY THE ENGINE and value-checked weight-by-weight: the oracle
+  // replays all 3 epochs (q80's replayed-rounds convention) from the
+  // q95 feature formula, misclassification = y·margin ≤ 0, update =
+  // Σ y·x, all integer arithmetic.
+  private val q102 = QueryDef("q102_perceptron_filter",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val f = TextAnalysis.hashedTfVector(docs, "doc_id", "text", 16)
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y")), Seq("doc_id"))
+      val w = LinearFilter.train(f, "tf_vec", "y", dim = 16, epochs = 3)
+      import s.implicits._
+      w.toSeq.zipWithIndex.map { case (v, i) => (i.toLong + 1L, v) }
+        .toDF("i", "w")
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+        string_split_regex(trim(coalesce(text, '')), '\s+') AS ts,
+        CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+        FROM documents),
+      hv AS (SELECT doc_id, y, list_transform(ts, t ->
+          list_sum(list_transform(generate_series(1, 12),
+            j -> cast(strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1 AS BIGINT)
+              * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                  16777216,1048576,65536,4096,256,16,1])[j]))) AS hs
+        FROM tok),
+      f AS (SELECT doc_id, y, list_transform(generate_series(0, 15), i ->
+          cast(coalesce(list_sum(list_transform(list_filter(hs, h -> h % 16 = i),
+            h -> ((h // 1048576) % 2) * 2 - 1)), 0) AS BIGINT)) AS x
+        FROM hv),
+      u1 AS (SELECT i, cast(sum(y * x[i]) AS BIGINT) AS u
+        FROM f, unnest(generate_series(1, 16)) t(i) GROUP BY i),
+      w1 AS (SELECT list(coalesce(u1.u, 0) ORDER BY t.i) AS w
+        FROM unnest(generate_series(1, 16)) t(i) LEFT JOIN u1 ON u1.i = t.i),
+      m2 AS (SELECT f.y, f.x, cast(list_sum(list_transform(
+          generate_series(1, 16), i -> w1.w[i] * f.x[i])) AS BIGINT) AS mg
+        FROM f CROSS JOIN w1),
+      u2 AS (SELECT i, cast(sum(y * x[i]) AS BIGINT) AS u
+        FROM m2, unnest(generate_series(1, 16)) t(i) WHERE y * mg <= 0 GROUP BY i),
+      w2 AS (SELECT list(w1.w[t.i] + coalesce(u2.u, 0) ORDER BY t.i) AS w
+        FROM w1, unnest(generate_series(1, 16)) t(i) LEFT JOIN u2 ON u2.i = t.i),
+      m3 AS (SELECT f.y, f.x, cast(list_sum(list_transform(
+          generate_series(1, 16), i -> w2.w[i] * f.x[i])) AS BIGINT) AS mg
+        FROM f CROSS JOIN w2),
+      u3 AS (SELECT i, cast(sum(y * x[i]) AS BIGINT) AS u
+        FROM m3, unnest(generate_series(1, 16)) t(i) WHERE y * mg <= 0 GROUP BY i),
+      w3 AS (SELECT list(w2.w[t.i] + coalesce(u3.u, 0) ORDER BY t.i) AS w
+        FROM w2, unnest(generate_series(1, 16)) t(i) LEFT JOIN u3 ON u3.i = t.i)
+      SELECT cast(i AS BIGINT) AS i, cast(w3.w[i] AS BIGINT) AS w
+      FROM w3, unnest(generate_series(1, 16)) t(i)"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3290,5 +3343,5 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99, q100, q101)
+    q98, q99, q100, q101, q102)
 }
