@@ -23,7 +23,8 @@ import graft.streaming._
  *     [--join-meta | --near-dup | --prep | --link-graph
  *      | --oov-gate /lexicon.parquet [--oov-max 500]
  *      | --lm-gate /bigram_counts.parquet [--lm-min 30000]
- *      | --sem-gate /semgate_dir [--sem-tau 900000] [--sem-dim 32]] \
+ *      | --sem-gate /semgate_dir [--sem-tau 900000] [--sem-dim 32]
+ *      | --linear-gate /weights.parquet [--linear-min 1]] \
  *     [--buckets 64 [--bucket-by host]] [--jsonl /warc/jsonl]
  *
  * Kill it at any point and resubmit with the same --checkpoint/--table:
@@ -38,7 +39,8 @@ object PagePipelineApp {
     val flags = Set("--join-meta", "--near-dup", "--prep", "--link-graph")
     val valueOpts = Set("--pages", "--hosts", "--rate", "--checkpoint", "--table", "--metrics",
       "--buckets", "--bucket-by", "--jsonl", "--oov-gate", "--oov-max",
-      "--lm-gate", "--lm-min", "--sem-gate", "--sem-tau", "--sem-dim")
+      "--lm-gate", "--lm-min", "--sem-gate", "--sem-tau", "--sem-dim",
+      "--linear-gate", "--linear-min")
     val kvArgs = args.filterNot(flags.contains)
     // sliding(2, 2) silently discards a trailing odd element — a final
     // `--buckets` with no value would be ignored and the app would run
@@ -72,7 +74,8 @@ object PagePipelineApp {
       "--prep" -> prep, "--link-graph" -> linkGraph,
       "--oov-gate" -> a.contains("--oov-gate"),
       "--lm-gate" -> a.contains("--lm-gate"),
-      "--sem-gate" -> a.contains("--sem-gate")).collect { case (n, true) => n }
+      "--sem-gate" -> a.contains("--sem-gate"),
+      "--linear-gate" -> a.contains("--linear-gate")).collect { case (n, true) => n }
     if (pickedModes.length > 1)
       sys.error(s"pipeline modes are mutually exclusive, got: ${pickedModes.mkString(" ")}")
 
@@ -227,6 +230,35 @@ object PagePipelineApp {
           graft.operators.RequestResponse.semDedupGateKeep(
             b, history, semSeeds, "url", "text", dim, tau)
         (pages.toDF(), gate)
+      } else if (a.contains("--linear-gate")) {
+        // trained-classifier-gated ingest: pages scored against the
+        // persisted integer-perceptron weight table (LinearFilter
+        // .weightsDf layout; train with LinearFilter.train over
+        // hashedTfVector features) and dropped below --linear-min
+        // (default 1, i.e. keep predicted-positive: integer score > 0).
+        // Unlike the lexicon/LM/semantic gates this one needs NO join at
+        // all: the weights are a model literal baked into the plan and
+        // the score is one row-local codegen'd featurize + integer dot —
+        // the cheapest gate in the app. Feature dim = weight count by
+        // construction (hashedTfVector produces exactly |w| buckets).
+        val w = graft.operators.LinearFilter.weightsFrom(
+          spark.read.parquet(a("--linear-gate")))
+        // all-zero weights score every page 0 and the default threshold
+        // would blackhole the stream — an untrained artifact, refuse it
+        if (w.forall(_ == 0L))
+          sys.error(s"--linear-gate ${a("--linear-gate")}: weights are " +
+            "all zero (untrained artifact) — train with LinearFilter.train")
+        val minScore = a.getOrElse("--linear-min", "1").toLong
+        val gate = (b: org.apache.spark.sql.DataFrame) => {
+          val keep = graft.operators.LinearFilter.score(
+              graft.operators.TextAnalysis.hashedTfVector(
+                b.select(col("url"), col("text")), "url", "text", w.length),
+              "tf_vec", w)
+            .where(col("score") >= minScore)
+            .select(col("url"))
+          b.join(keep, Seq("url"), "left_semi")
+        }
+        (pages.toDF(), gate)
       } else if (nearDup) {
         // the full ingest-dedup pipeline in ONE query (chained stateful
         // operators): exact fingerprint dedup first (cheap, catches
@@ -268,7 +300,8 @@ object PagePipelineApp {
       if (linkGraph) None // edge deltas carry no event time
       else if (prep || nearDup) Some("ts")
       else if (joinMeta || a.contains("--oov-gate")
-        || a.contains("--lm-gate") || a.contains("--sem-gate")) Some("warc_ts")
+        || a.contains("--lm-gate") || a.contains("--sem-gate")
+        || a.contains("--linear-gate")) Some("warc_ts")
       else Some("session_start")
     val sink = new ExactlyOnceSink(table,
       if (nBuckets > 0) Some(bucketColName) else None, statsCol)

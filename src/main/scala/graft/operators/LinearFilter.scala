@@ -87,6 +87,28 @@ object LinearFilter {
     * thresholds on it; sign = predicted class). */
   def score(df: DataFrame, featCol: String, w: Array[Long]): DataFrame =
     df.withColumn("score", margin(col(featCol), w))
+
+  /** The weight vector as a persistable model table `(i, w)` (1-based
+    * index) — what a training job writes and every gate job loads. */
+  def weightsDf(spark: org.apache.spark.sql.SparkSession,
+      w: Array[Long]): DataFrame = {
+    import spark.implicits._
+    w.toSeq.zipWithIndex.map { case (v, i) => (i.toLong + 1L, v) }
+      .toDF("i", "w")
+  }
+
+  /** Load a persisted weight table (model-sized collect, like
+    * [[Bpe.mergesFrom]]); indices must be dense 1..n — a gapped or
+    * duplicated table means the artifact is corrupt, fail loudly. */
+  def weightsFrom(df: DataFrame): Array[Long] = {
+    val rows = df.select(col("i").cast(LongType), col("w").cast(LongType))
+      .orderBy(col("i").asc).collect()
+    require(rows.nonEmpty, "weight table is empty")
+    require(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq,
+      s"weight table indices must be dense 1..${rows.length}; got " +
+        rows.map(_.getLong(0)).mkString(","))
+    rows.map(_.getLong(1))
+  }
 }
 
 /**

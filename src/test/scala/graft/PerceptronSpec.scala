@@ -94,6 +94,24 @@ class PerceptronSpec extends SparkSpec {
     }
   }
 
+  test("weight table round-trips; gapped/duplicated indices fail loudly") {
+    val w = Array(3L, -2L, 0L, 7L)
+    val back = LinearFilter.weightsFrom(
+      LinearFilter.weightsDf(spark, w).orderBy(rand(5)))
+    assert(back.toSeq === w.toSeq)
+    val s = spark
+    import s.implicits._
+    intercept[IllegalArgumentException] {
+      LinearFilter.weightsFrom(Seq((1L, 5L), (3L, 6L)).toDF("i", "w"))
+    }
+    intercept[IllegalArgumentException] {
+      LinearFilter.weightsFrom(Seq((1L, 5L), (1L, 6L), (2L, 0L)).toDF("i", "w"))
+    }
+    intercept[IllegalArgumentException] {
+      LinearFilter.weightsFrom(Seq.empty[(Long, Long)].toDF("i", "w"))
+    }
+  }
+
   test("the q102 composition trains on real features deterministically") {
     val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
     val f = TextAnalysis.hashedTfVector(docs, "doc_id", "text", 16)
