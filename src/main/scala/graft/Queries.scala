@@ -3335,6 +3335,45 @@ object Queries {
       SELECT cast(i AS BIGINT) AS i, cast(w3.w[i] AS BIGINT) AS w
       FROM w3, unnest(generate_series(1, 16)) t(i)"""))
 
+  // attention-mask boundaries for packed sequences
+  // (TrainingExport.packBoundaries): budget 64 over 10–99-token docs
+  // forces straddles AND multi-pack giants, so spill-only middle packs
+  // (n_docs = 0, continuation) and mid-pack boundaries are all
+  // exercised; the oracle rebuilds the piece explode from the q64
+  // layout CTEs and aggregates boundary offsets with an ordered
+  // string_agg.
+  private val q103 = QueryDef("q103_pack_boundaries",
+    (s, d) => TrainingExport.packBoundaries(
+      rd(s, d, "documents"), "doc_id", "text", budget = 64L, nShards = 4),
+    Some("""WITH h AS (SELECT doc_id,
+        len(regexp_extract_all(text, '\S+')) AS toks,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) AS hu
+        FROM documents),
+      s AS (SELECT doc_id, toks, cast(hu % 4 AS BIGINT) AS shard,
+        row_number() OVER (PARTITION BY hu % 4 ORDER BY hu ASC, doc_id ASC) AS pos
+      FROM h),
+      c AS (SELECT shard, toks,
+        coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY pos ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM s),
+      p AS (SELECT shard, cast(cb // 64 + rel AS BIGINT) AS pack,
+          rel = 0 AS is_head,
+          CASE WHEN rel = 0 THEN cb % 64 ELSE 0 END AS so
+        FROM c, unnest(generate_series(0,
+          cast((cb % 64 + toks - 1) // 64 AS BIGINT))) t(rel)
+        WHERE toks > 0)
+      SELECT shard, pack,
+        cast(sum(CASE WHEN is_head THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        coalesce(string_agg(cast(so AS VARCHAR), ',' ORDER BY so)
+          FILTER (WHERE is_head), '') AS boundaries,
+        (sum(CASE WHEN is_head THEN 1 ELSE 0 END) = 0
+          OR min(CASE WHEN is_head THEN so END) <> 0) AS continuation
+      FROM p GROUP BY shard, pack"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3343,5 +3382,5 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99, q100, q101, q102)
+    q98, q99, q100, q101, q102, q103)
 }

@@ -118,32 +118,76 @@ object TrainingExport {
    * shuffle partitioning. Nothing is ever keyed by the sequence text.
    */
   def packedSequences(docs: DataFrame, idCol: String, textCol: String,
-      budget: Long, nShards: Int): DataFrame = {
-    require(budget > 0, "budget must be positive")
-    val base = docs.select(col(idCol),
-        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks_arr"))
-      .withColumn("__toks", size(col("__toks_arr")).cast("long"))
-    val layout = Sampling.packByTokenBudget(base, idCol, "__toks", budget, nShards)
-    val pieces = layout
-      .where(col("__toks") > 0) // zero-token docs hold their layout slot but emit nothing
-      .withColumn("__rel", explode(sequence(lit(0L),
-        expr(s"(pack_off + __toks - 1) div $budget"))))
-      .select(col("shard"), (col("pack") + col("__rel")).as("pack"), col("pos"),
-        greatest(lit(0L), col("__rel") * budget - col("pack_off")).as("__lo"),
-        least(col("__toks"), (col("__rel") + 1) * budget - col("pack_off")).as("__hi"),
-        col("__toks_arr"))
-      .select(col("shard"), col("pack"), col("pos"),
-        (col("__hi") - col("__lo")).as("piece_toks"),
-        array_join(slice(col("__toks_arr"), (col("__lo") + 1).cast("int"),
-          (col("__hi") - col("__lo")).cast("int")), " ").as("piece"))
-    pieces
+      budget: Long, nShards: Int): DataFrame =
+    packPieces(docs, idCol, textCol, budget, nShards)
       .groupBy(col("shard"), col("pack"))
       .agg(sum(col("piece_toks")).as("seq_toks"),
         sort_array(collect_list(struct(col("pos"), col("piece")))).as("__ps"))
       .select(col("shard"), col("pack"), col("seq_toks"),
         array_join(transform(col("__ps"), x => x.getField("piece")), " ")
           .as("seq_text"))
+
+  /** The per-(shard, pack) doc PIECES behind [[packedSequences]] and
+    * [[packBoundaries]]: one row per (doc, covered pack) with the piece
+    * text, its token count, and where inside the pack it starts
+    * (`piece_off` — the doc's `pack_off` for its head piece, 0 for
+    * spill pieces; `is_head` marks the piece where the doc begins). */
+  private def packPieces(docs: DataFrame, idCol: String, textCol: String,
+      budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val base = docs.select(col(idCol),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks_arr"))
+      .withColumn("__toks", size(col("__toks_arr")).cast("long"))
+    val layout = Sampling.packByTokenBudget(base, idCol, "__toks", budget, nShards)
+    layout
+      .where(col("__toks") > 0) // zero-token docs hold their layout slot but emit nothing
+      .withColumn("__rel", explode(sequence(lit(0L),
+        expr(s"(pack_off + __toks - 1) div $budget"))))
+      .select(col("shard"), (col("pack") + col("__rel")).as("pack"), col("pos"),
+        (col("__rel") === 0L).as("is_head"),
+        when(col("__rel") === 0L, col("pack_off")).otherwise(lit(0L))
+          .as("piece_off"),
+        greatest(lit(0L), col("__rel") * budget - col("pack_off")).as("__lo"),
+        least(col("__toks"), (col("__rel") + 1) * budget - col("pack_off")).as("__hi"),
+        col("__toks_arr"))
+      .select(col("shard"), col("pack"), col("pos"), col("is_head"),
+        col("piece_off"),
+        (col("__hi") - col("__lo")).as("piece_toks"),
+        array_join(slice(col("__toks_arr"), (col("__lo") + 1).cast("int"),
+          (col("__hi") - col("__lo")).cast("int")), " ").as("piece"))
   }
+
+  /**
+   * Per-sequence DOCUMENT BOUNDARIES — the block-diagonal attention-mask
+   * spec a loader pairs with [[packedSequences]]' token rows (packed
+   * training forbids attention across document boundaries; without this
+   * table the packs are unusable for masked packing). One row per
+   * (shard, pack): `boundaries` = ascending in-pack token offsets where
+   * a NEW document begins (comma-joined; "" for a pack fully covered by
+   * one straddling giant), `n_docs` = documents beginning in the pack,
+   * and `continuation` = whether the pack OPENS mid-document (true iff
+   * no boundary sits at offset 0 — a doc's spilled tail/middle owns the
+   * front of the pack). Spill-only middle packs of multi-pack giants
+   * appear with `n_docs = 0, continuation = true`.
+   *
+   * Same physical shape as the sequence materialization it mirrors: the
+   * q64 layout + a bounded row-local explode + ONE partial-aggregated
+   * groupBy on (shard, pack) — boundaries are tiny integer lists, the
+   * text is never touched (project [[packPieces]]' metadata only and
+   * Spark prunes the token arrays out of the explode).
+   */
+  def packBoundaries(docs: DataFrame, idCol: String, textCol: String,
+      budget: Long, nShards: Int): DataFrame =
+    packPieces(docs, idCol, textCol, budget, nShards)
+      .groupBy(col("shard"), col("pack"))
+      .agg(
+        sum(when(col("is_head"), 1L).otherwise(0L)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(
+            when(col("is_head"), col("piece_off")))),
+          v => v.cast(org.apache.spark.sql.types.StringType)), ",")
+          .as("boundaries"))
+      .withColumn("continuation",
+        col("n_docs") === 0L || !col("boundaries").startsWith("0"))
 
   /**
    * Write materialized sequences as a loader-friendly `shard=NN/` layout:

@@ -312,6 +312,49 @@ class ComponentsSpec extends SparkSpec {
     assert(seqs.count() >= 6)
   }
 
+  test("packBoundaries: mask offsets match the sequence layout, spill-only packs flagged") {
+    import spark.implicits._
+    // one shard so the layout is a single deterministic stream; a giant
+    // (600 tokens at budget 256) creates a spill-only middle pack
+    val giant = (0 until 600).map(i => s"g$i").mkString(" ")
+    val docs = (Seq((100L, giant)) ++ (0L until 5L).map(i =>
+      (i, (0 until 40).map(j => s"d${i}_$j").mkString(" ")))).toDF("doc_id", "text")
+    val b = graft.operators.TrainingExport.packBoundaries(
+        docs, "doc_id", "text", budget = 256L, nShards = 1)
+      .orderBy($"pack")
+      .as[(Long, Long, Long, String, Boolean)].collect()
+    // reference: replay the layout locally
+    val layout = graft.operators.Sampling.packByTokenBudget(
+        docs.withColumn("toks",
+          graft.operators.TextAnalysis.tokenCount($"text").cast("long")),
+        "doc_id", "toks", 256L, 1)
+      .orderBy($"pos").select($"pack_off", $"toks").as[(Long, Long)].collect()
+    val lastPack = (layout.map(_._2).sum - 1) / 256
+    val heads = graft.operators.Sampling.packByTokenBudget(
+        docs.withColumn("toks",
+          graft.operators.TextAnalysis.tokenCount($"text").cast("long")),
+        "doc_id", "toks", 256L, 1)
+      .select($"pack", $"pack_off").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    b.foreach { case (_, pack, nDocs, bounds, cont) =>
+      val expect = heads.getOrElse(pack, Array.empty[Long]).toSeq
+      assert(nDocs === expect.size, s"pack $pack")
+      assert(bounds === expect.mkString(","), s"pack $pack")
+      assert(cont === !expect.headOption.contains(0L), s"pack $pack")
+    }
+    // every pack 0..last is present — including the giant's spill-only
+    // middle pack(s), which start mid-document with no new doc
+    assert(b.map(_._2).toSeq === (0L to lastPack),
+      s"packs ${b.map(_._2).mkString(",")}")
+    assert(b.exists(x => x._3 == 0L && x._5), "no spill-only pack exercised")
+    // boundaries partition the token stream: the mask spec and the
+    // materialized sequences agree on every pack's width
+    val seqs = graft.operators.TrainingExport.packedSequences(
+        docs, "doc_id", "text", budget = 256L, nShards = 1)
+      .select($"pack", $"seq_toks").as[(Long, Long)].collect().toMap
+    assert(b.map(_._2).toSet === seqs.keySet)
+  }
+
   test("writePackedSequences: shard=NN hive layout, pruned read, pack-sorted files") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
