@@ -3374,6 +3374,44 @@ object Queries {
           OR min(CASE WHEN is_head THEN so END) <> 0) AS continuation
       FROM p GROUP BY shard, pack"""))
 
+  // Kleene-plus CEP pattern `A B+ C` (batch mirror of streaming
+  // PatternDetect.kleene): for each 'view', the first 'purchase' inside
+  // 7 days that has at least one 'click' strictly between them, emitted
+  // with the matched click-run (count + first/last ids). Reluctant
+  // closure: the chosen C is the first one after the A's FIRST B, so the
+  // output is a pure function of the input set — the oracle rebuilds the
+  // same three steps (first-B, first-C-after-it, run aggregation over
+  // the open interval) with row_number + ordered first/last.
+  private val q104 = QueryDef("q104_pattern_kleene",
+    (s, d) => graft.streaming.PatternDetect.kleeneBatch(
+      rd(s, d, "events"), "user_id", "ts", "event_type", "event_id",
+      aKind = "view", bKind = "click", cKind = "purchase",
+      withinSec = 604800L)
+      .select(col("key").as("user_id"), col("a_id"), col("a_us"),
+        col("b_count"), col("b_first_id"), col("b_last_id"),
+        col("c_id"), col("c_us")),
+    Some("""WITH a AS (SELECT user_id AS key, epoch_us(ts) AS a_us, event_id AS a_id
+        FROM events WHERE event_type = 'view'),
+      b AS (SELECT user_id AS key, epoch_us(ts) AS b_us, event_id AS b_id
+        FROM events WHERE event_type = 'click'),
+      c AS (SELECT user_id AS key, epoch_us(ts) AS c_us, event_id AS c_id
+        FROM events WHERE event_type = 'purchase'),
+      ab AS (SELECT key, a_id, a_us, b_us AS b1_us FROM (
+        SELECT a.key, a_id, a_us, b_us, row_number() OVER
+          (PARTITION BY a.key, a_id ORDER BY b_us ASC, b_id ASC) AS rk
+        FROM a JOIN b ON a.key = b.key
+          AND b_us > a_us AND b_us <= a_us + 604800000000) WHERE rk = 1),
+      abc AS (SELECT key, a_id, a_us, c_id, c_us FROM (
+        SELECT ab.key, a_id, a_us, c_id, c_us, row_number() OVER
+          (PARTITION BY ab.key, a_id ORDER BY c_us ASC, c_id ASC) AS rk
+        FROM ab JOIN c ON ab.key = c.key
+          AND c_us > b1_us AND c_us <= a_us + 604800000000) WHERE rk = 1)
+      SELECT abc.key AS user_id, a_id, a_us, count(*) AS b_count,
+        first(b_id ORDER BY b_us ASC, b_id ASC) AS b_first_id,
+        last(b_id ORDER BY b_us ASC, b_id ASC) AS b_last_id, c_id, c_us
+      FROM abc JOIN b ON abc.key = b.key AND b_us > a_us AND b_us < c_us
+      GROUP BY abc.key, a_id, a_us, c_id, c_us"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3382,5 +3420,5 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99, q100, q101, q102, q103)
+    q98, q99, q100, q101, q102, q103, q104)
 }

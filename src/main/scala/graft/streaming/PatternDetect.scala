@@ -281,6 +281,117 @@ object PatternDetect {
         col("first_c.c_id").as("c_id"), col("first_c.c_us").as("c_us"))
   }
 
+  final case class MatchK(key: Long, a_id: Long, a_ts: Timestamp,
+      b_count: Long, b_first_id: Long, b_last_id: Long,
+      c_id: Long, c_ts: Timestamp)
+
+  /**
+   * Kleene-plus pattern `A B+ C` within `withinSec` of A
+   * (MATCH_RECOGNIZE `A B+ C`, reluctant closure): for each A, the FIRST
+   * C inside `(a_ts, a_ts + withinSec]` that has at least one B strictly
+   * between A and it; emitted with the matched B-run — `b_count` = number
+   * of B events in `(a_ts, c_ts)` (open interval: legs are strictly
+   * ordered, same-timestamp B's don't close under a same-timestamp C),
+   * plus the run's first/last B ids. An A whose window holds C's but no
+   * preceding B, or B's but no C after them, emits nothing. The first
+   * eligible C is exactly the first C after the A's FIRST B — reluctant
+   * (fewest B's that still witness the pattern), which keeps the output a
+   * pure function of the input set: greedy closure would also be
+   * deterministic, but reluctant composes with [[sequence]]'s
+   * skip-past-first convention.
+   *
+   * Finality: all three legs live inside one `withinSec` horizon from A,
+   * so a match is final once the watermark passes `a_ts + withinSec` —
+   * every candidate B and C has then either arrived or is below-watermark.
+   * State per key = open A's + B/C buffers inside that horizon
+   * ([[Pat3State]]), watermark-evicted — the same bounded-state shape as
+   * [[sequence]]/[[sequence3]]. Batch mirror: [[kleeneBatch]].
+   *
+   * Reference analog: StormCV expresses multi-event runs as a
+   * `SequenceNrBatcher` window fed by per-kind filter bolts
+   * (stormcv TopologyRunner examples, SURVEY.md §3.2) — count-gated, not
+   * pattern-gated; this operator is the event-time-correct form.
+   */
+  def kleene(spark: SparkSession, events: Dataset[Ev],
+      aKind: String, bKind: String, cKind: String, withinSec: Long,
+      watermarkDelay: String = "1 hour"): Dataset[MatchK] = {
+    import spark.implicits._
+    val w = withinSec * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (key: Long, rows: Iterator[Ev], state: GroupState[Pat3State]) => {
+          val st = state.getOption.getOrElse(Pat3State(Nil, Nil, Nil))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val batch = rows.toSeq
+          def leg(kind: String, prev: List[(Long, Long)]) =
+            mergeSorted(prev, batch.filter(e => e.kind == kind && TsUtil.toUs(e.ts) >= wm)
+              .map(e => (TsUtil.toUs(e.ts), e.id)))
+          val openA = leg(aKind, st.openA)
+          val allB = leg(bKind, st.bs)
+          val allC = leg(cKind, st.cs)
+          val ripe = openA.filter { case (aUs, _) => aUs + w < wm }
+          val out = ripe.flatMap { case (aUs, aId) =>
+            // in-window B's, already sorted ascending by (ts, id)
+            val bs = allB.filter { case (bUs, _) => bUs > aUs && bUs <= aUs + w }
+            bs.headOption.flatMap { case (b1Us, _) =>
+              allC.find { case (cUs, _) => cUs > b1Us && cUs <= aUs + w }
+                .map { case (cUs, cId) =>
+                  val run = bs.takeWhile { case (bUs, _) => bUs < cUs }
+                  MatchK(key, aId, TsUtil.fromUs(aUs), run.size.toLong,
+                    run.head._2, run.last._2, cId, TsUtil.fromUs(cUs))
+                }
+            }
+          }
+          val keepA = openA.filterNot { case (aUs, _) => aUs + w < wm }
+          // an unripe A has aUs >= wm - w; all its B/C candidates sit above
+          val keepB = allB.filter { case (bUs, _) => bUs >= wm - w }
+          val keepC = allC.filter { case (cUs, _) => cUs >= wm - w }
+          if (keepA.isEmpty && keepB.isEmpty && keepC.isEmpty) state.remove()
+          else {
+            state.update(Pat3State(keepA, keepB, keepC))
+            state.setTimeoutTimestamp((wm / 1000L).max(1L) + withinSec * 1000L)
+          }
+          out.iterator
+        })(Encoders.product[Pat3State], Encoders.product[MatchK])
+  }
+
+  /** Batch mirror of [[kleene]] (the oracle form): first B per A, first C
+    * after that B inside A's window, then the B-run count/first/last over
+    * `(a_ts, c_ts)`. Three equi-joins on key with window predicates —
+    * the same bounded-fanout shape as [[sequence3Batch]]. */
+  def kleeneBatch(events: DataFrame, keyCol: String, tsCol: String,
+      kindCol: String, idCol: String,
+      aKind: String, bKind: String, cKind: String, withinSec: Long): DataFrame = {
+    val wUs = withinSec * 1000000L
+    val b = events.where(col(kindCol) === bKind)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol).cast("timestamp")).as("b_us"),
+        col(idCol).as("b_id"))
+    val c = events.where(col(kindCol) === cKind)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol).cast("timestamp")).as("c_us"),
+        col(idCol).as("c_id"))
+    // first B per A (shared leg with the two-kind chain)
+    val ab = sequenceBatch(events, keyCol, tsCol, kindCol, idCol, aKind, bKind, withinSec)
+    // first C strictly after that B, still inside A's window
+    val abc = ab.join(c, Seq("key"))
+      .where(col("c_us") > col("b_us") && col("c_us") <= col("a_us") + lit(wUs))
+      .groupBy(col("key"), col("a_id"), col("a_us"))
+      .agg(min(struct(col("c_us"), col("c_id"))).as("first_c"))
+      .select(col("key"), col("a_id"), col("a_us"),
+        col("first_c.c_id").as("c_id"), col("first_c.c_us").as("c_us"))
+    // the matched B-run: every B in (a_us, c_us)
+    abc.join(b, Seq("key"))
+      .where(col("b_us") > col("a_us") && col("b_us") < col("c_us"))
+      .groupBy(col("key"), col("a_id"), col("a_us"), col("c_id"), col("c_us"))
+      .agg(count(lit(1)).as("b_count"),
+        min(struct(col("b_us"), col("b_id"))).as("fb"),
+        max(struct(col("b_us"), col("b_id"))).as("lb"))
+      .select(col("key"), col("a_id"), col("a_us"), col("b_count"),
+        col("fb.b_id").as("b_first_id"), col("lb.b_id").as("b_last_id"),
+        col("c_id"), col("c_us"))
+  }
+
   /**
    * Per-key quiescence: emit (key, a_id, a_ts) for every event that is
    * the key's LAST activity for at least `withinSec` of event time — the

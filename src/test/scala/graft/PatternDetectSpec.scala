@@ -252,6 +252,84 @@ class PatternDetectSpec extends SparkSpec {
       s"batch=$batch got=$got")
   }
 
+  test("kleene A B+ C: run counting, reluctant close, strict leg order, window edges") {
+    import spark.implicits._
+    val rows = Seq(
+      // key 1: A, three B's, C — run of 3
+      Ev(1, ts(base), "a", 1), Ev(1, ts(base + 10), "b", 2), Ev(1, ts(base + 20), "b", 3),
+      Ev(1, ts(base + 30), "b", 4), Ev(1, ts(base + 40), "c", 5),
+      // key 2: B's but no C inside the window -> nothing
+      Ev(2, ts(base), "a", 6), Ev(2, ts(base + 10), "b", 7), Ev(2, ts(base + 700), "c", 8),
+      // key 3: C before any B -> the later C closes (first C AFTER first B)
+      Ev(3, ts(base), "a", 9), Ev(3, ts(base + 5), "c", 10), Ev(3, ts(base + 10), "b", 11),
+      Ev(3, ts(base + 20), "c", 12), Ev(3, ts(base + 30), "b", 13),
+      // key 4: B at the same timestamp as C is NOT part of the run (strict <)
+      Ev(4, ts(base), "a", 14), Ev(4, ts(base + 10), "b", 15), Ev(4, ts(base + 20), "b", 16),
+      Ev(4, ts(base + 20), "c", 17),
+      // key 5: C exactly at a_ts + w is still in-window
+      Ev(5, ts(base), "a", 18), Ev(5, ts(base + 10), "b", 19), Ev(5, ts(base + 600), "c", 20),
+      // key 6: no B at all -> nothing, despite a C
+      Ev(6, ts(base), "a", 21), Ev(6, ts(base + 10), "c", 22)
+    ).toDF()
+    val got = PatternDetect.kleeneBatch(rows, "key", "ts", "kind", "id",
+        "a", "b", "c", withinSec = 600L)
+      .select($"key", $"a_id", $"b_count", $"b_first_id", $"b_last_id", $"c_id")
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(
+      Seq(1L, 1L, 3L, 2L, 4L, 5L),   // full run of 3
+      Seq(3L, 9L, 1L, 11L, 11L, 12L), // reluctant: c=12 (first after b=11), run = {11}
+      Seq(4L, 14L, 1L, 15L, 15L, 17L), // b=16 at c's ts excluded from the run
+      Seq(5L, 18L, 1L, 19L, 19L, 20L)  // boundary C included
+    ), s"got $got")
+  }
+
+  test("randomized torture: kleene ≡ batch mirror over random batches with replays") {
+    import spark.implicits._
+    val w = 60L
+    val delay = "300 seconds"
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(9100 + seed)
+      val evs = scala.collection.mutable.ArrayBuffer[Ev]()
+      var id = 0L
+      (0 until 60).foreach { _ =>
+        id += 1
+        evs += Ev(rnd.nextInt(3).toLong, ts(base + rnd.nextInt(200)),
+          Seq("view", "buy", "pay", "zz")(rnd.nextInt(4)), id)
+      }
+      val replays = Seq.fill(10)(evs(rnd.nextInt(evs.length)))
+      val feed = rnd.shuffle((evs ++ replays).toSeq)
+      val flush = Seq(Ev(0, ts(base + 5000), "zz", 9001))
+
+      val cp = Files.createTempDirectory(s"pdk$seed").toString
+      val table = Files.createTempDirectory(s"pdkt$seed").toString
+      val sink = new ExactlyOnceSink(table)
+      val in = MemoryStream[Ev](Encoders.product[Ev], spark)
+      val out = PatternDetect.kleene(spark, in.toDS(), "view", "buy", "pay", w, delay).toDF()
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], i: Long) =>
+          sink.write(df.toDF(), i))
+        .start()
+      var rest = feed
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(20)
+        in.addData(rest.take(n): _*)
+        q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      flush.foreach { e => in.addData(e); q.processAllAvailable() }
+      q.stop()
+      val got = sink.read(spark)
+        .select($"key", $"a_id", $"b_count", $"b_first_id", $"b_last_id", $"c_id")
+        .collect().map(_.toSeq).toSet
+      val expected = PatternDetect.kleeneBatch(evs.toSeq.distinct.toDF(),
+          "key", "ts", "kind", "id", "view", "buy", "pay", w)
+        .select($"key", $"a_id", $"b_count", $"b_first_id", $"b_last_id", $"c_id")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, s"seed $seed kleene: got $got expected $expected")
+    }
+  }
+
   test("patterns compose into longer chains: (A->B) then ->C via two passes") {
     import spark.implicits._
     // 3-leg chain A->B->C = sequence(A,B), re-keyed as a synthetic event
