@@ -3412,6 +3412,52 @@ object Queries {
       FROM abc JOIN b ON abc.key = b.key AND b_us > a_us AND b_us < c_us
       GROUP BY abc.key, a_id, a_us, c_id, c_us"""))
 
+  // q105: row-level as-of join — every purchase enriched with the user's
+  // latest click at or before it. Union-trick plan (ONE key exchange +
+  // in-partition sort + running-frame window), never a range join; the
+  // DuckDB oracle is the native ASOF LEFT JOIN, so the >=-at-tie and
+  // no-match-NULL semantics are pinned against an independent engine.
+  private val q105 = QueryDef("q105_asof_join",
+    (s, d) => {
+      val ev = rd(s, d, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          cents(col("value")).as("click_cents"))
+      AsOfJoin.asOf(p, c, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("ts_us"),
+          col("click_id"), col("click_cents"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts, max(event_id) AS click_id,
+        arg_max(cast(floor(value*100) AS BIGINT), event_id) AS click_cents
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        c.click_id, c.click_cents
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""))
+
+  // q106: salted shuffle join — the fieldsGrouping hot-key device on the
+  // JOIN path (q29 covers the agg path): big side salted from row id,
+  // medium side replicated ×8, joined on (key, salt). Same rows as the
+  // plain equi-join the oracle runs.
+  private val q106 = QueryDef("q106_skew_join_salted",
+    (s, d) => {
+      val ev = rd(s, d, "events")
+      val dim = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(cents(col("value"))).as("u_purchase_cents"))
+      SkewAgg.saltedJoin(
+        ev.select(col("event_id"), col("user_id"), col("event_type")),
+        dim, Seq("user_id"), saltSrc = col("event_id"), buckets = 8)
+    },
+    Some("""WITH dimu AS (SELECT user_id,
+        cast(sum(cast(floor(value*100) AS BIGINT)) AS BIGINT) AS u_purchase_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT e.event_id, e.user_id, e.event_type, d.u_purchase_cents
+      FROM events e JOIN dimu d USING (user_id)"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3420,5 +3466,5 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99, q100, q101, q102, q103, q104)
+    q98, q99, q100, q101, q102, q103, q104, q105, q106)
 }

@@ -101,4 +101,36 @@ object SkewAgg {
       .agg(partial.head, partial.tail: _*)
     phase1.groupBy(keys: _*).agg(merge.head, merge.tail: _*)
   }
+
+  /**
+   * Salted shuffle JOIN — the skew device for a big⋈medium equi-join where
+   * the medium side is too large to broadcast and the big side's key is
+   * Zipf-hot (the reference's `fieldsGrouping` hotspot,
+   * `TopologyBuilder.fieldsGrouping`, hit on the JOIN path instead of the
+   * agg path [[saltedAgg]] covers). A plain shuffle join sends every row
+   * of a hot key to ONE reduce task; salting splits each key across
+   * `buckets` tasks: the big side salts deterministically from `saltSrc`
+   * (any per-row column — row identity, not the key), the medium side is
+   * replicated ×`buckets` (one copy per salt value), and the join runs on
+   * `(key, salt)` — same rows out as the unsalted join, hot-key work
+   * fanned `buckets` ways.
+   *
+   * Cost model at 100 TB: medium side shuffles ×`buckets` (why it must be
+   * the SMALLER input), big side shuffles ×1 exactly as before; pick
+   * `buckets` ≈ hot-key-share × cluster-cores. With AQE's skew-join
+   * handling on, prefer the built-in (it salts only the skewed partitions
+   * at runtime); this operator is the explicit, planner-independent form —
+   * same rows regardless of AQE's runtime statistics.
+   */
+  def saltedJoin(big: DataFrame, medium: DataFrame, keys: Seq[String],
+      saltSrc: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val overlap = big.columns.intersect(medium.columns).filterNot(keys.contains)
+    require(overlap.isEmpty,
+      s"non-key columns collide: ${overlap.mkString(",")} — rename first")
+    val b = big.withColumn("_salt", pmod(hash(saltSrc), lit(buckets)))
+    val m = medium.withColumn("_salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    b.join(m, keys :+ "_salt").drop("_salt")
+  }
 }
