@@ -3458,6 +3458,57 @@ object Queries {
       SELECT e.event_id, e.user_id, e.event_type, d.u_purchase_cents
       FROM events e JOIN dimu d USING (user_id)"""))
 
+  // q107: SURT keys — the web-archive locality key (reversed-host) that
+  // makes a petabyte URL index range-servable; per-row values pinned
+  // against a DuckDB rebuild of every normalization step. The range-
+  // pruning read path (sorted layout + StringStartsWith pushdown) is
+  // plan-asserted in UrlOpsSpec.
+  private val q107 = QueryDef("q107_surt_keys",
+    (s, d) => {
+      val url = concat(
+        lit("HTTP://"),
+        when(col("event_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("sub"), (col("user_id") % 7).cast(StringType),
+        lit(".Example"), (col("event_id") % 5).cast(StringType), lit(".COM"),
+        when(col("event_id") % 11 === 0, lit(":8080")).otherwise(lit("")),
+        when(col("event_id") % 3 === 0, lit("")).otherwise(
+          concat(lit("/p/"), (col("event_id") % 7).cast(StringType))),
+        when(col("event_id") % 2 === 0, lit("?b=2&a=1&")).otherwise(lit("")),
+        lit("#frag"))
+      rd(s, d, "events")
+        .select(col("event_id"),
+          when(col("event_id") % 97 === 0, lit("no-url")).otherwise(url).as("url"))
+        .select(col("event_id"), UrlOps.surtKey(col("url")).as("surt"))
+    },
+    Some("""WITH u AS (SELECT event_id,
+        CASE WHEN event_id % 97 = 0 THEN 'no-url' ELSE
+          'HTTP://' || (CASE WHEN event_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+          || 'sub' || (user_id % 7)::VARCHAR
+          || '.Example' || (event_id % 5)::VARCHAR || '.COM'
+          || (CASE WHEN event_id % 11 = 0 THEN ':8080' ELSE '' END)
+          || (CASE WHEN event_id % 3 = 0 THEN ''
+              ELSE '/p/' || (event_id % 7)::VARCHAR END)
+          || (CASE WHEN event_id % 2 = 0 THEN '?b=2&a=1&' ELSE '' END)
+          || '#frag' END AS url FROM events),
+      nf_t AS (SELECT event_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+      p AS (SELECT event_id,
+        lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS rawhost,
+        regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        regexp_extract(nf, '\?([^#]*)', 1) AS q0
+      FROM nf_t)
+      SELECT event_id,
+        CASE WHEN scheme = '' OR rawhost = '' THEN NULL ELSE
+          array_to_string(list_reverse(string_split(
+            regexp_replace(regexp_replace(rawhost, ':[0-9]+$', ''),
+              '^www\.', ''), '.')), ',')
+          || ')'
+          || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+          || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
+        END AS surt
+      FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+          string_split(q0, '&'), x -> x <> '')), '&'), '') AS qs FROM p)"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3466,5 +3517,5 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99, q100, q101, q102, q103, q104, q105, q106)
+    q98, q99, q100, q101, q102, q103, q104, q105, q106, q107)
 }

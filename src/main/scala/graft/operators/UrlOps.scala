@@ -55,6 +55,46 @@ object UrlOps {
   }
 
   /**
+   * SURT key (Sort-friendly URI Reordering Transform) — the web-archive
+   * locality key: `http://www.sub.example.com:8080/p?b=2&a=1` →
+   * `com,example,sub)/p?a=1&b=2`. Reversing the host's labels puts every
+   * page of a registrable domain — and every subdomain of it — on one
+   * CONTIGUOUS key range, which is what makes a petabyte URL index
+   * servable: stored sorted by this key, "everything under example.com"
+   * is a range scan with file-level min/max pruning and a
+   * `StringStartsWith` pushed to the parquet reader, never a corpus scan
+   * with a LIKE. (Same public transform the Common Crawl URL index and
+   * the Internet Archive's CDX machinery key by; the reference's nearest
+   * device is keying every particle by streamId,
+   * `model/CVParticle.java:41-49` — this is that key made range-friendly.)
+   *
+   * Normalizations, all row-local codegen'd builtins, each reproduced
+   * digit-for-digit by the q107 DuckDB oracle: fragment stripped; host
+   * lowercased, ANY port stripped (a locality key, not an identity — the
+   * port never changes which site a page belongs to), one leading `www.`
+   * dropped; labels reversed and comma-joined; empty path becomes `/`;
+   * query params sorted bytewise with empties dropped (the
+   * [[canonicalizeUrl]] rule). Scheme is dropped entirely (http/https
+   * serve the same site). NULL for non-absolute URLs.
+   */
+  def surtKey(url: Column): Column = {
+    val u = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(u, schemeRe, 1))
+    val rawHost = lower(regexp_extract(u, authorityRe, 1))
+    val host = regexp_replace(regexp_replace(rawHost, ":[0-9]+$", ""),
+      "^www\\.", "")
+    val revHost = array_join(reverse(split(host, "\\.")), ",")
+    val path0 = regexp_extract(u, pathRe, 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val qSorted = array_join(
+      array_sort(filter(split(regexp_extract(u, queryRe, 1), "&"),
+        x => x =!= "")), "&")
+    val query = when(qSorted === "", lit("")).otherwise(concat(lit("?"), qSorted))
+    when(scheme === "" || rawHost === "", lit(null).cast(StringType))
+      .otherwise(concat(revHost, lit(")"), path, query))
+  }
+
+  /**
    * Snapshot dedup of a re-crawl log: one row per CANONICAL url — the
    * newest capture wins. This is the serving-side read of any table that
    * accumulates repeated fetches of the same page (the app's gate /

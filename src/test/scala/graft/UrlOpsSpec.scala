@@ -203,4 +203,51 @@ class UrlOpsSpec extends SparkSpec {
     assert(!p.contains("Window"), s"rule resolution must not plan a window:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian leaked in:\n$p")
   }
+
+  test("surtKey: host reversed, www/port/scheme dropped, query sorted") {
+    import spark.implicits._
+    def surt(urls: String*): Seq[Option[String]] = {
+      val got = urls.toDF("u")
+        .select(col("u"), UrlOps.surtKey(col("u")).as("k"))
+        .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      urls.map(got)
+    }
+    assert(surt(
+      "http://www.sub.Example.COM:8080/p?b=2&a=1",
+      "HTTPS://Example.com",            // scheme dropped: https ≡ http key
+      "http://example.com:80",          // ANY port dropped for the key
+      "http://www.example.com/a#frag",
+      "http://wwwx.example.com/a",      // only a 'www.' LABEL is dropped
+      "not a url") ==
+      Seq(Some("com,example,sub)/p?a=1&b=2"),
+        Some("com,example)/"),
+        Some("com,example)/"),
+        Some("com,example)/a"),
+        Some("com,example,wwwx)/a"),
+        None))
+    // domain-contiguity: every page under example.com — any subdomain,
+    // either scheme — shares the 'com,example' prefix and sorts together
+    val keys = surt("http://a.example.com/x", "https://example.com/y",
+      "http://www.b.example.com/z").flatten
+    assert(keys.forall(_.startsWith("com,example")))
+  }
+
+  test("surt index read path: StartsWith prefix lookup pushed to the parquet scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("surtidx").toString + "/idx"
+    val urls = (0 until 400).map(i =>
+      s"http://h${i % 40}.tld${i % 7}.com/p/$i")
+    urls.toDF("url")
+      .select(UrlOps.surtKey(col("url")).as("surt"), col("url"))
+      .repartitionByRange(4, col("surt"))
+      .sortWithinPartitions("surt")
+      .write.parquet(dir)
+    val lookup = spark.read.parquet(dir).where(col("surt").startsWith("com,tld3,"))
+    val p = lookup.queryExecution.executedPlan.toString
+    assert(p.contains("StringStartsWith"),
+      s"prefix filter not pushed to the scan:\n$p")
+    // and the lookup is exactly the brute-force filter over all urls
+    val want = urls.filter(u => u.contains(".tld3.com/")).toSet
+    assert(lookup.select("url").collect().map(_.getString(0)).toSet == want)
+  }
 }
