@@ -3509,6 +3509,92 @@ object Queries {
       FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter(
           string_split(q0, '&'), x -> x <> '')), '&'), '') AS qs FROM p)"""))
 
+  // q108: crawl-to-crawl delta — two snapshot epochs synthesized from
+  // documents (prev drops doc_id%5==0, curr drops doc_id%7==3, content
+  // of doc_id%3==0 perturbed), every URL classified
+  // added/gone/changed/unchanged; oracle is an independent DuckDB FULL
+  // OUTER JOIN over the same md5 fingerprints.
+  private val q108 = QueryDef("q108_crawl_delta",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val url = concat(lit("http://h"), (col("doc_id") % 40).cast(StringType),
+        lit(".example.com/d/"), col("doc_id").cast(StringType))
+      val prev = docs.where(col("doc_id") % 5 =!= 0)
+        .select(url.as("url"), md5(col("text").cast(BinaryType)).as("fp"))
+      val curr = docs.where(col("doc_id") % 7 =!= 3)
+        .select(url.as("url"),
+          md5(concat(col("text"),
+              when(col("doc_id") % 3 === 0, lit(" v2")).otherwise(lit("")))
+            .cast(BinaryType)).as("fp"))
+      UrlOps.crawlDelta(prev, curr, "url", "fp")
+    },
+    Some("""WITH p AS (SELECT 'http://h' || (doc_id % 40)::VARCHAR ||
+          '.example.com/d/' || doc_id::VARCHAR AS url, md5(text) AS fp
+        FROM documents WHERE doc_id % 5 <> 0),
+      c AS (SELECT 'http://h' || (doc_id % 40)::VARCHAR ||
+          '.example.com/d/' || doc_id::VARCHAR AS url,
+          md5(text || CASE WHEN doc_id % 3 = 0 THEN ' v2' ELSE '' END) AS fp
+        FROM documents WHERE doc_id % 7 <> 3)
+      SELECT coalesce(p.url, c.url) AS url,
+        CASE WHEN p.url IS NULL THEN 'added'
+             WHEN c.url IS NULL THEN 'gone'
+             WHEN p.fp = c.fp THEN 'unchanged' ELSE 'changed' END AS status,
+        p.fp AS fp_prev, c.fp AS fp_curr
+      FROM p FULL OUTER JOIN c ON p.url = c.url"""))
+
+  // q109: exact per-source quantiles of n_chars (distinct-value
+  // histogram, OrderStats) at 4 per-mille ranks; the oracle is an
+  // INDEPENDENT construction of the same type-1 statistic — row_number
+  // over raw rows instead of the histogram running sum.
+  private val q109 = QueryDef("q109_exact_quantiles",
+    (s, d) => OrderStats.exactQuantilesByGroup(
+      rd(s, d, "documents"), "source", "n_chars",
+      qsPerMille = Seq(250, 500, 750, 990)),
+    Some("""WITH r AS (SELECT source, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        count(*) OVER (PARTITION BY source) AS n FROM documents),
+      q AS (SELECT cast(unnest([250, 500, 750, 990]) AS INTEGER) AS q_pm)
+      SELECT source, q_pm, min(n_chars) AS value
+      FROM r, q WHERE rn * 1000 >= q_pm * n
+      GROUP BY source, q_pm"""))
+
+  // q110: split-leakage matrix — the q94 train/val/test split scored
+  // for self-contamination: per eval split, distinct 3-gram shingles,
+  // how many also occur in train, leaked fraction in per-mille. Oracle
+  // rebuilds the split hash (q94's digit expansion), the shingling
+  // (q55's), and the flag-max collapse in DuckDB.
+  private val q110 = QueryDef("q110_split_leakage",
+    (s, d) => Dedup.splitLeakage(
+      Sampling.trainValTestSplit(
+        rd(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", trainPm = 800, valPm = 100),
+      "text", "split", n = 3, trainLabel = "train",
+      evalLabels = Seq("val", "test")),
+    Some("""WITH h AS (SELECT text,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS VARCHAR) || '#split'), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) % 1000 AS b
+        FROM documents),
+      sp AS (SELECT text, CASE WHEN b < 800 THEN 'train'
+        WHEN b < 900 THEN 'val' ELSE 'test' END AS split FROM h),
+      sh AS (SELECT DISTINCT split,
+        unnest(list_transform(generate_series(1, greatest(len(ts)-2, 0)),
+          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+        FROM (SELECT split, string_split_regex(trim(text), '\s+') AS ts FROM sp)),
+      fl AS (SELECT shingle,
+          max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS t,
+          max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS v,
+          max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS e
+        FROM sh GROUP BY 1)
+      SELECT 'val' AS split, cast(sum(v) AS BIGINT) AS n_shingles,
+          cast(sum(v*t) AS BIGINT) AS shared_with_train,
+          cast(1000 * sum(v*t) // sum(v) AS BIGINT) AS leak_pm FROM fl
+      UNION ALL
+      SELECT 'test', cast(sum(e) AS BIGINT), cast(sum(e*t) AS BIGINT),
+          cast(1000 * sum(e*t) // sum(e) AS BIGINT) FROM fl"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3517,5 +3603,6 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99, q100, q101, q102, q103, q104, q105, q106, q107)
+    q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
+    q110)
 }

@@ -638,6 +638,56 @@ object Dedup {
   }
 
   /**
+   * Train/eval SPLIT-LEAKAGE matrix — the self-contamination readout: a
+   * held-out split is only held out if its content is absent from
+   * train, and web corpora violate that silently (mirrors, boilerplate,
+   * near-dups straddling the hash split). For each eval split this
+   * reports, over DISTINCT word n-gram shingles: how many the split
+   * has, how many of those also occur in train, and the leaked
+   * fraction in per-mille — the corpus-level containment twin of
+   * [[contaminationTag]] (which scores doc×benchmark pairs; this scores
+   * split×train wholesale, the number a release gate thresholds on).
+   *
+   * 100 TB shape — no self-join, nothing quadratic: the corpus is
+   * shingled ONCE ([[shingles]] keyed by the split column, so the
+   * per-(split, shingle) distinct collapses map-side before the
+   * exchange); one groupBy(shingle) folds presence into per-split 0/1
+   * flags via partial max; the matrix itself is a constant-width
+   * explode of those flags plus one tiny final aggregate. Shuffled
+   * rows are bounded by distinct shingles, never by corpus rows — the
+   * same flag-max collapse that makes [[lineDf]] scale. A shingle in
+   * BOTH eval splits counts once per split (splits leak independently
+   * toward train). Output: `(split, n_shingles, shared_with_train,
+   * leak_pm)`, one row per eval label, `leak_pm` NULL for an empty
+   * split (no shingles to leak).
+   */
+  def splitLeakage(df: DataFrame, textCol: String, splitCol: String,
+      n: Int, trainLabel: String, evalLabels: Seq[String]): DataFrame = {
+    require(evalLabels.nonEmpty, "evalLabels must be non-empty")
+    require(!evalLabels.contains(trainLabel),
+      s"trainLabel '$trainLabel' cannot also be an eval label")
+    require(evalLabels.distinct.size == evalLabels.size,
+      s"duplicate eval labels: $evalLabels")
+    def flagFor(l: String) =
+      max(when(col(splitCol) === l, 1L).otherwise(0L))
+    val aggs = flagFor(trainLabel).as("__t") +:
+      evalLabels.zipWithIndex.map { case (l, i) => flagFor(l).as(s"__e$i") }
+    val flags = shingles(df, splitCol, textCol, n)
+      .groupBy($"shingle")
+      .agg(aggs.head, aggs.tail: _*)
+    flags
+      .select(explode(array(evalLabels.zipWithIndex.map { case (l, i) =>
+        struct(lit(l).as("split"), col(s"__e$i").as("present"),
+          (col(s"__e$i") * $"__t").as("shared"))
+      }: _*)).as("x"))
+      .groupBy($"x.split".as("split"))
+      .agg(sum($"x.present").as("n_shingles"),
+        sum($"x.shared").as("shared_with_train"))
+      .withColumn("leak_pm", when($"n_shingles" > 0,
+        floor(lit(1000) * $"shared_with_train" / $"n_shingles").cast(LongType)))
+  }
+
+  /**
    * Line document-frequency table `(line_hash, n_docs)` — the persisted
    * index behind CCNet/RefinedWeb-style LINE-level dedup (drop lines
    * that recur across documents: nav bars, cookie banners, share

@@ -177,6 +177,51 @@ object UrlOps {
   }
 
   /**
+   * Crawl-to-crawl delta — classify every canonical URL present in
+   * either of two crawl snapshots by comparing content fingerprints:
+   *
+   *   - `added`     — in the current crawl only;
+   *   - `gone`      — in the previous crawl only;
+   *   - `changed`   — in both, fingerprint differs;
+   *   - `unchanged` — in both, fingerprint equal (null-safe): the web
+   *     archive's "revisit record", storable as a pointer to the prior
+   *     capture instead of a payload — at crawl scale most of the web
+   *     is `unchanged`, so this classification IS the storage win.
+   *
+   * This is the epoch-over-epoch read of the [[latestSnapshot]] /
+   * [[snapshotIncrement]] family (the reference's closest device is
+   * re-keying re-fetched frames by the same `streamId`,
+   * `model/CVParticle.java:41-49`; a crawl pipeline needs the diff made
+   * explicit). Feed it two snapshot tables keyed by the same canonical
+   * URL — one row per URL per side ([[latestSnapshot]] guarantees
+   * exactly that; duplicate keys would cross-multiply in the join).
+   *
+   * 100 TB shape: ONE full-outer hash equi-join on the key — both
+   * sides are corpus-scale crawls, so neither broadcasts; each hash-
+   * partitions on `urlCol` once (AQE splits skewed hosts) and the
+   * output is one row per URL in either epoch. Presence is tracked by
+   * join-side flags, not fingerprint nullness, so a legitimately NULL
+   * fingerprint on both sides classifies `unchanged`, and comparison is
+   * null-safe `<=>` (one-sided NULL reads `changed`, never NULL).
+   * Returns `(urlCol, status, fp_prev, fp_curr)` plus nothing else —
+   * join payloads back by URL per side if needed.
+   */
+  def crawlDelta(prev: DataFrame, curr: DataFrame, urlCol: String,
+      fpCol: String): DataFrame = {
+    val p = prev.select(col(urlCol), col(fpCol).as("fp_prev"),
+      lit(true).as("__in_prev"))
+    val c = curr.select(col(urlCol), col(fpCol).as("fp_curr"),
+      lit(true).as("__in_curr"))
+    p.join(c, Seq(urlCol), "full_outer")
+      .withColumn("status",
+        when(col("__in_prev").isNull, lit("added"))
+          .when(col("__in_curr").isNull, lit("gone"))
+          .when(col("fp_prev") <=> col("fp_curr"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col(urlCol), col("status"), col("fp_prev"), col("fp_curr"))
+  }
+
+  /**
    * Robots-exclusion verdicts (RFC 9309 core) — the crawl-compliance
    * gate a Common-Crawl-style pipeline applies before fetching or
    * admitting a page. `robots` is the parsed per-host rule table

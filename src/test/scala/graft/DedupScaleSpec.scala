@@ -335,4 +335,61 @@ class DedupScaleSpec extends SparkSpec {
     val planes = Seq(1e4, 1e6, 1e8, 1e10).map(n => Dedup.nPlanesForCorpus(n.toLong))
     assert(planes == planes.sorted)
   }
+
+  test("splitLeakage: hand-computed matrix, distinct-shingle semantics, empty split") {
+    import spark.implicits._
+    val docs = Seq(
+      ("train", "a b c"),      // train shingles: {a b, b c}
+      ("val",   "a b x"),      // val: {a b, b x} -> 1 of 2 in train
+      ("test",  "p q r"),      // test: {p q, q r}
+      ("test",  "b c z"),      // + {b c, c z} -> 1 of 4 in train
+      ("test",  "b c z")       // exact dup doc: distinct shingles unchanged
+    ).toDF("split", "text")
+    val got = Dedup.splitLeakage(docs, "text", "split", n = 2,
+        trainLabel = "train", evalLabels = Seq("val", "test"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("val") == ((2L, 1L, 500L)), s"val row: ${got("val")}")
+    assert(got("test") == ((4L, 1L, 250L)), s"test row: ${got("test")}")
+
+    // an empty eval split still gets its row, with NULL leak_pm
+    val withEmpty = Dedup.splitLeakage(docs, "text", "split", n = 2,
+        trainLabel = "train", evalLabels = Seq("val", "dev"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(withEmpty("dev") == ((0L, 0L, -1L)), s"dev row: ${withEmpty("dev")}")
+
+    // total containment reads 1000; zero overlap reads 0
+    val extremes = Dedup.splitLeakage(Seq(
+        ("train", "a b c d"), ("val", "b c d"), ("test", "x y z")
+      ).toDF("split", "text"), "text", "split", n = 2,
+        trainLabel = "train", evalLabels = Seq("val", "test"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(extremes == Map("val" -> 1000L, "test" -> 0L))
+  }
+
+  test("splitLeakage plan: one shingle exchange + flag-max collapse, no self-join") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select(when($"doc_id" % 5 === 0, "val")
+          .when($"doc_id" % 5 === 1, "test").otherwise("train").as("split"),
+        $"text")
+    val out = Dedup.splitLeakage(docs, "text", "split", n = 3,
+      trainLabel = "train", evalLabels = Seq("val", "test"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"leakage must not plan a join:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_first") ||
+      p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"flag collapse not partial-aggregated:\n$p")
+    // invariance: the matrix is a pure function of (split, text) content
+    val shuffled = Dedup.splitLeakage(docs.repartition(13, $"text"), "text",
+      "split", n = 3, trainLabel = "train", evalLabels = Seq("val", "test"))
+    assert(out.collect().toSet == shuffled.collect().toSet)
+    intercept[IllegalArgumentException](Dedup.splitLeakage(
+      docs, "text", "split", 3, "train", Seq.empty))
+    intercept[IllegalArgumentException](Dedup.splitLeakage(
+      docs, "text", "split", 3, "train", Seq("train", "val")))
+    intercept[IllegalArgumentException](Dedup.splitLeakage(
+      docs, "text", "split", 3, "train", Seq("val", "val")))
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.OrderStats
+
+/** Exact distributed order statistics (the distinct-value-histogram
+  * construction): brute-force oracle, type-1 edge semantics, and the
+  * no-global-sort plan shape. */
+class OrderStatsSpec extends SparkSpec {
+
+  test("randomized brute-force oracle with heavy ties and a single-row group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(500)(_ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(12).toLong)) :+ ("solo", 7L)
+    val qs = Seq(1, 250, 500, 750, 999, 1000)
+    val got = OrderStats.exactQuantilesByGroup(rows.toDF("g", "v"), "g", "v", qs)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val byG = rows.groupBy(_._1)
+    for ((g, grp) <- byG; q <- qs) {
+      val vs = grp.map(_._2).sorted
+      val k = math.max(1, math.ceil(q * vs.size / 1000.0).toInt)
+      assert(got((g, q)) == vs(k - 1), s"group $g q_pm=$q n=${vs.size}")
+    }
+    assert(got.size == byG.size * qs.size, "one row per (group, rank)")
+  }
+
+  test("type-1 semantics: even n takes the LOWER middle; q=1 the min; nulls excluded") {
+    import spark.implicits._
+    val df = Seq(("a", Option(4L)), ("a", Option(1L)), ("a", Option(3L)),
+      ("a", Option(2L)), ("a", Option.empty[Long])).toDF("g", "v")
+    val got = OrderStats.exactQuantilesByGroup(df, "g", "v", Seq(1, 500, 1000))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(got(1) == 1L, "q_pm=1 is the minimum (rank ceil(n/1000)=1)")
+    assert(got(500) == 2L, "even-n median is the lower middle element")
+    assert(got(1000) == 4L, "q_pm=1000 is the maximum")
+  }
+
+  test("plan is histogram-shaped: no global range sort, rank join broadcast, partial aggs") {
+    import spark.implicits._
+    val df = Seq.tabulate(400)(i => (s"g${i % 3}", (i % 10).toLong)).toDF("g", "v")
+    val out = OrderStats.exactQuantilesByGroup(df, "g", "v", Seq(500, 990))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"), s"global sort leaked in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"rank table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked in:\n$p")
+    assert(p.contains("partial_count"), s"histogram not map-side combined:\n$p")
+    assert(p.contains("partial_min"), s"rank selection not map-side combined:\n$p")
+  }
+
+  test("partitioning invariance and validation") {
+    import spark.implicits._
+    val rows = Seq.tabulate(300)(i => (s"g${i % 2}", (i % 7).toLong))
+    val a = OrderStats.exactQuantilesByGroup(
+      rows.toDF("g", "v").repartition(1), "g", "v", Seq(500))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    val b = OrderStats.exactQuantilesByGroup(
+      rows.toDF("g", "v").repartition(7, $"v"), "g", "v", Seq(500))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(a == b, "result must not depend on input partitioning")
+    val df = rows.toDF("g", "v")
+    intercept[IllegalArgumentException](
+      OrderStats.exactQuantilesByGroup(df, "g", "v", Seq.empty))
+    intercept[IllegalArgumentException](
+      OrderStats.exactQuantilesByGroup(df, "g", "v", Seq(0)))
+    intercept[IllegalArgumentException](
+      OrderStats.exactQuantilesByGroup(df, "g", "v", Seq(1001)))
+    intercept[IllegalArgumentException](
+      OrderStats.exactQuantilesByGroup(df, "g", "v", Seq(500, 500)))
+  }
+}

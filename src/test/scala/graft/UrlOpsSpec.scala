@@ -232,6 +232,45 @@ class UrlOpsSpec extends SparkSpec {
     assert(keys.forall(_.startsWith("com,example")))
   }
 
+  test("crawlDelta: all four statuses, null-safe fingerprint comparison") {
+    import spark.implicits._
+    val prev = Seq(
+      ("u1", Some("a")),           // unchanged
+      ("u2", Some("b")),           // changed (b -> b2)
+      ("u3", Some("c")),           // gone
+      ("u4", Option.empty[String]),// unchanged with NULL fp both sides
+      ("u5", Some("e"))            // changed: fp went NULL
+    ).toDF("url", "fp")
+    val curr = Seq(
+      ("u1", Some("a")),
+      ("u2", Some("b2")),
+      ("u4", Option.empty[String]),
+      ("u5", Option.empty[String]),
+      ("u6", Some("f"))            // added
+    ).toDF("url", "fp")
+    val got = UrlOps.crawlDelta(prev, curr, "url", "fp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("u1" -> "unchanged", "u2" -> "changed", "u3" -> "gone",
+      "u4" -> "unchanged", "u5" -> "changed", "u6" -> "added"))
+  }
+
+  test("crawlDelta plan: one full-outer hash equi-join, neither side broadcast") {
+    import spark.implicits._
+    val prev = Seq.tabulate(300)(i => (s"u$i", s"f$i")).toDF("url", "fp")
+    val curr = Seq.tabulate(300)(i => (s"u${i + 100}", s"f$i")).toDF("url", "fp")
+    val out = UrlOps.crawlDelta(prev, curr, "url", "fp")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), s"not a full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"cartesian leaked in:\n$p")
+    // both crawls are corpus-scale: the join must be a shuffled equi-join
+    // even when one side is small enough to broadcast in a test
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a shuffled equi-join:\n$p")
+    assert(out.where(col("status") === "added").count() == 100)
+    assert(out.where(col("status") === "gone").count() == 100)
+  }
+
   test("surt index read path: StartsWith prefix lookup pushed to the parquet scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("surtidx").toString + "/idx"
