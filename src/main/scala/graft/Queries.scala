@@ -3595,6 +3595,25 @@ object Queries {
       SELECT 'test', cast(sum(e) AS BIGINT), cast(sum(e*t) AS BIGINT),
           cast(1000 * sum(e*t) // sum(e) AS BIGINT) FROM fl"""))
 
+  // q111: percentile-band outlier gate — per-source n_chars trimmed to
+  // the [p5, p99] type-1 band (OrderStats.bandGateVerdicts; inclusive
+  // endpoints). Oracle recomputes the bounds via the independent
+  // row_number construction and re-applies the band rowwise.
+  private val q111 = QueryDef("q111_length_band_gate",
+    (s, d) => OrderStats.bandGateVerdicts(
+        rd(s, d, "documents"), "source", "n_chars", loPm = 50, hiPm = 990)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("kept")),
+    Some("""WITH r AS (SELECT source, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        count(*) OVER (PARTITION BY source) AS n FROM documents),
+      b AS (SELECT source,
+          min(CASE WHEN rn * 1000 >= 50 * n THEN n_chars END) AS lo,
+          min(CASE WHEN rn * 1000 >= 990 * n THEN n_chars END) AS hi
+        FROM r GROUP BY source)
+      SELECT d.doc_id, d.source, d.n_chars,
+        d.n_chars >= b.lo AND d.n_chars <= b.hi AS kept
+      FROM documents d JOIN b USING (source)"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3604,5 +3623,5 @@ object Queries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
-    q110)
+    q110, q111)
 }

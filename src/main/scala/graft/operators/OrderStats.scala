@@ -84,4 +84,45 @@ object OrderStats {
       .groupBy(col(groupCol), $"q_pm")
       .agg(min(col(valueCol)).as("value"))
   }
+
+  /**
+   * Per-group percentile-BAND outlier gate — the data-dependent trim
+   * every webtext recipe applies (C4/Gopher-style: drop the tails of
+   * the per-source length distribution; a fixed absolute threshold is
+   * wrong across sources whose length scales differ by 100×). Flags
+   * each row with `kept` = value within the group's
+   * `[loPm, hiPm]` per-mille band (type-1 quantiles, inclusive both
+   * ends — the band ENDPOINTS are elements and survive their own gate).
+   * Verdict-not-filter, like [[UrlOps.robotsVerdicts]]: the audit trail
+   * is the point of a gate; callers `.where($"kept")` to apply it.
+   *
+   * Two passes by construction — any EXACT data-dependent threshold
+   * needs one pass to learn the threshold and one to apply it. Pass 1
+   * is [[exactQuantilesByGroup]]'s collapsed histogram (map-side
+   * combine does the corpus→domain reduction before the exchange);
+   * pass 2 is a broadcast join of the per-group bounds table (groups ×
+   * 2 longs — KBs at any corpus size) back onto the scan, so the
+   * corpus itself is never shuffled. The single-pass alternative is the
+   * approximate [[Sketches.approxTokenQuantiles]]; use this one where
+   * the gate must be digit-reproducible.
+   *
+   * NULL values and rows of groups with no non-NULL values read
+   * `kept = false` (a gate decides; it never returns NULL).
+   */
+  def bandGateVerdicts(df: DataFrame, groupCol: String, valueCol: String,
+      loPm: Int, hiPm: Int): DataFrame = {
+    require(loPm < hiPm, s"band must be non-empty: [$loPm, $hiPm]")
+    val reserved = Seq("__lo", "__hi", "kept")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not carry ${reserved.mkString("/")}")
+    val bounds = exactQuantilesByGroup(df, groupCol, valueCol, Seq(loPm, hiPm))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("q_pm") === loPm, col("value"))).as("__lo"),
+        min(when(col("q_pm") === hiPm, col("value"))).as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn("kept", coalesce(
+        col(valueCol).cast(LongType).between(col("__lo"), col("__hi")),
+        lit(false)))
+      .drop("__lo", "__hi")
+  }
 }

@@ -49,6 +49,48 @@ class OrderStatsSpec extends SparkSpec {
     assert(p.contains("partial_min"), s"rank selection not map-side combined:\n$p")
   }
 
+  test("bandGateVerdicts: inclusive endpoints, NULLs dropped, brute-force oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(400)(_ =>
+      (s"g${rnd.nextInt(3)}", Option(rnd.nextInt(100).toLong))) :+
+      ("g0", Option.empty[Long])
+    val got = OrderStats.bandGateVerdicts(
+        rows.toDF("g", "v"), "g", "v", loPm = 100, hiPm = 900)
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_ => r.getLong(1)),
+        r.getBoolean(2))).toSeq
+    val bounds = rows.filter(_._2.isDefined).groupBy(_._1).map { case (g, grp) =>
+      val vs = grp.flatMap(_._2).sorted
+      def at(q: Int) = vs(math.max(1, math.ceil(q * vs.size / 1000.0).toInt) - 1)
+      g -> (at(100), at(900))
+    }
+    assert(got.size == rows.size, "verdict per input row, none dropped")
+    for ((g, v, kept) <- got) {
+      val want = v.exists(x => x >= bounds(g)._1 && x <= bounds(g)._2)
+      assert(kept == want, s"($g, $v): kept=$kept want=$want")
+    }
+    // the band endpoints themselves survive their own gate
+    val (lo0, hi0) = bounds("g0")
+    assert(got.filter(r => r._1 == "g0" && r._2.exists(v => v == lo0 || v == hi0))
+      .forall(_._3))
+    // NULL value reads kept = false, never NULL
+    assert(got.collect { case ("g0", None, k) => k } == Seq(false))
+  }
+
+  test("bandGateVerdicts plan: bounds broadcast back, corpus never shuffled") {
+    import spark.implicits._
+    val df = Seq.tabulate(300)(i => (s"g${i % 2}", (i % 50).toLong)).toDF("g", "v")
+    val out = OrderStats.bandGateVerdicts(df, "g", "v", 50, 950)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"bounds not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shuffled for the gate join:\n$p")
+    intercept[IllegalArgumentException](
+      OrderStats.bandGateVerdicts(df, "g", "v", 900, 900))
+    intercept[IllegalArgumentException](OrderStats.bandGateVerdicts(
+      df.withColumn("kept", lit(true)), "g", "v", 1, 1000))
+  }
+
   test("partitioning invariance and validation") {
     import spark.implicits._
     val rows = Seq.tabulate(300)(i => (s"g${i % 2}", (i % 7).toLong))
