@@ -254,6 +254,38 @@ class UrlOpsSpec extends SparkSpec {
       "u4" -> "unchanged", "u5" -> "changed", "u6" -> "added"))
   }
 
+  test("crawlDelta composes with snapshotIncrement: accumulated vs independent epochs") {
+    import spark.implicits._
+    def fpTable(snap: org.apache.spark.sql.DataFrame) =
+      snap.select($"canon_url".as("url"), md5($"content".cast("binary")).as("fp"))
+    val e1 = Seq(
+      ("http://a/u1", 1L, "A"),
+      ("http://a/u2", 1L, "B"), ("http://a/u2", 2L, "B2"), // re-crawl in-epoch
+      ("http://a/u3", 1L, "C")
+    ).toDF("url", "ts", "content")
+    val e2 = Seq(
+      ("http://a/u1", 3L, "A"),   // re-fetched, same bytes
+      ("http://a/u2", 3L, "B3"),  // re-fetched, new bytes
+      ("http://a/u4", 3L, "D")    // first seen; u3 NOT re-fetched
+    ).toDF("url", "ts", "content")
+    val snap1 = UrlOps.latestSnapshot(e1, "url", "ts")
+    // accumulated snapshots (the snapshotIncrement serving table) carry
+    // un-re-fetched urls forward: epoch-over-epoch delta on them can
+    // read added/changed/unchanged but NEVER 'gone' — a crawl table
+    // doesn't forget. u3 reads unchanged (carried capture).
+    val snap2 = UrlOps.snapshotIncrement(snap1, e2, "url", "ts")
+    val acc = UrlOps.crawlDelta(fpTable(snap1), fpTable(snap2), "url", "fp")
+      .collect().map(r => r.getString(0).split("/").last -> r.getString(1)).toMap
+    assert(acc == Map("u1" -> "unchanged", "u2" -> "changed",
+      "u3" -> "unchanged", "u4" -> "added"))
+    // independent per-epoch snapshots are the 'gone'-capable comparison
+    val ind = UrlOps.crawlDelta(
+        fpTable(snap1), fpTable(UrlOps.latestSnapshot(e2, "url", "ts")),
+        "url", "fp")
+      .collect().map(r => r.getString(0).split("/").last -> r.getString(1)).toMap
+    assert(ind("u3") == "gone" && ind("u2") == "changed" && ind("u4") == "added")
+  }
+
   test("crawlDelta plan: one full-outer hash equi-join, neither side broadcast") {
     import spark.implicits._
     val prev = Seq.tabulate(300)(i => (s"u$i", s"f$i")).toDF("url", "fp")
