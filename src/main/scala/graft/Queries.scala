@@ -3614,6 +3614,72 @@ object Queries {
         d.n_chars >= b.lo AND d.n_chars <= b.hi AS kept
       FROM documents d JOIN b USING (source)"""))
 
+  // q112: LSH recall eval — the knob-tuning readout: minhash-LSH at a
+  // deliberately under-banded config (bands=2) scored against the exact
+  // capped-universe Jaccard truth (q20's formula). LSH output is
+  // candidate∩truth by construction (candidates are verified with the
+  // same threshold), so precision reads 1000 and recall measures what
+  // the 2 bands miss. Oracle rebuilds truth, the 2-band bucket join,
+  // verification, and the confusion counts independently.
+  private val q112 = QueryDef("q112_lsh_recall_eval",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      Dedup.pairSetEval(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, minJaccQ = 500, maxDf = 50),
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, bands = 2, minJaccQ = 500, maxDf = 50))
+    },
+    Some(s"""WITH $cappedShinglesSql,
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      tin AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (SELECT ia, ib FROM tin
+        JOIN sizes sa ON tin.ia = sa.doc_id
+        JOIN sizes sb ON tin.ib = sb.doc_id
+        WHERE floor(1000 * i / (sa.sz + sb.sz - i)) >= 500),
+      mh AS (SELECT doc_id, b.band, min(md5(shingle || '|' || b.band)) AS sig
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band) b
+        GROUP BY doc_id, b.band),
+      cand AS (SELECT DISTINCT l.doc_id AS ia, r.doc_id AS ib
+        FROM mh l JOIN mh r ON l.band = r.band AND l.sig = r.sig
+          AND l.doc_id < r.doc_id),
+      got AS (SELECT tin.ia, tin.ib FROM tin
+        JOIN cand ON cand.ia = tin.ia AND cand.ib = tin.ib
+        JOIN sizes sa ON tin.ia = sa.doc_id
+        JOIN sizes sb ON tin.ib = sb.doc_id
+        WHERE floor(1000 * i / (sa.sz + sb.sz - i)) >= 500),
+      hit AS (SELECT count(*) AS h FROM got
+        JOIN truth ON truth.ia = got.ia AND truth.ib = got.ib)
+      SELECT cast(t.c AS BIGINT) AS n_truth, cast(g.c AS BIGINT) AS n_got,
+        cast(hit.h AS BIGINT) AS n_hit,
+        cast(1000 * hit.h // t.c AS BIGINT) AS recall_pm,
+        cast(1000 * hit.h // g.c AS BIGINT) AS precision_pm
+      FROM (SELECT count(*) AS c FROM truth) t,
+        (SELECT count(*) AS c FROM got) g, hit"""))
+
+  // q113: exact quantiles SERVED off the persisted histogram index,
+  // built in two increments (the q52 ≡ q33 convention: chunked index
+  // build, full-recompute oracle — q109's SQL verbatim).
+  private val q113 = QueryDef("q113_quantiles_served",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val h1 = OrderStats.histogramOf(
+        docs.where(col("doc_id") % 2 === 0), "source", "n_chars")
+      val h2 = OrderStats.histogramIncrement(h1,
+        docs.where(col("doc_id") % 2 === 1), "source", "n_chars")
+      OrderStats.quantilesFromHistogram(h2, "source", "n_chars",
+        Seq(250, 500, 750, 990))
+    },
+    Some("""WITH r AS (SELECT source, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        count(*) OVER (PARTITION BY source) AS n FROM documents),
+      q AS (SELECT cast(unnest([250, 500, 750, 990]) AS INTEGER) AS q_pm)
+      SELECT source, q_pm, min(n_chars) AS value
+      FROM r, q WHERE rn * 1000 >= q_pm * n
+      GROUP BY source, q_pm"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3623,5 +3689,5 @@ object Queries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
-    q110, q111)
+    q110, q111, q112, q113)
 }

@@ -688,6 +688,40 @@ object Dedup {
   }
 
   /**
+   * Pair-set EVAL — recall/precision of one candidate-pair generator
+   * against another taken as ground truth, the "measure, don't guess"
+   * readout behind every LSH/SimHash/ANN knob in this engine (how many
+   * bands? which maxDist? how many probes?). Tuning at 100 TB is done
+   * on a deterministic [[Sampling.bernoulli]] slice small enough for an
+   * exact all-pairs truth set, then the measured config is applied to
+   * the full corpus — this operator is the comparator for that loop
+   * (the ANN twin lives in `tools/RecallReport`; this one is
+   * oracle-gated and composes with any pair producer).
+   *
+   * Inputs are canonical pair tables `(id_a, id_b)` with `id_a < id_b`
+   * (every producer in [[Dedup]] emits exactly that); extra columns are
+   * ignored. ONE full-outer equi-join on the pair key + a single global
+   * aggregate — both sides hash-partition on (id_a, id_b), nothing is
+   * broadcast, output is one row:
+   * `(n_truth, n_got, n_hit, recall_pm, precision_pm)` with the rates
+   * in integer per-mille (floor), NULL when the denominator is empty.
+   */
+  def pairSetEval(truth: DataFrame, got: DataFrame): DataFrame = {
+    val t = truth.select($"id_a", $"id_b", lit(1L).as("__t"))
+    val g = got.select($"id_a", $"id_b", lit(1L).as("__g"))
+    t.join(g, Seq("id_a", "id_b"), "full_outer")
+      .agg(coalesce(sum(coalesce($"__t", lit(0L))), lit(0L)).as("n_truth"),
+        coalesce(sum(coalesce($"__g", lit(0L))), lit(0L)).as("n_got"),
+        coalesce(sum(coalesce($"__t", lit(0L)) * coalesce($"__g", lit(0L))),
+          lit(0L)).as("n_hit"))
+      .select($"n_truth", $"n_got", $"n_hit",
+        when($"n_truth" > 0, floor(lit(1000) * $"n_hit" / $"n_truth")
+          .cast(LongType)).as("recall_pm"),
+        when($"n_got" > 0, floor(lit(1000) * $"n_hit" / $"n_got")
+          .cast(LongType)).as("precision_pm"))
+  }
+
+  /**
    * Line document-frequency table `(line_hash, n_docs)` — the persisted
    * index behind CCNet/RefinedWeb-style LINE-level dedup (drop lines
    * that recur across documents: nav bars, cookie banners, share

@@ -59,24 +59,62 @@ object OrderStats {
    * (group, requested rank), `value` typed LONG.
    */
   def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
-      qsPerMille: Seq[Int]): DataFrame = {
+      qsPerMille: Seq[Int]): DataFrame =
+    quantilesFromHistogram(histogramOf(df, groupCol, valueCol),
+      groupCol, valueCol, qsPerMille)
+
+  /** The collapsed `(group, value, cnt)` histogram of non-NULL values —
+    * step 1 above, also the PERSISTABLE index layout behind
+    * [[histogramIncrement]]. */
+  def histogramOf(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast(LongType).as(valueCol))
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Incremental maintenance of a persisted histogram table — exact
+   * quantiles as a SERVED INDEX, the same persisted+incremental
+   * discipline as the postings / band / IVF tables: counts are
+   * additive, so folding an epoch is `union` + one re-aggregation on
+   * `(group, value)` — row counts stay histogram-scale (distinct
+   * values), the corpus is touched once per epoch and NEVER re-read to
+   * answer a quantile. Serving is [[quantilesFromHistogram]] off the
+   * table.
+   *
+   * PRECONDITION (the count-shaped-increment rule, same as
+   * `spanStatsIncrement`): `fresh` must be disjoint from rows already
+   * folded in — exactly-once epochs; the sink manifest's
+   * re-delivered-epoch detection gives streaming callers this for
+   * free. A replayed chunk inflates counts silently.
+   */
+  def histogramIncrement(history: DataFrame, fresh: DataFrame,
+      groupCol: String, valueCol: String): DataFrame = {
+    require(history.columns.toSeq == Seq(groupCol, valueCol, "cnt"),
+      s"history must be ($groupCol, $valueCol, cnt); got " +
+        history.columns.mkString(","))
+    history.unionByName(histogramOf(fresh, groupCol, valueCol))
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Steps 2–3 above over an existing histogram: rank selection by pure
+    * integer arithmetic. `hist` is a [[histogramOf]] /
+    * [[histogramIncrement]] output (or any `(group, value, cnt)` table
+    * with positive counts). */
+  def quantilesFromHistogram(hist: DataFrame, groupCol: String,
+      valueCol: String, qsPerMille: Seq[Int]): DataFrame = {
     require(qsPerMille.nonEmpty, "qsPerMille must be non-empty")
     require(qsPerMille.forall(q => q >= 1 && q <= 1000),
       s"per-mille ranks must be in [1, 1000]: $qsPerMille")
     require(qsPerMille.distinct.size == qsPerMille.size,
       s"duplicate ranks would duplicate output rows: $qsPerMille")
-    val sp = df.sparkSession
+    val sp = hist.sparkSession
     import sp.implicits._
-
-    val hist = df
-      .where(col(valueCol).isNotNull)
-      .select(col(groupCol), col(valueCol).cast(LongType).as(valueCol))
-      .groupBy(col(groupCol), col(valueCol))
-      .agg(count(lit(1)).as("__cnt"))
     val byGroup = Window.partitionBy(col(groupCol))
     val cum = hist
-      .withColumn("__cum", sum($"__cnt").over(byGroup.orderBy(col(valueCol))))
-      .withColumn("__n", sum($"__cnt").over(byGroup))
+      .withColumn("__cum", sum($"cnt").over(byGroup.orderBy(col(valueCol))))
+      .withColumn("__n", sum($"cnt").over(byGroup))
     // rank-k membership: cum >= ceil(q·n/1000)  ⇔  1000·cum >= q·n for
     // integral cum (safe to 9·10^15 rows per group before long overflow)
     cum.crossJoin(broadcast(qsPerMille.toDF("q_pm")))

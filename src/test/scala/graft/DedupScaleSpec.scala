@@ -368,6 +368,43 @@ class DedupScaleSpec extends SparkSpec {
     assert(extremes == Map("val" -> 1000L, "test" -> 0L))
   }
 
+  test("pairSetEval: hand-computed confusion counts, empty-side edges") {
+    import spark.implicits._
+    def pairs(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+    val r = Dedup.pairSetEval(
+        pairs((1L, 2L), (1L, 3L), (2L, 3L)),
+        pairs((1L, 3L), (2L, 3L), (4L, 5L)).withColumn("extra", lit("ignored")))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 2L)))
+    assert(r.getLong(3) == 666L && r.getLong(4) == 666L)
+    // empty truth: recall undefined (NULL), precision 0
+    val et = Dedup.pairSetEval(pairs(), pairs((1L, 2L))).collect().head
+    assert((et.getLong(0), et.getLong(1), et.getLong(2)) == ((0L, 1L, 0L)))
+    assert(et.isNullAt(3) && et.getLong(4) == 0L)
+    // both empty: zero counts, both rates NULL
+    val eb = Dedup.pairSetEval(pairs(), pairs()).collect().head
+    assert((eb.getLong(0), eb.getLong(1), eb.getLong(2)) == ((0L, 0L, 0L)))
+    assert(eb.isNullAt(3) && eb.isNullAt(4))
+  }
+
+  test("pairSetEval: more LSH bands never lose recall; verified LSH has precision 1000") {
+    import spark.implicits._
+    val corpus = docs.where($"doc_id" < 120)
+    val truth = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, minJaccQ = 300, maxDf = 0)
+    def recallAt(bands: Int): (Long, Long) = {
+      val r = Dedup.pairSetEval(truth, Dedup.minhashLshPairs(corpus, "doc_id",
+          "text", n = 3, bands = bands, minJaccQ = 300, maxDf = 0))
+        .collect().head
+      (r.getLong(3), if (r.isNullAt(4)) 1000L else r.getLong(4))
+    }
+    val (r1, p1) = recallAt(1)
+    val (r8, p8) = recallAt(8)
+    assert(r8 >= r1, s"recall fell with more bands: $r1 -> $r8")
+    assert(p1 == 1000L && p8 == 1000L,
+      "candidate-verified LSH must never emit a below-threshold pair")
+  }
+
   test("splitLeakage plan: one shingle exchange + flag-max collapse, no self-join") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))

@@ -91,6 +91,32 @@ class OrderStatsSpec extends SparkSpec {
       df.withColumn("kept", lit(true)), "g", "v", 1, 1000))
   }
 
+  test("histogramIncrement: ANY chunked build serves the same quantiles as one pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(600)(i => (i.toLong, s"g${rnd.nextInt(3)}",
+      rnd.nextInt(40).toLong))
+    val df = rows.toDF("id", "g", "v")
+    val qs = Seq(100, 500, 900)
+    val want = OrderStats.exactQuantilesByGroup(df, "g", "v", qs)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (cut <- Seq(1L, 137L, 599L)) {
+      val h1 = OrderStats.histogramOf(df.where($"id" < cut), "g", "v")
+      val h2 = OrderStats.histogramIncrement(h1, df.where($"id" >= cut), "g", "v")
+      val got = OrderStats.quantilesFromHistogram(h2, "g", "v", qs)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"chunked(cut=$cut) != one-pass")
+      // the folded histogram is count-exact, not just quantile-exact
+      assert(h2.agg(sum($"cnt")).collect().head.getLong(0) == rows.size)
+    }
+    // the documented precondition is real: a REPLAYED chunk inflates counts
+    val h1 = OrderStats.histogramOf(df, "g", "v")
+    val replayed = OrderStats.histogramIncrement(h1, df.where($"id" < 50), "g", "v")
+    assert(replayed.agg(sum($"cnt")).collect().head.getLong(0) == rows.size + 50)
+    intercept[IllegalArgumentException](OrderStats.histogramIncrement(
+      h1.select($"v", $"g", $"cnt"), df, "g", "v"))
+  }
+
   test("partitioning invariance and validation") {
     import spark.implicits._
     val rows = Seq.tabulate(300)(i => (s"g${i % 2}", (i % 7).toLong))
