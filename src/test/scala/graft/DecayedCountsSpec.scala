@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DecayedCounts
+
+/** Epoch-decayed counters: scalar-fold oracle, shift-semantics edges,
+  * partitioning invariance. */
+class DecayedCountsSpec extends SparkSpec {
+
+  /** The operator's contract as a plain Scala fold. */
+  private def reference(rows: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    rows.groupBy(_._1).map { case (k, rs) =>
+      val counts = rs.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val folded = counts.foldLeft((Option.empty[Long], 0L)) {
+        case ((pe, s), (e, c)) =>
+          val dec = pe match {
+            case Some(p) if e - p < 63 => s >> (e - p).toInt
+            case _ => 0L
+          }
+          (Some(e), dec + c)
+      }
+      k -> (folded._1.get, folded._2)
+    }
+
+  private def run(rows: Seq[(Long, Long)], partitions: Int = 4): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    DecayedCounts.decayedByKey(
+        rows.toDF("k", "e").repartition(partitions), "k", "e")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("hand cases: burst halves per idle epoch, gaps fold in one shift, 63+ zeroes") {
+    // one key, counts 5@e1, 2@e3, 7@e4: ((5>>2)+2)>>1 + 7 = 8
+    val burst = Seq.fill(5)((1L, 1L)) ++ Seq.fill(2)((1L, 3L)) ++ Seq.fill(7)((1L, 4L))
+    assert(run(burst) == Map(1L -> ((4L, 8L))))
+    // ancient burst is a hard zero across a 100-epoch gap (no %64 wrap:
+    // a mod-64 shift would read 100 % 64 = 36 and leak score through)
+    val ancient = Seq.fill(1000)((2L, 0L)) :+ ((2L, 100L))
+    assert(run(ancient) == Map(2L -> ((100L, 1L))))
+    // negative epochs fold fine: 2@-5 halves to 1 across the 1-epoch
+    // gap, +1 at -4
+    assert(run(Seq((3L, -5L), (3L, -5L), (3L, -4L))) == Map(3L -> ((-4L, 2L))))
+    // single epoch: score = raw count
+    assert(run(Seq((4L, 9L), (4L, 9L))) == Map(4L -> ((9L, 2L))))
+  }
+
+  test("randomized: operator equals the scalar fold, any partitioning") {
+    val rnd = new scala.util.Random(19)
+    val rows = Seq.fill(3000)((rnd.nextInt(40).toLong,
+      (rnd.nextInt(30) + (if (rnd.nextBoolean()) 0 else 70)).toLong))
+    val want = reference(rows)
+    assert(run(rows, 1) == want)
+    assert(run(rows, 16) == want)
+  }
+
+  test("serving at a horizon is one more shift (the fold's own step)") {
+    // score at horizon h = decay(score, h - last_epoch): check against a
+    // reference fold that includes an empty horizon epoch
+    val rows = Seq.fill(9)((1L, 10L)) ++ Seq.fill(4)((1L, 12L))
+    val (le, s) = run(rows)(1L)
+    assert((le, s) == ((12L, (9L >> 2) + 4L)))
+    val atHorizon = s >> (15 - le).toInt
+    // folding an explicit count-0 epoch at 15 gives the same number
+    val withEmpty = reference(rows :+ ((1L, 15L)))(1L)._2 - 1L // minus the probe event
+    assert(atHorizon == withEmpty)
+  }
+}
