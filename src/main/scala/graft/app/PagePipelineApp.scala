@@ -21,6 +21,7 @@ import graft.streaming._
  *     --pages 1000000 --hosts 10000 --rate 50000 --checkpoint /cp \
  *     --table /out/pages_sessions --metrics /out/progress.jsonl \
  *     [--join-meta | --near-dup | --prep | --link-graph
+ *      | --trending [--trend-epoch 3600]
  *      | --oov-gate /lexicon.parquet [--oov-max 500]
  *      | --lm-gate /bigram_counts.parquet [--lm-min 30000]
  *      | --sem-gate /semgate_dir [--sem-tau 900000] [--sem-dim 32]
@@ -36,11 +37,12 @@ object PagePipelineApp {
   def main(args: Array[String]): Unit = {
     // valueless flags are parsed separately: pairing them positionally
     // would shift every later key/value option
-    val flags = Set("--join-meta", "--near-dup", "--prep", "--link-graph")
+    val flags = Set("--join-meta", "--near-dup", "--prep", "--link-graph",
+      "--trending")
     val valueOpts = Set("--pages", "--hosts", "--rate", "--checkpoint", "--table", "--metrics",
       "--buckets", "--bucket-by", "--jsonl", "--oov-gate", "--oov-max",
       "--lm-gate", "--lm-min", "--sem-gate", "--sem-tau", "--sem-dim",
-      "--linear-gate", "--linear-min")
+      "--linear-gate", "--linear-min", "--trend-epoch")
     val kvArgs = args.filterNot(flags.contains)
     // sliding(2, 2) silently discards a trailing odd element — a final
     // `--buckets` with no value would be ignored and the app would run
@@ -67,11 +69,12 @@ object PagePipelineApp {
     val nearDup = args.contains("--near-dup")
     val prep = args.contains("--prep")
     val linkGraph = args.contains("--link-graph")
+    val trending = args.contains("--trending")
     // modes are mutually exclusive — the mode chain below would otherwise
     // resolve a conflict silently by if/else order (e.g. --near-dup
     // --oov-gate would run the gate and silently skip dedup)
     val pickedModes = Seq("--join-meta" -> joinMeta, "--near-dup" -> nearDup,
-      "--prep" -> prep, "--link-graph" -> linkGraph,
+      "--prep" -> prep, "--link-graph" -> linkGraph, "--trending" -> trending,
       "--oov-gate" -> a.contains("--oov-gate"),
       "--lm-gate" -> a.contains("--lm-gate"),
       "--sem-gate" -> a.contains("--sem-gate"),
@@ -126,6 +129,22 @@ object PagePipelineApp {
         // late-drop semantics.
         (raw, (b: org.apache.spark.sql.DataFrame) =>
           graft.operators.LinkGraph.hostEdges(b, "html", "host"))
+      } else if (trending) {
+        // trending-host mode: epoch-decayed activity scores per host
+        // (streaming.Trending), one (key, epoch, score) row per ACTIVE
+        // (host, epoch) emitted exactly once when the watermark passes
+        // the epoch end — the crawl scheduler's "what is hot" feed.
+        // Counting is by ARRIVAL: the rate generator cycles page ids, so
+        // cycled re-crawls are genuine traffic to an activity counter
+        // (the link-graph-mode convention); compose StreamDedup upstream
+        // for unique-page semantics. Serving read of the table: newest
+        // row per key (max-struct over (epoch, score) — the
+        // latestSnapshot shape), then decay score by (horizon - epoch)
+        // right-shifts to compare keys "as of now", then top-k.
+        val epochUs = a.getOrElse("--trend-epoch", "3600").toLong * 1000000L
+        (Trending.fromEvents(spark, pages, "host", "warc_ts", epochUs,
+          watermark = "30 minutes").toDF(),
+          identity[org.apache.spark.sql.DataFrame] _)
       } else if (prep) {
         // the complete ingest prep chain (quality gate -> lang gate ->
         // exact dedup -> near-dup suppression) as ONE query; the gates
@@ -288,6 +307,7 @@ object PagePipelineApp {
       val sinkCols =
         if (prep || nearDup) Seq("id", "ts")
         else if (linkGraph) Seq("src_host", "dst_host", "n_links")
+        else if (trending) Seq("key", "epoch", "score")
         else out.columns.toSeq
       if (!sinkCols.contains(routeCol))
         sys.error(s"--bucket-by $routeCol is not a sink output column " +
@@ -298,6 +318,7 @@ object PagePipelineApp {
     // manifests alone (streaming epochs are naturally time-clustered)
     val statsCol =
       if (linkGraph) None // edge deltas carry no event time
+      else if (trending) None // epochs are already coarse time buckets
       else if (prep || nearDup) Some("ts")
       else if (joinMeta || a.contains("--oov-gate")
         || a.contains("--lm-gate") || a.contains("--sem-gate")
