@@ -3698,6 +3698,32 @@ object Queries {
                 ELSE acc.s >> (x.e - acc.e) END) + x.s}) AS r FROM l)
       SELECT user_id, r.e AS last_epoch, r.s AS score FROM f"""))
 
+  // q115: trending top-k at a horizon — the serving read of the decayed
+  // log: q114's fold per user (via decayedSeries rows) aged to a fixed
+  // horizon day, top 25 with bytewise id tie-break. Oracle reuses the
+  // q114 list_reduce (the newest series row IS the final fold) + the
+  // same decay CASE + ORDER/LIMIT.
+  private val q115 = QueryDef("q115_trending_topk",
+    (s, d) => DecayedCounts.topAtHorizon(
+      DecayedCounts.decayedSeries(
+        rd(s, d, "events").select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400).cast(LongType).as("day")),
+        "user_id", "day"),
+      "user_id", horizon = 19760L, k = 25)
+      .select(col("user_id"), col("last_epoch"), col("score_now")),
+    Some("""WITH c AS (SELECT user_id,
+          cast(floor(epoch(ts) / 86400) AS BIGINT) AS e,
+          count(*) AS s FROM events GROUP BY 1, 2),
+      l AS (SELECT user_id, list_sort(list({'e': e, 's': s})) AS xs
+        FROM c GROUP BY 1),
+      f AS (SELECT user_id, list_reduce(xs, (acc, x) -> {'e': x.e,
+          's': (CASE WHEN x.e - acc.e >= 63 THEN 0
+                ELSE acc.s >> (x.e - acc.e) END) + x.s}) AS r FROM l)
+      SELECT user_id, r.e AS last_epoch,
+        CASE WHEN 19760 - r.e >= 63 THEN 0
+             ELSE r.s >> (19760 - r.e) END AS score_now
+      FROM f ORDER BY score_now DESC, user_id LIMIT 25"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3707,5 +3733,5 @@ object Queries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
-    q110, q111, q112, q113, q114)
+    q110, q111, q112, q113, q114, q115)
 }

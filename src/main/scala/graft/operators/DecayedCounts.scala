@@ -107,4 +107,29 @@ object DecayedCounts {
     series.select(col(keyCol), explode(col("__series")).as("__x"))
       .select(col(keyCol), col("__x.e").as("epoch"), col("__x.s").as("score"))
   }
+
+  /**
+   * The SERVING read of a decayed-score log: current top-k at a horizon.
+   * `scores` is any `(keyCol, epoch, score)` table — [[decayedSeries]]
+   * output, or the log the `--trending` app mode appends (multiple rows
+   * per key; the newest ≤ horizon wins by max-struct, future rows are
+   * excluded first). Each key's score is aged to the horizon by the
+   * fold's own step (right-shifts, hard zero from 63), then ranked with
+   * a bytewise key tie-break.
+   *
+   * 100 TB shape: one partial-agg exchange to the per-key newest row,
+   * then `orderBy(...).limit(k)` — Spark plans TakeOrderedAndProject
+   * (per-partition heaps merged at the driver), never a global sort.
+   */
+  def topAtHorizon(scores: DataFrame, keyCol: String, horizon: Long,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    scores.where(col("epoch") <= horizon)
+      .groupBy(col(keyCol))
+      .agg(max(struct(col("epoch"), col("score"))).as("__l"))
+      .select(col(keyCol), col("__l.epoch").as("last_epoch"),
+        decay(col("__l.score"), lit(horizon) - col("__l.epoch")).as("score_now"))
+      .orderBy(col("score_now").desc, col(keyCol))
+      .limit(k)
+  }
 }

@@ -55,6 +55,32 @@ class DecayedCountsSpec extends SparkSpec {
     assert(run(rows, 16) == want)
   }
 
+  test("topAtHorizon: newest row wins, future rows excluded, ties break on key") {
+    import spark.implicits._
+    val log = Seq(
+      ("a", 10L, 9L), ("a", 12L, 6L),   // newest <= horizon: (12, 6)
+      ("b", 13L, 24L),                  // decays 2 epochs: 24 >> 2 = 6
+      ("b", 16L, 99L),                  // FUTURE row (> horizon): excluded
+      ("c", 15L, 7L),                   // at the horizon: no decay
+      ("d", 1L, 1000000L)               // ancient: stays (gap 14 < 63) -> 61
+    ).toDF("k", "epoch", "score")
+    val got = DecayedCounts.topAtHorizon(log, "k", horizon = 15L, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // d: 1000000 >> 14 = 61; c: 7; ties between a (6 @12>>3 ... wait: a
+    // decays (15-12)=3 -> 6>>3 = 0; b: 6. Order: d(61), c(7), b(6)
+    assert(got == Seq(("d", 1L, 61L), ("c", 15L, 7L), ("b", 13L, 6L)), got.toString)
+    // ties: equal scores rank bytewise by key
+    val ties = Seq(("x", 5L, 4L), ("w", 5L, 4L), ("y", 5L, 4L)).toDF("k", "epoch", "score")
+    val t = DecayedCounts.topAtHorizon(ties, "k", 5L, 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(t == Seq("w", "x"))
+    // plan: top-k must be TakeOrderedAndProject, never a global sort
+    val p = DecayedCounts.topAtHorizon(log, "k", 15L, 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"global sort leaked in:\n$p")
+    intercept[IllegalArgumentException](DecayedCounts.topAtHorizon(log, "k", 15L, 0))
+  }
+
   test("serving at a horizon is one more shift (the fold's own step)") {
     // score at horizon h = decay(score, h - last_epoch): check against a
     // reference fold that includes an empty horizon epoch
