@@ -53,9 +53,7 @@ object DecayedCounts {
    * the fold itself would do, so serving it stays row-local.
    */
   def decayedByKey(df: DataFrame, keyCol: String, epochCol: String): DataFrame = {
-    val counts = df
-      .groupBy(col(keyCol), col(epochCol).cast(LongType).as("e"))
-      .agg(count(lit(1)).as("s"))
+    val counts = epochCounts(df, keyCol, epochCol)
     counts.groupBy(col(keyCol))
       .agg(aggregate(
         array_sort(collect_list(struct(col("e"), col("s")))),
@@ -82,10 +80,19 @@ object DecayedCounts {
    * intermediate steps into a per-key array (≤ #active epochs) and
    * explodes it — row-local, never an event-scale window.
    */
-  def decayedSeries(df: DataFrame, keyCol: String, epochCol: String): DataFrame = {
-    val counts = df
-      .groupBy(col(keyCol), col(epochCol).cast(LongType).as("e"))
+  /** Per-(key, epoch) counts with the integral-epoch guard: a silently
+    * floor-truncated DOUBLE epoch would fold events into wrong buckets. */
+  private def epochCounts(df: DataFrame, keyCol: String,
+      epochCol: String): DataFrame = {
+    require(OrderStats.integralTypes.contains(df.schema(epochCol).dataType),
+      s"$epochCol must be integral (got ${df.schema(epochCol).dataType}); " +
+        "derive epochs explicitly (e.g. floor(unix_timestamp/86400).cast(long))")
+    df.groupBy(col(keyCol), col(epochCol).cast(LongType).as("e"))
       .agg(count(lit(1)).as("s"))
+  }
+
+  def decayedSeries(df: DataFrame, keyCol: String, epochCol: String): DataFrame = {
+    val counts = epochCounts(df, keyCol, epochCol)
     val zero = struct(
       array().cast("array<struct<e:bigint,s:bigint>>").as("out"),
       lit(Long.MinValue).as("pe"), lit(0L).as("sc"))

@@ -707,8 +707,14 @@ object Dedup {
    * in integer per-mille (floor), NULL when the denominator is empty.
    */
   def pairSetEval(truth: DataFrame, got: DataFrame): DataFrame = {
-    val t = truth.select($"id_a", $"id_b", lit(1L).as("__t"))
-    val g = got.select($"id_a", $"id_b", lit(1L).as("__g"))
+    // distinct before the join: a duplicated pair row on either side
+    // would cross-multiply in the full-outer join and silently corrupt
+    // every count — cheap insurance (partial-agg) on a MEASUREMENT
+    // operator, where a wrong number is worse than a slow one
+    val t = truth.select($"id_a", $"id_b").distinct()
+      .withColumn("__t", lit(1L))
+    val g = got.select($"id_a", $"id_b").distinct()
+      .withColumn("__g", lit(1L))
     t.join(g, Seq("id_a", "id_b"), "full_outer")
       .agg(coalesce(sum(coalesce($"__t", lit(0L))), lit(0L)).as("n_truth"),
         coalesce(sum(coalesce($"__g", lit(0L))), lit(0L)).as("n_got"),

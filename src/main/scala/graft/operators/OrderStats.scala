@@ -53,6 +53,11 @@ import org.apache.spark.sql.types.LongType
  */
 object OrderStats {
 
+  private[operators] val integralTypes: Set[org.apache.spark.sql.types.DataType] =
+    Set(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, LongType)
+
   /**
    * Exact per-group quantiles of an integral column at the given
    * per-mille ranks. Output: `(groupCol, q_pm, value)` — one row per
@@ -66,11 +71,19 @@ object OrderStats {
   /** The collapsed `(group, value, cnt)` histogram of non-NULL values —
     * step 1 above, also the PERSISTABLE index layout behind
     * [[histogramIncrement]]. */
-  def histogramOf(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+  def histogramOf(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // integral values only: silently truncating a DOUBLE into the long
+    // histogram would report quantiles of floor(value) as if they were
+    // exact — the caller must quantize explicitly (per-mille ints), as
+    // the object scaladoc prescribes
+    require(OrderStats.integralTypes.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (got ${df.schema(valueCol).dataType}); " +
+        "quantize continuous measures explicitly before calling")
     df.where(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol).cast(LongType).as(valueCol))
       .groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /**
    * Incremental maintenance of a persisted histogram table — exact

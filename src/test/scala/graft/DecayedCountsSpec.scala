@@ -53,6 +53,10 @@ class DecayedCountsSpec extends SparkSpec {
     val want = reference(rows)
     assert(run(rows, 1) == want)
     assert(run(rows, 16) == want)
+    // fractional epochs would bucket events wrongly under silent floor
+    import spark.implicits._
+    intercept[IllegalArgumentException](DecayedCounts.decayedByKey(
+      rows.toDF("k", "e").withColumn("e", $"e" + 0.25), "k", "e"))
   }
 
   test("topAtHorizon: newest row wins, future rows excluded, ties break on key") {

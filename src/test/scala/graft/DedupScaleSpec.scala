@@ -385,6 +385,12 @@ class DedupScaleSpec extends SparkSpec {
     val eb = Dedup.pairSetEval(pairs(), pairs()).collect().head
     assert((eb.getLong(0), eb.getLong(1), eb.getLong(2)) == ((0L, 0L, 0L)))
     assert(eb.isNullAt(3) && eb.isNullAt(4))
+    // duplicated pair rows must not cross-multiply the counts
+    val dup = Dedup.pairSetEval(
+        pairs((1L, 2L), (1L, 2L), (1L, 2L), (3L, 4L)),
+        pairs((1L, 2L), (1L, 2L)))
+      .collect().head
+    assert((dup.getLong(0), dup.getLong(1), dup.getLong(2)) == ((2L, 1L, 1L)))
   }
 
   test("pairSetEval: more LSH bands never lose recall; verified LSH has precision 1000") {

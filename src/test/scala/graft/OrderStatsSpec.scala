@@ -136,5 +136,9 @@ class OrderStatsSpec extends SparkSpec {
       OrderStats.exactQuantilesByGroup(df, "g", "v", Seq(1001)))
     intercept[IllegalArgumentException](
       OrderStats.exactQuantilesByGroup(df, "g", "v", Seq(500, 500)))
+    // a fractional value column would be silently floor-truncated into
+    // the long histogram — refused loudly instead
+    intercept[IllegalArgumentException](OrderStats.exactQuantilesByGroup(
+      df.withColumn("v", $"v" + 0.5), "g", "v", Seq(500)))
   }
 }
