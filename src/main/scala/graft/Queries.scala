@@ -3724,6 +3724,91 @@ object Queries {
              ELSE r.s >> (19760 - r.e) END AS score_now
       FROM f ORDER BY score_now DESC, user_id LIMIT 25"""))
 
+  /** DuckDB replay of [[BloomSet]]'s md5-hex → exact-BIGINT parse: `len`
+    * hex digits of column `mh` from 1-based `off` (len ≤ 12 keeps every
+    * partial sum in exact BIGINT, same bound as Spark's `conv`). */
+  private def md5DigitsSql(off: Int, len: Int): String = {
+    val weights = (len - 1 to 0 by -1).map(e => math.pow(16, e).toLong)
+    s"""list_sum(list_transform(generate_series(1, $len),
+        j -> cast(strpos('0123456789abcdef', substr(mh, j + ${off - 1}, 1)) - 1
+               AS BIGINT) * ([${weights.mkString(",")}])[j]))"""
+  }
+
+  // q116: Bloom seen-set gate — the crawl-frontier admission sketch.
+  // History = even-doc_id crawls; every history key must flag (no false
+  // negatives, ever) and the odd-side flags are the filter's
+  // DETERMINISTIC false positives (md5 double hashing replayed digit-
+  // for-digit below), so the oracle value-checks the FP count itself.
+  private val q116 = QueryDef("q116_bloom_seen_gate",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+        .withColumn("key", concat_ws("/", col("source"), col("doc_id")))
+      val bloom = BloomSet.bloomOf(docs.where(col("doc_id") % 2 === 0),
+        "key", mBits = 512, kHashes = 4, shards = 2)
+      BloomSet.probe(docs, "key", bloom, mBits = 512, kHashes = 4, shards = 2)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("maybe_seen"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_seen_true"),
+          sum(when(col("maybe_seen") && col("doc_id") % 2 === 1, 1L)
+            .otherwise(0L)).as("n_fp"))
+    },
+    Some(s"""WITH d AS (SELECT source, doc_id,
+          md5(source || '/' || cast(doc_id AS VARCHAR)) AS mh FROM documents),
+      h AS (SELECT source, doc_id, ${md5DigitsSql(1, 12)} AS h1,
+          ${md5DigitsSql(13, 12)} AS h2, ${md5DigitsSql(25, 8)} % 2 AS shard
+        FROM d),
+      p AS (SELECT source, doc_id, shard, (h1 + i.i * h2) % 512 AS pos
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i),
+      pb AS (SELECT source, doc_id, shard, pos // 32 AS w,
+          (cast(1 AS BIGINT) << cast(pos % 32 AS INTEGER)) AS m FROM p),
+      bloom AS (SELECT shard, w, bit_or(m) AS bits FROM pb
+        WHERE doc_id % 2 = 0 GROUP BY shard, w),
+      hit AS (SELECT pb.source, pb.doc_id,
+          bool_and(bloom.bits IS NOT NULL AND (bloom.bits & pb.m) = pb.m) AS seen
+        FROM pb LEFT JOIN bloom ON bloom.shard = pb.shard AND bloom.w = pb.w
+        GROUP BY pb.source, pb.doc_id)
+      SELECT source, count(*) AS n_docs,
+        cast(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        cast(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_seen_true,
+        cast(sum(CASE WHEN seen AND doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_fp
+      FROM hit GROUP BY source"""))
+
+  // q117: portable-HLL distinct sketch vs exact — the self-evaluating
+  // pair (q112's convention): per-type distinct event_ids estimated off
+  // 64 integer registers the oracle rebuilds digit-for-digit (md5 top
+  // bits → bucket, length(bin(w)) → rank, exact staged-division
+  // estimator), next to the exact distinct count.
+  private val q117 = QueryDef("q117_distinct_sketch",
+    (s, d) => {
+      val ev = rd(s, d, "events")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("event_id")).as("n_exact"))
+      exact.join(
+        DistinctSketch.estimateDistinct(ev, "event_type", "event_id", b = 6),
+        Seq("event_type"))
+    },
+    Some(s"""WITH k AS (SELECT event_type, event_id,
+          md5(cast(event_id AS VARCHAR)) AS mh FROM events),
+      h AS (SELECT event_type, ${md5DigitsSql(1, 12)} AS h FROM k),
+      br AS (SELECT event_type, h // 4398046511104 AS bucket,
+          h % 4398046511104 AS w FROM h),
+      r AS (SELECT event_type, bucket,
+          max(CASE WHEN w = 0 THEN 43 ELSE 43 - length(bin(w)) END) AS rho
+        FROM br GROUP BY 1, 2),
+      s AS (SELECT event_type,
+          cast(sum(1::BIGINT << cast(43 - rho AS INTEGER)) AS BIGINT)
+            + (64 - count(*)) * (1::BIGINT << 43) AS S,
+          64 - count(*) AS nz FROM r GROUP BY 1),
+      x AS (SELECT event_type, count(DISTINCT event_id) AS n_exact
+        FROM events GROUP BY 1)
+      SELECT x.event_type AS event_type, x.n_exact,
+        (709 * 64 * (562949953421312 // S)) // 1000 AS est_distinct,
+        nz AS n_zero_buckets
+      FROM x JOIN s ON x.event_type = s.event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3733,5 +3818,5 @@ object Queries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
-    q110, q111, q112, q113, q114, q115)
+    q110, q111, q112, q113, q114, q115, q116, q117)
 }

@@ -25,7 +25,9 @@ import graft.streaming._
  *      | --oov-gate /lexicon.parquet [--oov-max 500]
  *      | --lm-gate /bigram_counts.parquet [--lm-min 30000]
  *      | --sem-gate /semgate_dir [--sem-tau 900000] [--sem-dim 32]
- *      | --linear-gate /weights.parquet [--linear-min 1]] \
+ *      | --linear-gate /weights.parquet [--linear-min 1]
+ *      | --seen-gate /bloom.parquet [--seen-mbits 1048576]
+ *                                   [--seen-k 5] [--seen-shards 1]] \
  *     [--buckets 64 [--bucket-by host]] [--jsonl /warc/jsonl]
  *
  * Kill it at any point and resubmit with the same --checkpoint/--table:
@@ -42,7 +44,8 @@ object PagePipelineApp {
     val valueOpts = Set("--pages", "--hosts", "--rate", "--checkpoint", "--table", "--metrics",
       "--buckets", "--bucket-by", "--jsonl", "--oov-gate", "--oov-max",
       "--lm-gate", "--lm-min", "--sem-gate", "--sem-tau", "--sem-dim",
-      "--linear-gate", "--linear-min", "--trend-epoch")
+      "--linear-gate", "--linear-min", "--trend-epoch",
+      "--seen-gate", "--seen-mbits", "--seen-k", "--seen-shards")
     val kvArgs = args.filterNot(flags.contains)
     // sliding(2, 2) silently discards a trailing odd element — a final
     // `--buckets` with no value would be ignored and the app would run
@@ -78,7 +81,8 @@ object PagePipelineApp {
       "--oov-gate" -> a.contains("--oov-gate"),
       "--lm-gate" -> a.contains("--lm-gate"),
       "--sem-gate" -> a.contains("--sem-gate"),
-      "--linear-gate" -> a.contains("--linear-gate")).collect { case (n, true) => n }
+      "--linear-gate" -> a.contains("--linear-gate"),
+      "--seen-gate" -> a.contains("--seen-gate")).collect { case (n, true) => n }
     if (pickedModes.length > 1)
       sys.error(s"pipeline modes are mutually exclusive, got: ${pickedModes.mkString(" ")}")
 
@@ -278,6 +282,44 @@ object PagePipelineApp {
           b.join(keep, Seq("url"), "left_semi")
         }
         (pages.toDF(), gate)
+      } else if (a.contains("--seen-gate")) {
+        // Bloom seen-set admission: pages whose url probes maybe_seen
+        // against the persisted (shard, word_idx, bits) filter are
+        // dropped before any state is paid for — the crawl-frontier
+        // "have we fetched this before?" gate. Inserted urls NEVER pass
+        // (no false negatives); a deterministic false-positive sliver
+        // is dropped with them — the trade a frontier makes on purpose
+        // (route maybe-seen traffic to the exact snapshot join instead
+        // when it must not be lossy). Parameters must match the build
+        // (BloomSet.bloomOf), so they are validated against the table's
+        // own extent at startup: a wrong --seen-mbits would mis-route
+        // every probe and silently re-admit the whole history. The
+        // table is re-folded on load (bit_or per word, the oov/lm-gate
+        // convention) so epoch-PARTIAL increments appended through the
+        // sink serve correctly; bit_or is idempotent, so re-folding an
+        // already-folded table is a no-op.
+        val seenMBits = a.getOrElse("--seen-mbits", "1048576").toLong
+        val seenK = a.getOrElse("--seen-k", "5").toInt
+        val seenShards = a.getOrElse("--seen-shards", "1").toInt
+        val bloom = spark.read.parquet(a("--seen-gate"))
+          .groupBy(col("shard"), col("word_idx"))
+          .agg(bit_or(col("bits")).as("bits")).cache()
+        val ext = bloom.agg(max(col("shard")), max(col("word_idx")))
+          .collect().head
+        if (!ext.isNullAt(0)) { // empty filter = cold start, legal
+          if (ext.getLong(0) >= seenShards)
+            sys.error(s"--seen-shards $seenShards does not cover the " +
+              s"table's shard extent ${ext.getLong(0)} " +
+              s"(${a("--seen-gate")}) — build-parameter mismatch")
+          if (ext.getLong(1) >= seenMBits / graft.operators.BloomSet.WordBits)
+            sys.error(s"--seen-mbits $seenMBits does not cover the " +
+              s"table's word extent ${ext.getLong(1)} " +
+              s"(${a("--seen-gate")}) — build-parameter mismatch")
+        }
+        val gate = (b: org.apache.spark.sql.DataFrame) =>
+          graft.operators.BloomSet.gate(b, "url", bloom,
+            seenMBits, seenK, seenShards)
+        (pages.toDF(), gate)
       } else if (nearDup) {
         // the full ingest-dedup pipeline in ONE query (chained stateful
         // operators): exact fingerprint dedup first (cheap, catches
@@ -322,7 +364,8 @@ object PagePipelineApp {
       else if (prep || nearDup) Some("ts")
       else if (joinMeta || a.contains("--oov-gate")
         || a.contains("--lm-gate") || a.contains("--sem-gate")
-        || a.contains("--linear-gate")) Some("warc_ts")
+        || a.contains("--linear-gate")
+        || a.contains("--seen-gate")) Some("warc_ts")
       else Some("session_start")
     val sink = new ExactlyOnceSink(table,
       if (nBuckets > 0) Some(bucketColName) else None, statsCol)
