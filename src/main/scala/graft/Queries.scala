@@ -3809,6 +3809,42 @@ object Queries {
         nz AS n_zero_buckets
       FROM x JOIN s ON x.event_type = s.event_type"""))
 
+  // q118: Count-Min term-frequency sketch vs exact — q112's self-
+  // evaluating convention on the third sketch of the trio: every term
+  // probed against a deliberately tiny (16-column, depth-3) sketch so
+  // the one-sided error is EXERCISED (est ≥ exact always; the
+  // overcounts themselves are deterministic md5-double-hash collisions
+  // the oracle reproduces digit-for-digit).
+  private val q118 = QueryDef("q118_cms_term_counts",
+    (s, d) => {
+      val terms = rd(s, d, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .where(length(col("term")) > 0)
+      val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+      CountMin.estimate(exact, "term",
+        CountMin.cmsOf(terms, "term", wBits = 4, depth = 3),
+        wBits = 4, depth = 3)
+    },
+    Some(s"""WITH t AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS term
+        FROM documents),
+      x AS (SELECT term, count(*) AS n_exact FROM t GROUP BY 1),
+      h AS (SELECT term, md5(term) AS mh FROM (SELECT DISTINCT term FROM t)),
+      hh AS (SELECT term, ${md5DigitsSql(1, 12)} AS h1,
+          ${md5DigitsSql(13, 12)} AS h2 FROM h),
+      cell AS (SELECT t.term AS term, i.i AS r,
+          (hh.h1 + i.i * hh.h2) % 16 AS c
+        FROM t JOIN hh ON hh.term = t.term
+        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) i),
+      cms AS (SELECT r, c, count(*) AS cnt FROM cell GROUP BY 1, 2),
+      probe AS (SELECT x.term, x.n_exact,
+          min(coalesce(cms.cnt, 0)) AS est_count
+        FROM x JOIN hh ON hh.term = x.term
+        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) i
+        LEFT JOIN cms ON cms.r = i.i AND cms.c = (hh.h1 + i.i * hh.h2) % 16
+        GROUP BY 1, 2)
+      SELECT term, n_exact, cast(est_count AS BIGINT) AS est_count
+      FROM probe"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3818,5 +3854,5 @@ object Queries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
-    q110, q111, q112, q113, q114, q115, q116, q117)
+    q110, q111, q112, q113, q114, q115, q116, q117, q118)
 }
