@@ -118,6 +118,33 @@ object IndexMaintenance {
   }
 
   /**
+   * [[lexiconCatchUp]]'s shape for the Bloom seen-set gate's filter:
+   * catch the persisted `(shard, word_idx, bits)` table up with the
+   * corpus (each epoch's PARTIAL bloom words committed as that epoch's
+   * index rows) and hand back the SERVING filter, re-folded per word
+   * across epochs — the table the `--seen-gate` app mode loads. Unlike
+   * every other increment in this file, bit_or is IDEMPOTENT as well as
+   * union-composable, so here the per-epoch exactly-once bookkeeping is
+   * belt-and-braces rather than load-bearing: a re-delivered epoch
+   * would re-OR already-set bits into a no-op. The catchUp plumbing
+   * still buys the contiguous frontier and the O(1) "what's left" — and
+   * keeps the filter's maintenance uniform with the indexes whose folds
+   * are NOT replay-safe.
+   */
+  def seenCatchUp(spark: SparkSession, corpus: ExactlyOnceSink,
+      index: ExactlyOnceSink, keyCol: String, mBits: Long, kHashes: Int,
+      shards: Int = 1): (Seq[Long], DataFrame) = {
+    import org.apache.spark.sql.functions.{bit_or, col}
+    import graft.operators.BloomSet
+    val done = catchUp(spark, corpus, index)(
+      BloomSet.bloomOf(_, keyCol, mBits, kHashes, shards))
+    val bloom = index.read(spark)
+      .groupBy(col("shard"), col("word_idx"))
+      .agg(bit_or(col("bits")).as("bits"))
+    (done, bloom)
+  }
+
+  /**
    * [[lexiconCatchUp]]'s shape for the LM gate's bigram model: catch the
    * persisted count table up with the corpus (each epoch's PARTIAL
    * bigram counts committed as that epoch's index rows — associative, so

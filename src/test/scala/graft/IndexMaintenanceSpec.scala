@@ -261,4 +261,28 @@ class IndexMaintenanceSpec extends SparkSpec {
       spark, corpus, index, "text")
     assert(d3.isEmpty && v3 == v2 && rows(m3) == rows(m2) && rows(c13) == rows(c12))
   }
+
+  test("seenCatchUp: filter folds across epochs; serving ≡ single-batch; no FNs") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.BloomSet
+    val dir = Files.createTempDirectory("seenmnt").toString
+    val corpus = new ExactlyOnceSink(s"$dir/corpus")
+    val index = new ExactlyOnceSink(s"$dir/bloom")
+    val keyed = docs.withColumn("key",
+      org.apache.spark.sql.functions.concat_ws("/", col("source"), col("doc_id")))
+    corpus.write(keyed.where(col("doc_id") % 2 === 0), 0L)
+    corpus.write(keyed.where(col("doc_id") % 2 === 1), 1L)
+    val (done, bloom) = IndexMaintenance.seenCatchUp(
+      spark, corpus, index, "key", mBits = 1024, kHashes = 4, shards = 2)
+    assert(done == Seq(0L, 1L))
+    // serving filter ≡ the single-batch build over the whole corpus
+    assert(rows(bloom) ==
+      rows(BloomSet.bloomOf(keyed, "key", 1024, 4, shards = 2)))
+    // and it gates with zero false negatives
+    assert(BloomSet.gate(keyed, "key", bloom, 1024, 4, shards = 2).count() == 0L)
+    // caught up: nothing to do, same filter
+    val (again, b2) = IndexMaintenance.seenCatchUp(
+      spark, corpus, index, "key", 1024, 4, shards = 2)
+    assert(again.isEmpty && rows(b2) == rows(bloom))
+  }
 }

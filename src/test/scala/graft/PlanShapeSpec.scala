@@ -335,4 +335,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(shard"),
       s"no hash exchange on shard:\n$p")
   }
+
+  test("sketch trio: builds are ONE partial-agg exchange, probes broadcast the sketch") {
+    import spark.implicits._
+    val keys = (0 until 500).map(i => s"k$i").toDF("key")
+    // Bloom build: map-side partial bit_or, exactly one exchange, no join
+    val pb = plan(graft.operators.BloomSet.bloomOf(keys, "key", 1024, 4, 2))
+    assert(pb.split("Exchange").length - 1 == 1, s"bloom build != 1 exchange:\n$pb")
+    val hb = pb.split("HashAggregate").length - 1
+    assert(hb >= 2, s"bloom build lacks partial+final agg pair:\n$pb")
+    // HLL registers: same single-exchange shape
+    val ph = plan(graft.operators.DistinctSketch.registersOf(keys, "key", "key", 6))
+    assert(ph.split("Exchange").length - 1 == 1, s"hll build != 1 exchange:\n$ph")
+    // CMS build: same
+    val pc = plan(graft.operators.CountMin.cmsOf(keys, "key", 6, 3))
+    assert(pc.split("Exchange").length - 1 == 1, s"cms build != 1 exchange:\n$pc")
+    // probes: the sketch side is BROADCAST (the corpus never reshuffles
+    // onto sketch coordinates), verdict folds with an aggregate
+    val bloom = graft.operators.BloomSet.bloomOf(keys, "key", 1024, 4, 2)
+    val pp = plan(graft.operators.BloomSet.probe(keys, "key", bloom, 1024, 4, 2))
+    assert(pp.contains("BroadcastHashJoin"), s"bloom probe not broadcast:\n$pp")
+    val cms = graft.operators.CountMin.cmsOf(keys, "key", 6, 3)
+    val pe = plan(graft.operators.CountMin.estimate(keys, "key", cms, 6, 3))
+    assert(pe.contains("BroadcastHashJoin"), s"cms probe not broadcast:\n$pe")
+  }
 }
