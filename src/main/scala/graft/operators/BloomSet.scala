@@ -80,11 +80,12 @@ object BloomSet {
   /** One row per (input row, hash i): input columns + `__shard`,
     * `__word`, `__mask`. All arithmetic is codegen'd built-ins (one md5
     * per row, bitwise word/mask split, generator explode) — no HOFs.
-    * Null keys hash to null and carry null bit columns (callers drop
-    * them via their joins; a frontier with null URLs is upstream's bug). */
+    * Null keys are dropped here (a frontier with null URLs is
+    * upstream's bug — but letting md5(null) propagate would plant a
+    * junk all-null row in the filter table). */
   private def bitRows(df: DataFrame, keyCol: String, mBits: Long,
       kHashes: Int, shards: Int): DataFrame = {
-    val withH = df
+    val withH = df.where(col(keyCol).isNotNull)
       .withColumn("__mh", md5Hex(col(keyCol)))
       .withColumn("__h1", hexLong(col("__mh"), 1, 12))
       .withColumn("__h2", hexLong(col("__mh"), 13, 12))
@@ -148,6 +149,8 @@ object BloomSet {
       kHashes: Int, shards: Int = 1,
       broadcastBloom: Boolean = true): DataFrame = {
     requireParams(mBits, kHashes, shards)
+    require(!df.columns.contains("maybe_seen"),
+      "input already has a maybe_seen column — rename it first")
     val b0 = bloom.select(col("shard").as("__bshard"),
       col("word_idx").as("__bword"), col("bits").as("__bbits"))
     val b = if (broadcastBloom) broadcast(b0) else b0

@@ -59,7 +59,9 @@ object CountMin {
   /** One row per (input row, sketch row): input cols + `__row`, `__col`. */
   private def cells(df: DataFrame, keyCol: String, wBits: Int,
       depth: Int): DataFrame = {
-    val withH = df
+    // null keys dropped (as in BloomSet.bitRows: a junk null-cell
+    // counter row would otherwise persist in the sketch)
+    val withH = df.where(col(keyCol).isNotNull)
       .withColumn("__mh", md5Hex(col(keyCol)))
       .withColumn("__h1", hexLong(col("__mh"), 1, 12))
       .withColumn("__h2", hexLong(col("__mh"), 13, 12))
@@ -109,6 +111,8 @@ object CountMin {
   def estimate(df: DataFrame, keyCol: String, cms: DataFrame, wBits: Int,
       depth: Int, broadcastCms: Boolean = true): DataFrame = {
     requireParams(wBits, depth)
+    require(!df.columns.contains("est_count"),
+      "input already has an est_count column — rename it first")
     val c0 = cms.select(col("row").as("__crow"), col("col").as("__ccol"),
       col("cnt").as("__ccnt"))
     val c = if (broadcastCms) broadcast(c0) else c0

@@ -72,10 +72,14 @@ object DistinctSketch {
   def registersOf(df: DataFrame, groupCol: String, keyCol: String,
       b: Int): DataFrame = {
     requireB(b)
+    require(groupCol != "bucket" && groupCol != "rho",
+      s"groupCol '$groupCol' clashes with the register table's own columns")
     val wBits = 48 - b
     val rhoMax = wBits + 1
     val h = hash48(col(keyCol))
-    df.select(col(groupCol),
+    // null keys dropped: md5(null) would otherwise plant a junk
+    // (group, null, null) register that skews the zero-bucket count
+    df.where(col(keyCol).isNotNull).select(col(groupCol),
         call_function("shiftright", h, lit(wBits)).as("bucket"),
         h.bitwiseAND(lit((1L << wBits) - 1)).as("__w"))
       .withColumn("__rho",

@@ -104,4 +104,21 @@ class BloomSetSpec extends SparkSpec {
       BloomSet.bloomOf(df, "key", mBits = 1024, kHashes = 4, shards = 0)
     }
   }
+
+  test("bloom: null keys are dropped, never planted in the filter") {
+    import spark.implicits._
+    val clean = keyed(0 until 50)
+    val dirty = clean.union(Seq(null.asInstanceOf[String]).toDF("key"))
+    assert(asMap(BloomSet.bloomOf(dirty, "key", M, K, shards = 2)) ==
+      asMap(BloomSet.bloomOf(clean, "key", M, K, shards = 2)))
+    // probe output carries no null-key row
+    val bloom = BloomSet.bloomOf(clean, "key", M, K)
+    assert(BloomSet.probe(dirty, "key", bloom, M, K)
+      .where(col("key").isNull).count() == 0L)
+    // and a pre-existing maybe_seen column is refused loudly
+    intercept[IllegalArgumentException] {
+      BloomSet.probe(clean.withColumn("maybe_seen", lit(true)),
+        "key", bloom, M, K)
+    }
+  }
 }

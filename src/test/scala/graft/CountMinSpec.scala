@@ -92,4 +92,16 @@ class CountMinSpec extends SparkSpec {
       CountMin.cmsOf(df, "key", wBits = 8, depth = 0)
     }
   }
+
+  test("cms: null keys dropped; est_count clash refused loudly") {
+    import spark.implicits._
+    val clean = stream(30, 100)
+    val dirty = clean.union(Seq(null.asInstanceOf[String]).toDF("key"))
+    assert(cmsMap(CountMin.cmsOf(dirty, "key", 6, 3)) ==
+      cmsMap(CountMin.cmsOf(clean, "key", 6, 3)))
+    intercept[IllegalArgumentException] {
+      CountMin.estimate(clean.withColumn("est_count", lit(1L)),
+        "key", CountMin.cmsOf(clean, "key", 6, 3), 6, 3)
+    }
+  }
 }

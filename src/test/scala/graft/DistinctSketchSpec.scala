@@ -79,4 +79,16 @@ class DistinctSketchSpec extends SparkSpec {
       DistinctSketch.registersOf(keyed("a", 0 until 5), "grp", "key", 3)
     }
   }
+
+  test("hll: null keys dropped; register-table name clashes refused") {
+    import spark.implicits._
+    val clean = keyed("a", 0 until 100)
+    val dirty = clean.union(Seq(("a", null.asInstanceOf[String])).toDF("grp", "key"))
+    assert(regMap(DistinctSketch.registersOf(dirty, "grp", "key", 6)) ==
+      regMap(DistinctSketch.registersOf(clean, "grp", "key", 6)))
+    intercept[IllegalArgumentException] {
+      DistinctSketch.registersOf(clean.withColumnRenamed("grp", "bucket"),
+        "bucket", "key", 6)
+    }
+  }
 }
