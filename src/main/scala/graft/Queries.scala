@@ -3845,6 +3845,60 @@ object Queries {
       SELECT term, n_exact, cast(est_count AS BIGINT) AS est_count
       FROM probe"""))
 
+  // q119: quality-ranked per-stratum TOKEN-budget curation (the FineWeb
+  // "best documents per language until its token quota" verb). The
+  // operator runs the two-phase boundary plan (per-(lang, score) masses,
+  // doc-level rank only inside the one boundary score grade per lang);
+  // the oracle replays the NAIVE per-doc window — the plan/rule
+  // equivalence is value-checked, not asserted. Budgets are chosen so at
+  // sf0.01 the boundary lands in a DIFFERENT score grade per lang (en
+  // q80, de q80, fr q100, zh q40) and 'es' is absent from the budget
+  // table (allowlist drop).
+  private val q119 = QueryDef("q119_token_budget_curation",
+    (s, d) => {
+      import s.implicits._
+      val budgets = Seq(("en", 10000L), ("de", 3000L), ("fr", 3300L),
+        ("zh", 3900L)).toDF("lang", "token_budget")
+      val docs = rd(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.tokenCount(col("text")).as("toks"))
+      Sampling.tokenBudgetByStratum(docs, "doc_id", "lang", "q", "toks",
+          budgets)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("toks")).as("kept_tokens"),
+          min(col("q")).cast(LongType).as("min_q"))
+    },
+    Some("""WITH f AS (SELECT lang, doc_id,
+        len(regexp_extract_all(text, '\S+')) AS toks,
+        length(regexp_replace(text, '\s', '', 'g')) AS chars,
+        len(regexp_extract_all(text, '\b(the|a|and|of|is|to|in)\b')) AS stop
+      FROM documents),
+      sc AS (SELECT lang, doc_id, toks,
+        (CASE WHEN toks >= 32 THEN 40 ELSE 0 END) +
+        (CASE WHEN chars >= 200 THEN 20 ELSE 0 END) +
+        (CASE WHEN toks > 0 AND floor((chars*10)/toks) BETWEEN 30 AND 90 THEN 20 ELSE 0 END) +
+        (CASE WHEN stop >= 2 THEN 20 ELSE 0 END) AS q,
+        list_sum(list_transform(generate_series(1, 12),
+          j -> cast(strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[j])) AS hu
+        FROM f),
+      b AS (SELECT * FROM (VALUES ('en', 10000), ('de', 3000), ('fr', 3300),
+        ('zh', 3900)) t(lang, budget)),
+      r AS (SELECT sc.lang AS lang, doc_id, toks, q, budget,
+        sum(toks) OVER (PARTITION BY sc.lang
+          ORDER BY q DESC, hu, doc_id ROWS UNBOUNDED PRECEDING) - toks AS cb
+        FROM sc JOIN b ON sc.lang = b.lang)
+      SELECT lang, count(*) AS kept,
+        cast(sum(doc_id) AS BIGINT) AS id_sum,
+        cast(sum(toks) AS BIGINT) AS kept_tokens,
+        cast(min(q) AS BIGINT) AS min_q
+      FROM r WHERE cb < budget GROUP BY lang"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3854,5 +3908,5 @@ object Queries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
-    q110, q111, q112, q113, q114, q115, q116, q117, q118)
+    q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
 }

@@ -269,4 +269,87 @@ object Sampling {
       .select(col(stratumCol), col("n_docs"), col("target_pm"),
         col("keep_docs"), col("rate_pm"))
   }
+
+  /**
+   * Quality-ranked per-stratum TOKEN-budget curation — the mixture-
+   * building verb behind "keep the best documents per language until its
+   * token quota is met": within each stratum, documents are ordered
+   * `(score DESC, hash48(id), id)` and a document is kept iff the token
+   * mass STRICTLY BEFORE it in that order is `< budget`. The straddling
+   * document is therefore INCLUDED (quotas are met-then-trimmed at pack
+   * level, never silently under-filled), the kept set for a given budget
+   * NESTS inside any larger budget's, `budget <= 0` keeps nothing, and a
+   * stratum absent from `budgets` keeps nothing (inner join — the same
+   * explicit-allowlist semantics as [[bernoulliByStratum]]).
+   *
+   * `budgets` is POSITIONAL `(stratum, token_budget)`, validated like
+   * [[ratebookForTargetMix]]'s targets. Rows with a null score or null
+   * token count are dropped up front (engines disagree on null ordering;
+   * a curation pass has no meaningful rank for them).
+   *
+   * 100 TB shape — the naive form (one window over the whole corpus per
+   * stratum) sorts EVERY document through one partition per stratum, the
+   * classic skew killer. This runs in two phases instead:
+   *   1. per-`(stratum, score)` token masses (one partial-agg exchange;
+   *      `score` is a low-cardinality quality grade, so this table is
+   *      strata × grades rows) + a window over THAT to find each group's
+   *      cumulative-before mass → verdicts: groups wholly under budget
+   *      are kept outright, groups starting at/after budget are dropped,
+   *      and at most ONE boundary group per stratum remains;
+   *   2. verdicts broadcast back onto the scan; only the boundary
+   *      group's documents (one score grade of one stratum) pay a
+   *      doc-level rank, partitioned `(stratum, score)` so different
+   *      strata's boundaries land on different tasks.
+   * The kept SET is provably identical to the naive rule (a doc in a
+   * wholly-kept group has cum-before ≤ group-end − own-tokens < budget;
+   * a doc in a dropped group has cum-before ≥ group-start ≥ budget), and
+   * the DuckDB oracle replays the NAIVE window form — the equivalence is
+   * value-checked, not asserted.
+   */
+  def tokenBudgetByStratum(df: DataFrame, idCol: String, stratumCol: String,
+      scoreCol: String, tokensCol: String, budgets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.columns.length == 2,
+      s"budgets must be exactly (stratum, token_budget); got ${budgets.columns.toSeq}")
+    require(budgets.schema(1).dataType.isInstanceOf[NumericType],
+      s"budgets column 2 (token_budget) must be numeric; got " +
+        s"${budgets.schema(1).dataType.simpleString} — swapped column order?")
+    val reserved = Seq("__graft_stratum", "__graft_budget", "__gt", "__cb",
+      "__boundary", "__hu", "__ic")
+    require(!df.columns.exists(reserved.contains),
+      s"corpus must not carry reserved columns ${reserved.mkString("/")}")
+    val Array(c0, c1) = budgets.columns
+    val b = budgets.select(col(c0).as("__graft_stratum"),
+      col(c1).cast(LongType).as("__graft_budget"))
+    val d = df.where(col(scoreCol).isNotNull && col(tokensCol).isNotNull)
+
+    // phase 1: group masses + verdicts (strata × score-grades rows)
+    val gw = Window.partitionBy(col(stratumCol)).orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val verdicts = d.groupBy(col(stratumCol), col(scoreCol))
+      .agg(sum(col(tokensCol).cast(LongType)).as("__gt"))
+      .withColumn("__cb", sum(col("__gt")).over(gw) - col("__gt"))
+      .join(broadcast(b), col(stratumCol) === col("__graft_stratum"))
+      .where(col("__cb") < col("__graft_budget")) // drops at/after-budget groups
+      .withColumn("__boundary",
+        col("__cb") + col("__gt") > col("__graft_budget"))
+      .select(col(stratumCol), col(scoreCol), col("__cb"),
+        col("__graft_budget"), col("__boundary"))
+
+    // phase 2: verdicts broadcast onto the scan; only the boundary group
+    // (≤ one score grade per stratum) pays a doc-level rank
+    val kept = d.join(broadcast(verdicts), Seq(stratumCol, scoreCol))
+    val outCols = df.columns.map(col).toSeq
+    val full = kept.where(!col("__boundary")).select(outCols: _*)
+    val bw = Window.partitionBy(col(stratumCol), col(scoreCol))
+      .orderBy(col("__hu"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = kept.where(col("__boundary"))
+      .withColumn("__hu", hashUniform48(col(idCol)))
+      .withColumn("__ic",
+        sum(col(tokensCol).cast(LongType)).over(bw) - col(tokensCol).cast(LongType))
+      .where(col("__cb") + col("__ic") < col("__graft_budget"))
+      .select(outCols: _*)
+    full.unionByName(boundary)
+  }
 }

@@ -257,6 +257,69 @@ class ComponentsSpec extends SparkSpec {
     assert(p.exceptAll(p2).isEmpty && p2.exceptAll(p).isEmpty)
   }
 
+  test("tokenBudgetByStratum: two-phase plan ≡ naive window, budgets nest, validation") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // low-cardinality score grades (0/20/40/60/80), varied token widths,
+    // two strata plus one absent from the budget table
+    val docs = (0L until 900L).map { i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
+        ((i % 5) * 20).toInt, (1 + (i % 13)).toInt)
+    }.toDF("doc_id", "lang", "q", "toks")
+    val budgets = Seq(("en", 600L), ("de", 150L)).toDF("lang", "token_budget")
+    val got = Sampling.tokenBudgetByStratum(
+      docs, "doc_id", "lang", "q", "toks", budgets)
+    // naive rule: rank (q DESC, hu, id) per stratum, keep while the token
+    // mass strictly before is < budget
+    val nw = Window.partitionBy($"lang")
+      .orderBy($"q".desc, Sampling.hashUniform48($"doc_id"), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs
+      .join(broadcast(budgets), Seq("lang"))
+      .withColumn("cb", sum($"toks".cast("long")).over(nw) - $"toks")
+      .where($"cb" < $"token_budget")
+      .select(docs.columns.map(col).toSeq: _*)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      s"two-phase=${got.count()} naive=${naive.count()}")
+    // the straddling doc is included: kept mass reaches (>=) the budget
+    val mass = got.groupBy($"lang").agg(sum($"toks").as("m")).as[(String, Long)]
+      .collect().toMap
+    assert(mass("en") >= 600L && mass("de") >= 150L, mass.toString)
+    // absent stratum keeps nothing; budgets nest
+    assert(got.where($"lang" === "fr").isEmpty)
+    val smaller = Sampling.tokenBudgetByStratum(docs, "doc_id", "lang",
+      "q", "toks", Seq(("en", 200L), ("de", 60L)).toDF("lang", "token_budget"))
+    assert(smaller.exceptAll(got).isEmpty && smaller.count() < got.count())
+    // budget <= 0 keeps nothing
+    assert(Sampling.tokenBudgetByStratum(docs, "doc_id", "lang", "q",
+      "toks", Seq(("en", 0L)).toDF("lang", "token_budget")).isEmpty)
+    // null score / null tokens dropped up front
+    val withNulls = docs.unionByName(
+      Seq((9001L, "en", null.asInstanceOf[Integer], Integer.valueOf(5)),
+          (9002L, "en", Integer.valueOf(100), null.asInstanceOf[Integer]))
+        .toDF("doc_id", "lang", "q", "toks"))
+    val gotN = Sampling.tokenBudgetByStratum(
+      withNulls, "doc_id", "lang", "q", "toks", budgets)
+    assert(gotN.where($"doc_id" >= 9000L).isEmpty)
+    // deterministic across partitioning / input order
+    val got2 = Sampling.tokenBudgetByStratum(
+      docs.orderBy(rand(3)).repartition(13), "doc_id", "lang", "q", "toks", budgets)
+    assert(got.exceptAll(got2).isEmpty && got2.exceptAll(got).isEmpty)
+    // validation: swapped budget columns, wrong arity, reserved columns
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetByStratum(docs, "doc_id", "lang", "q", "toks",
+        Seq((600L, "en")).toDF("token_budget", "lang"))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetByStratum(docs, "doc_id", "lang", "q", "toks",
+        Seq(("en", 600L, 1)).toDF("lang", "token_budget", "x"))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetByStratum(docs.withColumn("__cb", lit(1)),
+        "doc_id", "lang", "q", "toks", budgets)
+    }
+  }
+
   test("packedSequences: budget-exact packs, token-exact straddle splits, text round-trip") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
