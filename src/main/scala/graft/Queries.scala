@@ -3899,6 +3899,73 @@ object Queries {
         cast(min(q) AS BIGINT) AS min_q
       FROM r WHERE cb < budget GROUP BY lang"""))
 
+  // q120: C4-style blocklisted-token ("bad words") gate — per-source
+  // audit rollup of TextAnalysis.badWordHits: docs scanned, docs flagged
+  // under the strict rule (any hit), hit tokens WITH multiplicity, and
+  // the per-mille drop rate. The blocklist mixes two terms present in
+  // the corpus with one absent term (absent terms must be harmless); the
+  // gate is fully row-local (literal-array codegen'd loop — no join, no
+  // shuffle before the rollup), and the oracle replays tokenize +
+  // lowercase + list_contains verbatim.
+  private val q120 = QueryDef("q120_badwords_gate",
+    (s, d) => {
+      val bl = Seq("slow", "stale", "zz_never_a_token")
+      rd(s, d, "documents")
+        .select(col("source"),
+          TextAnalysis.badWordHits(col("text"), bl).as("hits"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("flagged"),
+          sum(col("hits")).cast(LongType).as("hit_toks"))
+        .withColumn("drop_pm",
+          floor(lit(1000) * col("flagged") / col("n_docs")).cast(LongType))
+    },
+    Some("""WITH h AS (SELECT source,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+          w -> list_contains(['slow', 'stale', 'zz_never_a_token'],
+            lower(w)))) AS hits
+      FROM documents)
+      SELECT source, count(*) AS n_docs,
+        cast(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+        cast(sum(hits) AS BIGINT) AS hit_toks,
+        cast(floor(1000 * sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+          / count(*)) AS BIGINT) AS drop_pm
+      FROM h GROUP BY source"""))
+
+  // q121: gate-calibration sweep (OrderStats.gateSweep) — for every
+  // distinct quality grade per lang, the docs/token mass kept under
+  // "admit score >= grade". The operator runs the collapsed-histogram
+  // plan (one partial-agg exchange to langs × grades, window over that);
+  // the oracle rebuilds the quality score (q17's chain) and the
+  // descending-cumulative window verbatim on raw rows.
+  private val q121 = QueryDef("q121_gate_sweep",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+        .select(col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.tokenCount(col("text")).as("toks"))
+      OrderStats.gateSweep(docs, "lang", "q", "toks")
+    },
+    Some("""WITH f AS (SELECT lang,
+        len(regexp_extract_all(text, '\S+')) AS toks,
+        length(regexp_replace(text, '\s', '', 'g')) AS chars,
+        len(regexp_extract_all(text, '\b(the|a|and|of|is|to|in)\b')) AS stop
+      FROM documents),
+      sc AS (SELECT lang, toks,
+        (CASE WHEN toks >= 32 THEN 40 ELSE 0 END) +
+        (CASE WHEN chars >= 200 THEN 20 ELSE 0 END) +
+        (CASE WHEN toks > 0 AND floor((chars*10)/toks) BETWEEN 30 AND 90 THEN 20 ELSE 0 END) +
+        (CASE WHEN stop >= 2 THEN 20 ELSE 0 END) AS q
+      FROM f),
+      h AS (SELECT lang, cast(q AS BIGINT) AS score, count(*) AS n_docs,
+        cast(sum(toks) AS BIGINT) AS n_tokens
+      FROM sc GROUP BY 1, 2)
+      SELECT lang, score, n_docs, n_tokens,
+        cast(sum(n_docs) OVER w AS BIGINT) AS kept_docs,
+        cast(sum(n_tokens) OVER w AS BIGINT) AS kept_tokens
+      FROM h WINDOW w AS (PARTITION BY lang ORDER BY score DESC
+        ROWS UNBOUNDED PRECEDING)"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3908,5 +3975,6 @@ object Queries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
-    q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
+    q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
+    q121)
 }

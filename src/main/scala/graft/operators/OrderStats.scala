@@ -137,6 +137,48 @@ object OrderStats {
   }
 
   /**
+   * Gate-calibration sweep — the threshold-picking readout behind every
+   * score gate in this engine ([[graft.operators.TextAnalysis.qualityScore]]
+   * tiers, the q102 perceptron margin, [[Sampling.tokenBudgetByStratum]]
+   * budgets): for EVERY distinct score value `s` per group, what the
+   * corpus keeps under the rule "admit score ≥ s" — docs and token mass.
+   * One table answers "where do I set the threshold to keep X% of
+   * tokens" for all thresholds at once, instead of re-running the gate
+   * per candidate value.
+   *
+   * Output: `(group, score, n_docs, n_tokens, kept_docs, kept_tokens)` —
+   * one row per distinct (group, score); `n_*` is that grade alone,
+   * `kept_*` is the descending-cumulative total (this grade and every
+   * better one). `kept_*` is monotone non-increasing in the threshold by
+   * construction; rows with NULL score or NULL tokens are excluded up
+   * front (a null grade has no place on a calibration curve), matching
+   * [[Sampling.tokenBudgetByStratum]].
+   *
+   * 100 TB shape: the same collapsed-histogram discipline as
+   * [[histogramOf]] — ONE hash exchange whose row count is
+   * groups × score grades (map-side partial agg does the corpus → grades
+   * collapse before anything moves), then one window over that tiny
+   * table. Scores must be integral (quantized), enforced like
+   * [[histogramOf]]; a continuous score would degrade the histogram to
+   * corpus-row count.
+   */
+  def gateSweep(df: DataFrame, groupCol: String, scoreCol: String,
+      tokensCol: String): DataFrame = {
+    require(OrderStats.integralTypes.contains(df.schema(scoreCol).dataType),
+      s"$scoreCol must be integral (got ${df.schema(scoreCol).dataType}); " +
+        "quantize continuous scores explicitly before calling")
+    val hist = df.where(col(scoreCol).isNotNull && col(tokensCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol).cast(LongType).as("score"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast(LongType)).as("n_tokens"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("kept_docs", sum(col("n_docs")).over(w))
+      .withColumn("kept_tokens", sum(col("n_tokens")).over(w))
+  }
+
+  /**
    * Per-group percentile-BAND outlier gate — the data-dependent trim
    * every webtext recipe applies (C4/Gopher-style: drop the tails of
    * the per-source length distribution; a fixed absolute threshold is

@@ -266,6 +266,44 @@ object TextAnalysis {
     size(words) - size(filter(array_distinct(words),
       x => size(filter(words, y => y === x)) === 1))
 
+  /**
+   * Blocklisted-token hit count — the C4-style "bad words" gate signal:
+   * the number of whitespace tokens (WITH multiplicity) whose lowercased
+   * form appears in `blocklist`. The blocklist is a CONFIG-sized term
+   * list (C4's is ~400 terms), so it compiles into the expression as a
+   * literal array — the gate is fully row-local, scan-stage, zero
+   * shuffle, zero join; `array_contains` over a literal array is a
+   * codegen'd loop, not a regex. Matching is exact on lowercased
+   * whitespace tokens (the repo's uniform token convention, [[wordArray]]
+   * — a blocklisted word glued to punctuation is a DIFFERENT token and
+   * does not match; substring matching would need the regex form and is
+   * deliberately not what C4 does either).
+   *
+   * Blocklist terms must be nonempty, already lowercase, and distinct —
+   * refused loudly otherwise (a mixed-case term would silently never
+   * match).
+   */
+  def badWordHits(text: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    require(blocklist.forall(t => t.nonEmpty && t == t.toLowerCase),
+      s"blocklist terms must be nonempty and lowercase; got " +
+        blocklist.filterNot(t => t.nonEmpty && t == t.toLowerCase).take(3))
+    require(blocklist.distinct.size == blocklist.size,
+      "blocklist terms must be distinct")
+    val arr = array(blocklist.map(lit): _*)
+    size(filter(wordArray(text), w => array_contains(arr, lower(w))))
+  }
+
+  /** Blocklist admission gate: keep documents with at most `maxHits`
+    * blocklisted tokens (default 0 — the strict C4 rule). Same row-local
+    * scan-stage shape as [[badWordHits]]; the returned frame carries the
+    * caller's columns unchanged. */
+  def badWordsGate(docs: DataFrame, textCol: String,
+      blocklist: Seq[String], maxHits: Long = 0L): DataFrame = {
+    require(maxHits >= 0, "maxHits must be >= 0")
+    docs.where(badWordHits(col(textCol), blocklist) <= maxHits)
+  }
+
   // ==========================================================================
   // Lexicon-based rare-token (OOV) quality gate
   // ==========================================================================

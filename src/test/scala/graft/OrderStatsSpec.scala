@@ -141,4 +141,50 @@ class OrderStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](OrderStats.exactQuantilesByGroup(
       df.withColumn("v", $"v" + 0.5), "g", "v", Seq(500)))
   }
+
+  test("gateSweep: ≡ per-threshold recompute, monotone, nulls dropped, validation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(600)(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(5) * 20, 1L + rnd.nextInt(40))) :+
+      ("solo", 40, 9L)
+    val df = rows.toDF("g", "score", "toks")
+    val got = OrderStats.gateSweep(df, "g", "score", "toks")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // every output row ≡ brute-force "keep score >= s" recompute
+    val byG = rows.groupBy(_._1)
+    for (((g, s), (nd, nt, kd, kt)) <- got) {
+      val grp = byG(g)
+      val grade = grp.filter(_._2.toLong == s)
+      val kept = grp.filter(_._2.toLong >= s)
+      assert((nd, nt) == (grade.size.toLong, grade.map(_._3).sum), s"($g,$s) grade")
+      assert((kd, kt) == (kept.size.toLong, kept.map(_._3).sum), s"($g,$s) kept")
+    }
+    // one row per distinct (group, grade); curve monotone in the threshold
+    assert(got.size == rows.map(r => (r._1, r._2)).distinct.size)
+    for ((g, grp) <- got.groupBy(_._1._1)) {
+      val byDescScore = grp.toSeq.sortBy(-_._1._2).map(_._2)
+      assert(byDescScore.map(_._3) == byDescScore.map(_._3).sorted,
+        s"$g kept_docs must grow as the threshold drops")
+    }
+    // null score / null tokens excluded up front
+    val withNulls = df.unionByName(Seq(
+      ("g0", null.asInstanceOf[Integer], java.lang.Long.valueOf(5L)),
+      ("g0", Integer.valueOf(80), null.asInstanceOf[java.lang.Long]))
+      .toDF("g", "score", "toks"))
+    val gotN = OrderStats.gateSweep(withNulls, "g", "score", "toks")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(gotN == got, "null grades have no place on the curve")
+    // partitioning invariance
+    val got2 = OrderStats.gateSweep(
+      df.orderBy(rand(5)).repartition(11), "g", "score", "toks")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got2 == got)
+    // continuous score refused (histogram would degrade to row count)
+    intercept[IllegalArgumentException](OrderStats.gateSweep(
+      df.withColumn("score", $"score" + 0.5), "g", "score", "toks"))
+  }
 }

@@ -263,6 +263,35 @@ class TextFeaturesSpec extends SparkSpec {
     cases.foreach { s => assert(got(s) === ref(s), s"input: '$s'") }
   }
 
+  test("badWordHits: multiplicity, lowercase match, token-exact, gate rule, validation") {
+    import spark.implicits._
+    val bl = Seq("slow", "spam")
+    val cases = Seq(
+      ("fast and slow and SLOW and Slow", 3L),   // case-folded, multiplicity
+      ("slow, slow! slowest", 0L),               // punctuation-glued / prefix ≠ token
+      ("spam slow spam", 3L),
+      ("", 0L), ("   ", 0L),                     // blank → [""], never matches
+      ("clean text only", 0L))
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), TextAnalysis.badWordHits(col("t"), bl).as("h"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    cases.foreach { case (t, want) => assert(got(t) == want, s"input: '$t'") }
+    // gate: strict rule drops any hit; maxHits admits up to the cap
+    val docs = cases.map(_._1).toDF("text")
+    assert(TextAnalysis.badWordsGate(docs, "text", bl).count() == 4)
+    assert(TextAnalysis.badWordsGate(docs, "text", bl, maxHits = 3).count() == 6)
+    // validation: empty list, mixed-case term (would silently never
+    // match), duplicate term, negative cap
+    intercept[IllegalArgumentException](
+      TextAnalysis.badWordHits(col("t"), Seq.empty))
+    intercept[IllegalArgumentException](
+      TextAnalysis.badWordHits(col("t"), Seq("Slow")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.badWordHits(col("t"), Seq("slow", "slow")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.badWordsGate(docs, "text", bl, maxHits = -1))
+  }
+
   test("rareTokenStats: multiplicity, self-lexicon, missing-term = rare, blank doc") {
     import spark.implicits._
     // tf over the corpus: a=3, b=2, c=1, d=2, ""=1 (the blank doc)
