@@ -155,10 +155,11 @@ object OrderStats {
    * [[Sampling.tokenBudgetByStratum]].
    *
    * 100 TB shape: the same collapsed-histogram discipline as
-   * [[histogramOf]] — ONE hash exchange whose row count is
-   * groups × score grades (map-side partial agg does the corpus → grades
-   * collapse before anything moves), then one window over that tiny
-   * table. Scores must be integral (quantized), enforced like
+   * [[histogramOf]] — the corpus crosses ONE hash exchange already
+   * collapsed to groups × score grades by the map-side partial agg; the
+   * window then re-clusters that tiny table onto `group` alone (a second
+   * exchange, but one carrying histogram rows, not corpus rows — both
+   * plan-asserted). Scores must be integral (quantized), enforced like
    * [[histogramOf]]; a continuous score would degrade the histogram to
    * corpus-row count.
    */

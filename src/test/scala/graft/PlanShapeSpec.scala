@@ -359,4 +359,31 @@ class PlanShapeSpec extends SparkSpec {
     val pe = plan(graft.operators.CountMin.estimate(keys, "key", cms, 6, 3))
     assert(pe.contains("BroadcastHashJoin"), s"cms probe not broadcast:\n$pe")
   }
+
+  test("badWordHits is scan-stage (no join, no exchange); gateSweep is one histogram exchange") {
+    import spark.implicits._
+    val docs = (0 until 300)
+      .map(i => (s"g${i % 3}", s"tok$i slow text", (i % 5) * 20, 1L + i % 9))
+      .toDF("g", "text", "score", "toks")
+    // the blocklist compiles into the projection — a plan with a join or
+    // exchange here would re-introduce the per-row lookup this shape avoids
+    val pg = plan(docs.select(
+      graft.operators.TextAnalysis.badWordHits(col("text"), Seq("slow"))))
+    assert(!pg.contains("Join") && !pg.contains("Exchange"),
+      s"bad-words gate must be row-local:\n$pg")
+    // sweep: the corpus crosses ONE exchange already collapsed by the
+    // partial agg (rows = groups x grades); the only other exchange is the
+    // window's re-clustering of that tiny histogram onto g alone — assert
+    // the agg pair sits BELOW the first exchange so a refactor cannot
+    // silently ship corpus rows into either
+    val ps = plan(graft.operators.OrderStats.gateSweep(docs, "g", "score", "toks"))
+    assert(ps.split("Exchange hashpartitioning").length - 1 == 2,
+      s"gateSweep != 2 hash exchanges (collapse + tiny window recluster):\n$ps")
+    assert(ps.split("HashAggregate").length - 1 >= 2,
+      s"gateSweep lacks the partial+final agg pair:\n$ps")
+    val lines = ps.linesIterator.toSeq
+    val firstEx = lines.lastIndexWhere(_.contains("Exchange hashpartitioning"))
+    assert(lines.drop(firstEx).exists(_.contains("partial_count")),
+      s"partial agg must collapse rows BEFORE the first exchange:\n$ps")
+  }
 }
