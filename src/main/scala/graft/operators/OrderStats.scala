@@ -164,14 +164,48 @@ object OrderStats {
    * corpus-row count.
    */
   def gateSweep(df: DataFrame, groupCol: String, scoreCol: String,
+      tokensCol: String): DataFrame =
+    gateSweepFromHistogram(
+      sweepHistogramOf(df, groupCol, scoreCol, tokensCol), groupCol)
+
+  /** The collapsed `(group, score, n_docs, n_tokens)` doc+token-mass
+    * histogram behind [[gateSweep]] — also its PERSISTABLE index layout
+    * (the [[histogramOf]] discipline with a second additive measure). */
+  def sweepHistogramOf(df: DataFrame, groupCol: String, scoreCol: String,
       tokensCol: String): DataFrame = {
     require(OrderStats.integralTypes.contains(df.schema(scoreCol).dataType),
       s"$scoreCol must be integral (got ${df.schema(scoreCol).dataType}); " +
         "quantize continuous scores explicitly before calling")
-    val hist = df.where(col(scoreCol).isNotNull && col(tokensCol).isNotNull)
+    df.where(col(scoreCol).isNotNull && col(tokensCol).isNotNull)
       .groupBy(col(groupCol), col(scoreCol).cast(LongType).as("score"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokensCol).cast(LongType)).as("n_tokens"))
+  }
+
+  /** Incremental maintenance of a persisted sweep histogram — union + one
+    * re-aggregation; both measures are additive, so chunked arrival ≡ one
+    * batch build. Same count-shaped-increment PRECONDITION as
+    * [[histogramIncrement]]: `fresh` must be disjoint from docs already
+    * folded in (exactly-once epochs); a replayed chunk inflates both
+    * measures silently. */
+  def sweepHistogramIncrement(history: DataFrame, fresh: DataFrame,
+      groupCol: String, scoreCol: String, tokensCol: String): DataFrame = {
+    require(history.columns.toSeq ==
+        Seq(groupCol, "score", "n_docs", "n_tokens"),
+      s"history must be ($groupCol, score, n_docs, n_tokens); got " +
+        history.columns.mkString(","))
+    history
+      .unionByName(sweepHistogramOf(fresh, groupCol, scoreCol, tokensCol))
+      .groupBy(col(groupCol), col("score"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  /** The calibration curve served off a persisted [[sweepHistogramOf]] /
+    * [[sweepHistogramIncrement]] table — the corpus is never re-read to
+    * answer a threshold question; only the tiny histogram crosses the
+    * window. */
+  def gateSweepFromHistogram(hist: DataFrame, groupCol: String): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist

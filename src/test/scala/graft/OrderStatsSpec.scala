@@ -186,5 +186,18 @@ class OrderStatsSpec extends SparkSpec {
     // continuous score refused (histogram would degrade to row count)
     intercept[IllegalArgumentException](OrderStats.gateSweep(
       df.withColumn("score", $"score" + 0.5), "g", "score", "toks"))
+    // persisted-index path: ANY chunked histogram build serves the same
+    // curve as the direct sweep — the corpus is never re-read to answer
+    // a threshold question
+    val Array(c1, c2, c3) = df.randomSplit(Array(0.4, 0.3, 0.3), seed = 9)
+    val hist = Seq(c2, c3).foldLeft(
+      OrderStats.sweepHistogramOf(c1, "g", "score", "toks"))(
+      (h, c) => OrderStats.sweepHistogramIncrement(h, c, "g", "score", "toks"))
+    val served = OrderStats.gateSweepFromHistogram(hist, "g")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(served == got, "two-increment histogram must serve the direct curve")
+    intercept[IllegalArgumentException](OrderStats.sweepHistogramIncrement(
+      hist.withColumnRenamed("n_docs", "nd"), df, "g", "score", "toks"))
   }
 }
