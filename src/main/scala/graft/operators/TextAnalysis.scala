@@ -291,7 +291,12 @@ object TextAnalysis {
     require(blocklist.distinct.size == blocklist.size,
       "blocklist terms must be distinct")
     val arr = array(blocklist.map(lit): _*)
-    size(filter(wordArray(text), w => array_contains(arr, lower(w))))
+    // NULL text tokenizes like blank text ([""], zero hits): a gate
+    // decides per row — size(filter(NULL)) would read NULL and silently
+    // drop the document from a `hits <= cap` filter (same rationale as
+    // [[rareTokenStats]]'s coalesce)
+    size(filter(wordArray(coalesce(text, lit(""))),
+      w => array_contains(arr, lower(w))))
   }
 
   /** Blocklist admission gate: keep documents with at most `maxHits`

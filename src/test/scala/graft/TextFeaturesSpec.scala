@@ -276,6 +276,11 @@ class TextFeaturesSpec extends SparkSpec {
       .select(col("t"), TextAnalysis.badWordHits(col("t"), bl).as("h"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     cases.foreach { case (t, want) => assert(got(t) == want, s"input: '$t'") }
+    // NULL text = blank text: zero hits, and the gate KEEPS the doc
+    // (size(filter(NULL)) would silently drop it)
+    val nulls = Seq(Option.empty[String]).toDF("t")
+      .select(TextAnalysis.badWordHits(col("t"), bl).as("h"))
+    assert(nulls.collect().head.getInt(0) == 0)
     // gate: strict rule drops any hit; maxHits admits up to the cap
     val docs = cases.map(_._1).toDF("text")
     assert(TextAnalysis.badWordsGate(docs, "text", bl).count() == 4)
