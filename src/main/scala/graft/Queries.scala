@@ -3966,6 +3966,66 @@ object Queries {
       FROM h WINDOW w AS (PARTITION BY lang ORDER BY score DESC
         ROWS UNBOUNDED PRECEDING)"""))
 
+  // q122: Gopher n-gram repetition signals — the other half of the q61
+  // repetition table: per-source totals of top-2/3-gram char cover (max
+  // over distinct grams of occurrences x non-space chars) and duplicated
+  // 5-gram char cover (per position, with overlap), plus breach counts
+  // for the published thresholds (top-2-gram cover > 0.20 of chars,
+  // dup-5-gram cover > 0.10), compared integer-only (cover*5 > chars /
+  // cover*10 > chars) so both engines agree digit-for-digit.
+  private val q122 = QueryDef("q122_ngram_repetition",
+    (s, d) => {
+      val sig = rd(s, d, "documents")
+        .select(col("source"),
+          TextAnalysis.charCount(col("text")).as("chars"),
+          TextAnalysis.wordArray(col("text")).as("w"))
+        .select(col("source"), col("chars"),
+          TextAnalysis.topNgramCharCover(col("w"), 2).as("top2"),
+          TextAnalysis.topNgramCharCover(col("w"), 3).as("top3"),
+          TextAnalysis.dupNgramCharCover(col("w"), 5).as("dup5"))
+      sig.groupBy(col("source")).agg(
+        count(lit(1)).as("docs"),
+        sum(col("top2")).as("sum_top2"),
+        sum(col("top3")).as("sum_top3"),
+        sum(col("dup5")).as("sum_dup5"),
+        sum(when(col("top2") * 5 > col("chars"), 1L).otherwise(0L))
+          .as("n_top2_breach"),
+        sum(when(col("dup5") * 10 > col("chars"), 1L).otherwise(0L))
+          .as("n_dup5_breach"))
+    },
+    Some("""WITH w AS (SELECT source,
+        string_split_regex(trim(text), '\s+') AS l,
+        length(regexp_replace(text, '\s', '', 'g')) AS chars
+      FROM documents),
+      g AS (SELECT source, chars,
+        list_transform(generate_series(1, len(l) - 1),
+          i -> array_to_string(l[i:i+1], ' ')) AS g2,
+        list_transform(generate_series(1, len(l) - 2),
+          i -> array_to_string(l[i:i+2], ' ')) AS g3,
+        list_transform(generate_series(1, len(l) - 4),
+          i -> array_to_string(l[i:i+4], ' ')) AS g5
+      FROM w),
+      c AS (SELECT source, chars,
+        coalesce(list_max(list_transform(list_distinct(g2),
+          x -> len(list_filter(g2, y -> y = x))
+            * length(replace(x, ' ', '')))), 0) AS top2,
+        coalesce(list_max(list_transform(list_distinct(g3),
+          x -> len(list_filter(g3, y -> y = x))
+            * length(replace(x, ' ', '')))), 0) AS top3,
+        coalesce(list_sum(list_transform(list_filter(g5,
+          x -> len(list_filter(g5, y -> y = x)) > 1),
+          x -> length(replace(x, ' ', '')))), 0) AS dup5
+      FROM g)
+      SELECT source, count(*) AS docs,
+        cast(sum(top2) AS BIGINT) AS sum_top2,
+        cast(sum(top3) AS BIGINT) AS sum_top3,
+        cast(sum(dup5) AS BIGINT) AS sum_dup5,
+        cast(sum(CASE WHEN top2 * 5 > chars THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_top2_breach,
+        cast(sum(CASE WHEN dup5 * 10 > chars THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup5_breach
+      FROM c GROUP BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3976,5 +4036,5 @@ object Queries {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
-    q121)
+    q121, q122)
 }

@@ -266,6 +266,46 @@ object TextAnalysis {
     size(words) - size(filter(array_distinct(words),
       x => size(filter(words, y => y === x)) === 1))
 
+  /** Word n-grams as space-joined strings (all `size-n+1` positions,
+    * with overlap). Empty when the document has fewer than `n` words —
+    * guarded explicitly because Spark's `sequence(1, k)` DESCENDS for
+    * k < 1 instead of returning empty. */
+  def wordNgrams(words: Column, n: Int): Column = {
+    require(n >= 2, s"n-grams need n >= 2 (word-level stats cover n=1); got $n")
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Characters covered by the single most repetition-heavy `n`-gram:
+    * max over distinct n-grams of `occurrences × non-space chars` — the
+    * Gopher "fraction of characters in the most common 2/3/4-gram"
+    * numerator (callers divide by [[charCount]]; the max-COVER form
+    * needs no tie-break rule, unlike "the most common n-gram", and both
+    * engines agree on it digit-for-digit). 0 for docs shorter than `n`
+    * words. Same row-local O(distinct·k) HOF shape (and the same
+    * explode-escalation note) as [[topWordCount]]. */
+  def topNgramCharCover(words: Column, n: Int): Column = {
+    val grams = wordNgrams(words, n)
+    coalesce(array_max(transform(array_distinct(grams),
+      g => size(filter(grams, h => h === g)) *
+        length(regexp_replace(g, " ", "")))), lit(0))
+  }
+
+  /** Characters covered by DUPLICATED `n`-grams: over every position
+    * whose n-gram occurs more than once, the sum of the gram's
+    * non-space chars — the Gopher "fraction of characters in duplicate
+    * 5..10-grams" numerator (counted per position, with overlap — the
+    * published rule's per-occurrence form; a position-union variant
+    * would need interval merging for no extra discriminative power). */
+  def dupNgramCharCover(words: Column, n: Int): Column = {
+    val grams = wordNgrams(words, n)
+    coalesce(aggregate(
+      filter(grams, g => size(filter(grams, h => h === g)) > 1),
+      lit(0), (acc, g) => acc + length(regexp_replace(g, " ", ""))), lit(0))
+  }
+
   /**
    * Blocklisted-token hit count — the C4-style "bad words" gate signal:
    * the number of whitespace tokens (WITH multiplicity) whose lowercased

@@ -263,6 +263,44 @@ class TextFeaturesSpec extends SparkSpec {
     cases.foreach { s => assert(got(s) === ref(s), s"input: '$s'") }
   }
 
+  test("n-gram repetition covers match an independent Scala reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(122)
+    val vocab = Seq("a", "bb", "ccc", "the", "spark", "x")
+    val cases = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    } ++ Seq("", " ", "x", "a a", "a a a a a", "a bb a bb a bb")
+    def ref(s: String, n: Int): (Int, Int) = {
+      val w = s.trim.split("\\s+", -1).toSeq
+      val grams =
+        if (w.size < n) Seq.empty[String]
+        else w.sliding(n).map(_.mkString(" ")).toSeq
+      val cnt = grams.groupBy(identity).map { case (g, o) => (g, o.size) }
+      val top =
+        if (grams.isEmpty) 0
+        else cnt.map { case (g, c) => c * g.replace(" ", "").length }.max
+      val dup = grams.filter(g => cnt(g) > 1)
+        .map(_.replace(" ", "").length).sum
+      (top, dup)
+    }
+    val got = cases.distinct.toDF("t")
+      .select(col("t"), TextAnalysis.wordArray(col("t")).as("w"))
+      .select(col("t"),
+        TextAnalysis.topNgramCharCover(col("w"), 2).as("t2"),
+        TextAnalysis.topNgramCharCover(col("w"), 3).as("t3"),
+        TextAnalysis.dupNgramCharCover(col("w"), 2).as("d2"),
+        TextAnalysis.dupNgramCharCover(col("w"), 5).as("d5"))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    cases.distinct.foreach { s =>
+      val want = (ref(s, 2)._1, ref(s, 3)._1, ref(s, 2)._2, ref(s, 5)._2)
+      assert(got(s) == want, s"input: '$s'")
+    }
+    intercept[IllegalArgumentException](
+      TextAnalysis.wordNgrams(col("w"), 1))
+  }
+
   test("badWordHits: multiplicity, lowercase match, token-exact, gate rule, validation") {
     import spark.implicits._
     val bl = Seq("slow", "spam")
