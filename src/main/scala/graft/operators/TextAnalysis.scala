@@ -278,32 +278,76 @@ object TextAnalysis {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
-  /** Characters covered by the single most repetition-heavy `n`-gram:
-    * max over distinct n-grams of `occurrences × non-space chars` — the
-    * Gopher "fraction of characters in the most common 2/3/4-gram"
-    * numerator (callers divide by [[charCount]]; the max-COVER form
-    * needs no tie-break rule, unlike "the most common n-gram", and both
-    * engines agree on it digit-for-digit). 0 for docs shorter than `n`
-    * words. Same row-local O(distinct·k) HOF shape (and the same
-    * explode-escalation note) as [[topWordCount]]. */
-  def topNgramCharCover(words: Column, n: Int): Column = {
+  /** Non-space chars of a space-joined `n`-gram: tokens carry no
+    * whitespace ([[wordArray]] splits on `\s+`), so it is just
+    * `length − (n−1)` joiner spaces — no per-gram regex pass. */
+  private def gramCharLen(g: Column, n: Int): Column = length(g) - lit(n - 1)
+
+  /**
+   * Both Gopher n-gram repetition numerators in ONE linear pass —
+   * `struct(top, dup)` where
+   *   `top` = chars covered by the most repetition-heavy n-gram (max
+   *     over distinct grams of `occurrences × non-space chars`; the
+   *     max-COVER form needs no tie-break rule, unlike "the most common
+   *     n-gram", and both engines agree on it digit-for-digit), and
+   *   `dup` = chars covered by DUPLICATED n-grams, counted per position
+   *     with overlap (the published rule's per-occurrence form; a
+   *     position-union variant would need interval merging for no extra
+   *     discriminative power).
+   * Callers divide by [[charCount]]; both are 0 for docs shorter than
+   * `n` words.
+   *
+   * Row-local, O(k log k) per doc: `array_sort` the grams (equal grams
+   * become ADJACENT), then ONE `aggregate` pass directly OVER the sorted
+   * array carrying `(prev, run, best, dup)` state. Two shapes measured
+   * and rejected at sf0.1: the per-distinct-gram rescan
+   * ([[topNgramCharCoverRef]], kept as the spec'd semantic reference) is
+   * O(k²) interpreted HOF steps — 34 s for the q122 rollup alone; an
+   * index-walk (`aggregate(sequence(1, k), ... element_at(sorted, i))`)
+   * is worse still (211 s): a lambda body's reference to an outer
+   * expression tree is RE-EVALUATED per element (no CSE inside
+   * interpreted HOFs), so each step re-sorted the whole gram array.
+   * Aggregating over the array itself hands the lambda each element
+   * directly and evaluates the sort exactly once.
+   */
+  def ngramCoverStats(words: Column, n: Int): Column =
+    aggregate(array_sort(wordNgrams(words, n)),
+      struct(lit(null).cast(StringType).as("prev"), lit(0).as("run"),
+        lit(0).as("best"), lit(0).as("dup")),
+      (acc, g) => {
+        val clen = gramCharLen(g, n)
+        val run = when(g === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        // a run's 2nd member retroactively flags the 1st (+2·clen once),
+        // every later member adds its own clen
+        val dup = acc("dup") + when(run === 2, clen * 2)
+          .when(run > 2, clen).otherwise(lit(0))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc("best"), run * clen).as("best"), dup.as("dup"))
+      },
+      acc => struct(acc("best").as("top"), acc("dup").as("dup")))
+
+  /** `top` of [[ngramCoverStats]] alone (one aggregate pass). */
+  def topNgramCharCover(words: Column, n: Int): Column =
+    ngramCoverStats(words, n).getField("top")
+
+  /** `dup` of [[ngramCoverStats]] alone (one aggregate pass). */
+  def dupNgramCharCover(words: Column, n: Int): Column =
+    ngramCoverStats(words, n).getField("dup")
+
+  /** The O(k²) reference tree for the `top` cover (per-distinct-gram
+    * rescan) — the semantic oracle the spec pins the run-scan against. */
+  private[graft] def topNgramCharCoverRef(words: Column, n: Int): Column = {
     val grams = wordNgrams(words, n)
     coalesce(array_max(transform(array_distinct(grams),
-      g => size(filter(grams, h => h === g)) *
-        length(regexp_replace(g, " ", "")))), lit(0))
+      g => size(filter(grams, h => h === g)) * gramCharLen(g, n))), lit(0))
   }
 
-  /** Characters covered by DUPLICATED `n`-grams: over every position
-    * whose n-gram occurs more than once, the sum of the gram's
-    * non-space chars — the Gopher "fraction of characters in duplicate
-    * 5..10-grams" numerator (counted per position, with overlap — the
-    * published rule's per-occurrence form; a position-union variant
-    * would need interval merging for no extra discriminative power). */
-  def dupNgramCharCover(words: Column, n: Int): Column = {
+  /** The O(k²) reference tree for the `dup` cover. */
+  private[graft] def dupNgramCharCoverRef(words: Column, n: Int): Column = {
     val grams = wordNgrams(words, n)
     coalesce(aggregate(
       filter(grams, g => size(filter(grams, h => h === g)) > 1),
-      lit(0), (acc, g) => acc + length(regexp_replace(g, " ", ""))), lit(0))
+      lit(0), (acc, g) => acc + gramCharLen(g, n)), lit(0))
   }
 
   /**

@@ -290,12 +290,18 @@ class TextFeaturesSpec extends SparkSpec {
         TextAnalysis.topNgramCharCover(col("w"), 2).as("t2"),
         TextAnalysis.topNgramCharCover(col("w"), 3).as("t3"),
         TextAnalysis.dupNgramCharCover(col("w"), 2).as("d2"),
-        TextAnalysis.dupNgramCharCover(col("w"), 5).as("d5"))
+        TextAnalysis.dupNgramCharCover(col("w"), 5).as("d5"),
+        TextAnalysis.topNgramCharCoverRef(col("w"), 2).as("rt2"),
+        TextAnalysis.topNgramCharCoverRef(col("w"), 3).as("rt3"),
+        TextAnalysis.dupNgramCharCoverRef(col("w"), 2).as("rd2"),
+        TextAnalysis.dupNgramCharCoverRef(col("w"), 5).as("rd5"))
       .collect().map(r => r.getString(0) ->
-        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)),
+         (r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8)))).toMap
     cases.distinct.foreach { s =>
       val want = (ref(s, 2)._1, ref(s, 3)._1, ref(s, 2)._2, ref(s, 5)._2)
-      assert(got(s) == want, s"input: '$s'")
+      assert(got(s)._1 == want, s"sorted-run form, input: '$s'")
+      assert(got(s)._2 == want, s"quadratic reference tree, input: '$s'")
     }
     intercept[IllegalArgumentException](
       TextAnalysis.wordNgrams(col("w"), 1))
