@@ -53,7 +53,12 @@ object CorpusReport {
       // wraps on multi-megabyte pathological docs)
       when(size(words) >= 10,
         (lit(1000L) * TextAnalysis.topWordCount(words).cast("long") /
-          size(words)).cast("long")).otherwise(lit(0L)).as("rep_q"))
+          size(words)).cast("long")).otherwise(lit(0L)).as("rep_q"),
+      // n-gram half of the Gopher table (q122's run-scan form): chars in
+      // duplicated 5-grams, flagged over 10% of raw chars — raw length is
+      // a slightly looser denominator than q122's non-ws charCount, fine
+      // for a dashboard flag (one fewer regex pass over the corpus)
+      TextAnalysis.dupNgramCharCover(words, 5).cast("long").as("d5"))
       .cache()
 
     val totals = row.agg(
@@ -65,7 +70,9 @@ object CorpusReport {
       sum($"pii_ip").as("pii_ips"),
       sum($"pii_phone").as("pii_phones"),
       sum(when($"rep_q" >= 200, 1L).otherwise(0L)).as("repetitive_docs"),
-      sum(when($"q" < 50, 1L).otherwise(0L)).as("low_quality_docs"))
+      sum(when($"q" < 50, 1L).otherwise(0L)).as("low_quality_docs"),
+      sum(when($"d5" * 10 > $"chars", 1L).otherwise(0L))
+        .as("ngram_rep_docs"))
       .head()
 
     val langMix = row.groupBy($"lang")
@@ -73,9 +80,12 @@ object CorpusReport {
       .orderBy($"toks".desc)
       .as[(String, Long, Long)].collect()
     // true deciles 0–9: the maximum score (100) joins the [90,100] bucket
+    // docs AND token mass per decile — read bottom-up, the cumulative
+    // token column of OrderStats.gateSweep: "what does a threshold at
+    // this decile keep/cost in tokens"
     val qHist = row.groupBy(least($"q" / 10, lit(9)).cast("long").as("decile"))
-      .agg(count(lit(1)).as("n")).orderBy($"decile")
-      .as[(Long, Long)].collect()
+      .agg(count(lit(1)).as("n"), sum($"toks").as("t")).orderBy($"decile")
+      .as[(Long, Long, Long)].collect()
     // dup-rate off the CACHED projection (row already carries source+fp —
     // re-running dupRateByGroup over docs would re-fingerprint the corpus)
     val worstSources = row.groupBy($"source")
@@ -113,7 +123,8 @@ object CorpusReport {
     } + "\""
     val langJson = langMix.map { case (l, n, t) =>
       s"{${jStr(l)}:{" + s""""docs":$n,"tokens":$t}}""" }.mkString("[", ",", "]")
-    val histJson = qHist.map { case (d, n) => s"""{"decile":$d,"docs":$n}""" }
+    val histJson = qHist.map { case (d, n, t) =>
+      s"""{"decile":$d,"docs":$n,"tokens":$t}""" }
       .mkString("[", ",", "]")
     val worstJson = worstSources.map { case (s, d) =>
       s"{${jStr(s)}:$d}" }.mkString("[", ",", "]")
@@ -128,6 +139,7 @@ object CorpusReport {
       s""""phones":${gl(totals, 6)}},""" +
       s""""repetitive_docs":${gl(totals, 7)},""" +
       s""""low_quality_docs":${gl(totals, 8)},""" +
+      s""""ngram_repetitive_docs":${gl(totals, 9)},""" +
       s""""oov":{"rare_tokens":${gl(oov, 0)},"all_tokens":${gl(oov, 1)},""" +
       s""""flagged_docs":${gl(oov, 2)}},""" +
       s""""lang_mix":$langJson,"quality_deciles":$histJson,""" +
