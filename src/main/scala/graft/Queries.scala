@@ -4026,6 +4026,47 @@ object Queries {
           AS n_dup5_breach
       FROM c GROUP BY source"""))
 
+  // q123: cross-host mirror detection (Dedup.mirrorHostPairs) — the
+  // site-level dedup complement of q73's intra-source dup-rate verdicts.
+  // Mirror hosts are synthesized in-query (the q62 variant pattern):
+  // every 4th doc WITHIN each source (doc_id div 20 selects the row
+  // index — source is doc_id mod 20 in this corpus) re-hosted on
+  // '<source>-m', so each (srcX, srcX-m) pair is a TRUE partial mirror
+  // whose smaller side is fully contained (share_pm = 1000 unless
+  // normalized dups collapse differently across the pair — the oracle
+  // decides). Boilerplate-capped at fingerprints on <= 8 hosts; the SQL
+  // replays the whole chain.
+  private val q123 = QueryDef("q123_mirror_hosts",
+    (s, d) => {
+      val docs = rd(s, d, "documents")
+      val base = docs.select(col("source").as("host"), col("text"))
+      val mirror = docs.where(floor(col("doc_id") / 20) % 4 === 0)
+        .select(concat(col("source"), lit("-m")).as("host"), col("text"))
+      Dedup.mirrorHostPairs(base.unionByName(mirror), "host", "text",
+        maxFanout = 8, minSharePm = 100)
+    },
+    Some("""WITH u AS (
+        SELECT source AS g,
+          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        FROM documents
+        UNION ALL
+        SELECT source || '-m',
+          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        FROM documents WHERE (doc_id // 20) % 4 = 0),
+      hfp AS (SELECT DISTINCT g, fp FROM u WHERE fp IS NOT NULL),
+      sizes AS (SELECT g, count(*) AS n FROM hfp GROUP BY g),
+      rare AS (SELECT fp FROM hfp GROUP BY fp HAVING count(*) <= 8),
+      kept AS (SELECT hfp.g, hfp.fp FROM hfp JOIN rare USING (fp)),
+      pairs AS (SELECT a.g AS g1, b.g AS g2, count(*) AS shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.g < b.g GROUP BY 1, 2)
+      SELECT g1, g2, cast(shared AS BIGINT) AS shared,
+        cast(s1.n AS BIGINT) AS n1, cast(s2.n AS BIGINT) AS n2,
+        cast(floor(1000 * shared / least(s1.n, s2.n)) AS BIGINT) AS share_pm
+      FROM pairs
+      JOIN sizes s1 ON pairs.g1 = s1.g
+      JOIN sizes s2 ON pairs.g2 = s2.g
+      WHERE floor(1000 * shared / least(s1.n, s2.n)) >= 100"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -4036,5 +4077,5 @@ object Queries {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
-    q121, q122)
+    q121, q122, q123)
 }

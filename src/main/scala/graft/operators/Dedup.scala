@@ -102,6 +102,57 @@ object Dedup {
     (updated, rates)
   }
 
+  /**
+   * Cross-group mirror detection — the complement of [[dupRateByGroup]]:
+   * that one flags a group whose pages duplicate EACH OTHER; this one
+   * finds PAIRS of groups (hosts, sources) serving the same content —
+   * mirrors, aggregators, re-hosted archives — the site-level dedup a
+   * crawl pipeline runs before paying per-page dedup on both copies.
+   * Returns `(g1, g2, shared, n1, n2, share_pm)`: distinct normalized
+   * content fingerprints shared, each side's distinct-fp count, and
+   * `share_pm = floor(1000·shared / least(n1, n2))` — CONTAINMENT of the
+   * smaller side (a partial mirror of a large site still scores 1000),
+   * kept at `share_pm >= minSharePm`.
+   *
+   * 100 TB shape: groups pair only through SHARED fingerprints — one
+   * `(group, fp)` distinct exchange, then a self-equi-join ON `fp` (the
+   * exchange is reused; never an all-pairs of groups). The one
+   * quadratic hazard is boilerplate: a fingerprint hosted by F groups
+   * yields F²/2 pair rows, so fingerprints on more than `maxFanout`
+   * groups are dropped first — standard practice (site chrome shared by
+   * thousands of hosts carries no mirror signal; a real mirror shares
+   * its CONTENT, which few hosts carry). The per-group size table is
+   * group-cardinality (10⁸ hosts at web scale) and is therefore joined,
+   * never broadcast. NULL-text docs fingerprint to NULL and are
+   * excluded (they assert nothing about mirroring).
+   */
+  def mirrorHostPairs(df: DataFrame, groupCol: String, textCol: String,
+      maxFanout: Int, minSharePm: Int): DataFrame = {
+    require(maxFanout >= 2, s"maxFanout must be >= 2 (got $maxFanout); " +
+      "1 would drop every shareable fingerprint")
+    require(minSharePm >= 1 && minSharePm <= 1000,
+      s"minSharePm in [1,1000]; got $minSharePm")
+    val hfp = df.select(col(groupCol).as("g"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .where(col("fp").isNotNull)
+      .distinct()
+    val sizes = hfp.groupBy($"g").agg(count(lit(1)).as("n"))
+    val rare = hfp.groupBy($"fp").agg(count(lit(1)).as("gf"))
+      .where($"gf" <= maxFanout).select($"fp")
+    val kept = hfp.join(rare, Seq("fp"))
+    val pairs = kept.select($"fp", $"g".as("g1"))
+      .join(kept.select($"fp", $"g".as("g2")),
+        Seq("fp")).where($"g1" < $"g2")
+      .groupBy($"g1", $"g2").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select($"g".as("g1"), $"n".as("n1")), Seq("g1"))
+      .join(sizes.select($"g".as("g2"), $"n".as("n2")), Seq("g2"))
+      .withColumn("share_pm",
+        floor(lit(1000) * $"shared" / least($"n1", $"n2")).cast(LongType))
+      .where($"share_pm" >= minSharePm)
+      .select($"g1", $"g2", $"shared", $"n1", $"n2", $"share_pm")
+  }
+
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

@@ -424,6 +424,45 @@ class TextFeaturesSpec extends SparkSpec {
     assert(inc == got, s"incremental $inc != batch $got")
   }
 
+  test("mirrorHostPairs: containment pairs, boilerplate cap, layout invariance, validation") {
+    import spark.implicits._
+    val ts = (1 to 6).map(i => s"doc number $i content")
+    // B re-renders A's six docs (upper + punctuation) — the normalized
+    // fingerprint must still pair them; chrome sits on 3 hosts (== cap,
+    // kept); host E is null-text only and must vanish
+    val docs = (
+      ts.map(("A", _)) :+ (("A", "shared chrome"))) ++ (
+      ts.map(t => ("B", t.toUpperCase + "!!!"))) ++ (
+      Seq("C" -> ts(0), "C" -> ts(1), "C" -> ts(2),
+        "C" -> "unique c one", "C" -> "unique c two", "C" -> "shared chrome",
+        "D" -> "ddd one", "D" -> "ddd two", "D" -> "shared chrome",
+        "E" -> null.asInstanceOf[String]))
+    val df = docs.toDF("host", "text")
+    def run(d: org.apache.spark.sql.DataFrame) = graft.operators.Dedup
+      .mirrorHostPairs(d, "host", "text", maxFanout = 3, minSharePm = 400)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    val got = run(df)
+    // A={t1..t6, chrome} n=7; B={t1..t6} n=6; C={t1..t3, u1, u2, chrome}
+    // n=6; D={d1, d2, chrome} n=3. Sub-threshold chrome-only pairs
+    // (A,D)/(C,D) at 333 pm are filtered; E appears nowhere.
+    assert(got == Set(
+      ("A", "B", 6L, 7L, 6L, 1000L),   // full containment of the mirror
+      ("A", "C", 4L, 7L, 6L, 666L),
+      ("B", "C", 3L, 6L, 6L, 500L)), got.toString)
+    // a tighter cap (2) drops chrome AND the 3-host t1..t3 fingerprints:
+    // only (A,B) survives, on t4..t6
+    val tight = graft.operators.Dedup
+      .mirrorHostPairs(df, "host", "text", maxFanout = 2, minSharePm = 400)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(tight == Set(("A", "B", 3L, 7L, 6L, 500L)), tight.toString)
+    // partitioning invariance
+    assert(run(df.orderBy(rand(7)).repartition(9)) == got)
+    intercept[IllegalArgumentException](graft.operators.Dedup
+      .mirrorHostPairs(df, "host", "text", maxFanout = 1, minSharePm = 400))
+    intercept[IllegalArgumentException](graft.operators.Dedup
+      .mirrorHostPairs(df, "host", "text", maxFanout = 3, minSharePm = 0))
+  }
+
   test("hashedTfVector: ≡ independent Scala md5 reference, parity, determinism, null text") {
     import spark.implicits._
     val dim = 32
