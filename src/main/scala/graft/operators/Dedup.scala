@@ -127,15 +127,47 @@ object Dedup {
    * excluded (they assert nothing about mirroring).
    */
   def mirrorHostPairs(df: DataFrame, groupCol: String, textCol: String,
-      maxFanout: Int, minSharePm: Int): DataFrame = {
+      maxFanout: Int, minSharePm: Int): DataFrame =
+    mirrorPairsFromIndex(
+      df.select(col(groupCol).as("g"),
+          TextAnalysis.fingerprint(col(textCol)).as("fp"))
+        .where(col("fp").isNotNull)
+        .distinct(),
+      maxFanout, minSharePm)
+
+  /**
+   * Incremental maintenance of the mirror index — the persisted
+   * `(g, fp)` DISTINCT table behind [[mirrorHostPairs]]: an epoch folds
+   * in by fingerprinting ONLY the fresh docs, union, and one distinct
+   * re-aggregation (both sides already hash-partitioned the same way).
+   * Because the table is a SET, the fold is an idempotent monoid — a
+   * re-delivered epoch is absorbed with NO exactly-once guard, like
+   * [[BloomSet.bloomIncrement]] and unlike every count-shaped increment
+   * ([[spanStatsIncrement]] / [[dupRateIncrement]]); chunked arrival in
+   * ANY order ≡ one batch build (spec-asserted). Serve pairs off the
+   * table with [[mirrorPairsFromIndex]] — raw text is never
+   * re-fingerprinted to answer a mirror question.
+   */
+  def mirrorIncrement(historyHfp: DataFrame, fresh: DataFrame,
+      groupCol: String, textCol: String): DataFrame = {
+    require(historyHfp.columns.toSeq == Seq("g", "fp"),
+      s"history must be (g, fp); got ${historyHfp.columns.mkString(",")}")
+    historyHfp.unionByName(
+      fresh.select(col(groupCol).as("g"),
+          TextAnalysis.fingerprint(col(textCol)).as("fp"))
+        .where(col("fp").isNotNull))
+      .distinct()
+  }
+
+  /** [[mirrorHostPairs]] served off a persisted `(g, fp)` index table
+    * ([[mirrorIncrement]] output) — the same pairing plan minus the
+    * fingerprint scan. */
+  def mirrorPairsFromIndex(hfp: DataFrame, maxFanout: Int,
+      minSharePm: Int): DataFrame = {
     require(maxFanout >= 2, s"maxFanout must be >= 2 (got $maxFanout); " +
       "1 would drop every shareable fingerprint")
     require(minSharePm >= 1 && minSharePm <= 1000,
       s"minSharePm in [1,1000]; got $minSharePm")
-    val hfp = df.select(col(groupCol).as("g"),
-        TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .where(col("fp").isNotNull)
-      .distinct()
     val sizes = hfp.groupBy($"g").agg(count(lit(1)).as("n"))
     val rare = hfp.groupBy($"fp").agg(count(lit(1)).as("gf"))
       .where($"gf" <= maxFanout).select($"fp")

@@ -457,6 +457,21 @@ class TextFeaturesSpec extends SparkSpec {
     assert(tight == Set(("A", "B", 3L, 7L, 6L, 500L)), tight.toString)
     // partitioning invariance
     assert(run(df.orderBy(rand(7)).repartition(9)) == got)
+    // persisted index: chunked builds serve the same pairs, and — the
+    // set-fold property — a REPLAYED chunk is absorbed (no exactly-once
+    // guard needed, unlike the count-shaped increments)
+    val empty = Seq.empty[(String, String)].toDF("g", "fp")
+    val Seq(k1, k2) = Seq(df.limit(9), df.exceptAll(df.limit(9)))
+    val idx = graft.operators.Dedup.mirrorIncrement(
+      graft.operators.Dedup.mirrorIncrement(
+        graft.operators.Dedup.mirrorIncrement(empty, k1, "host", "text"),
+        k2, "host", "text"),
+      k1, "host", "text") // k1 re-delivered
+    val served = graft.operators.Dedup.mirrorPairsFromIndex(idx, 3, 400)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(served == got, s"index-served $served != direct $got")
+    intercept[IllegalArgumentException](graft.operators.Dedup
+      .mirrorIncrement(empty.withColumnRenamed("fp", "f"), df, "host", "text"))
     intercept[IllegalArgumentException](graft.operators.Dedup
       .mirrorHostPairs(df, "host", "text", maxFanout = 1, minSharePm = 400))
     intercept[IllegalArgumentException](graft.operators.Dedup
