@@ -168,17 +168,22 @@ object Dedup {
       "1 would drop every shareable fingerprint")
     require(minSharePm >= 1 && minSharePm <= 1000,
       s"minSharePm in [1,1000]; got $minSharePm")
+    // every join side here scales with the corpus (fp tables are
+    // distinct-content-cardinality, the size table host-cardinality) —
+    // pin sort-merge like the rareTokenStats lexicon join so a
+    // small-sample size estimate can never "optimize" one into a
+    // broadcast that OOMs at corpus scale
     val sizes = hfp.groupBy($"g").agg(count(lit(1)).as("n"))
     val rare = hfp.groupBy($"fp").agg(count(lit(1)).as("gf"))
       .where($"gf" <= maxFanout).select($"fp")
-    val kept = hfp.join(rare, Seq("fp"))
+    val kept = hfp.join(rare.hint("merge"), Seq("fp"))
     val pairs = kept.select($"fp", $"g".as("g1"))
-      .join(kept.select($"fp", $"g".as("g2")),
+      .join(kept.select($"fp", $"g".as("g2")).hint("merge"),
         Seq("fp")).where($"g1" < $"g2")
       .groupBy($"g1", $"g2").agg(count(lit(1)).as("shared"))
     pairs
-      .join(sizes.select($"g".as("g1"), $"n".as("n1")), Seq("g1"))
-      .join(sizes.select($"g".as("g2"), $"n".as("n2")), Seq("g2"))
+      .join(sizes.select($"g".as("g1"), $"n".as("n1")).hint("merge"), Seq("g1"))
+      .join(sizes.select($"g".as("g2"), $"n".as("n2")).hint("merge"), Seq("g2"))
       .withColumn("share_pm",
         floor(lit(1000) * $"shared" / least($"n1", $"n2")).cast(LongType))
       .where($"share_pm" >= minSharePm)

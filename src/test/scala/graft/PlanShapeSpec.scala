@@ -360,6 +360,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(pe.contains("BroadcastHashJoin"), s"cms probe not broadcast:\n$pe")
   }
 
+  test("mirror pairing: every join pinned sort-merge (no mis-broadcast), no cartesian") {
+    import spark.implicits._
+    val docs = (0 until 200)
+      .map(i => (s"h${i % 8}", s"content ${i % 37} body")).toDF("host", "text")
+    val p = plan(graft.operators.Dedup
+      .mirrorHostPairs(docs, "host", "text", maxFanout = 4, minSharePm = 100))
+    // fp tables are distinct-content-cardinality and the size table is
+    // host-cardinality — none may ever ride a size estimate into a
+    // broadcast; and groups must only pair through shared fingerprints
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"mirror pairing must not broadcast corpus-scaled sides:\n$p")
+    assert(p.split("SortMergeJoin").length - 1 >= 4,
+      s"expected the 4 pinned merge joins:\n$p")
+  }
+
   test("badWordHits is scan-stage (no join, no exchange); gateSweep is one histogram exchange") {
     import spark.implicits._
     val docs = (0 until 300)
