@@ -4067,6 +4067,45 @@ object Queries {
       JOIN sizes s2 ON pairs.g2 = s2.g
       WHERE floor(1000 * shared / least(s1.n, s2.n)) >= 100"""))
 
+  // q124: per-URL change frequency (UrlOps.changeFrequency) — the
+  // recrawl-scheduling readout over the q86 crawl log, with per-arrival
+  // pseudo-content versioned by event_id % 3 (md5'd) so the same URL's
+  // consecutive crawls genuinely flip between versions; the oracle
+  // replays the url-derivation, the version hash, and the lag window
+  // digit-for-digit.
+  private val q124 = QueryDef("q124_change_frequency",
+    (s, d) => {
+      val arrivals = crawlLog(s, d).withColumn("fp",
+        md5(concat(lit("v"), (col("event_id") % 3).cast(StringType))
+          .cast(BinaryType)))
+      UrlOps.changeFrequency(arrivals, "url", "ts", "fp", "event_id")
+    },
+    Some("""WITH u AS (SELECT ts, event_id,
+        CASE WHEN event_id % 97 = 0 THEN 'not a url' ELSE
+          'HTTP://WWW.Site' || (user_id % 50)::VARCHAR || '.Example.COM'
+          || (CASE WHEN event_id % 4 = 0 THEN ':80' ELSE '' END)
+          || (CASE WHEN event_id % 3 = 0 THEN ''
+              ELSE '/p/' || (event_id % 7)::VARCHAR END)
+          || (CASE WHEN event_id % 2 = 0
+              THEN '?b=' || (user_id % 5)::VARCHAR || '&a=1&'
+              ELSE '?a=1&b=' || (user_id % 5)::VARCHAR END)
+          || '#sec' END AS url,
+        md5('v' || (event_id % 3)::VARCHAR) AS fp FROM events),
+      o AS (SELECT url, fp,
+        lag(fp) OVER (PARTITION BY url ORDER BY ts, event_id) AS prev,
+        row_number() OVER (PARTITION BY url ORDER BY ts, event_id) AS rn
+      FROM u),
+      c AS (SELECT url, count(*) AS n_crawls,
+        sum(CASE WHEN rn > 1 AND (fp IS DISTINCT FROM prev)
+          THEN 1 ELSE 0 END) AS n_changes
+      FROM o GROUP BY url)
+      SELECT url, cast(n_crawls AS BIGINT) AS n_crawls,
+        cast(n_changes AS BIGINT) AS n_changes,
+        cast(CASE WHEN n_crawls > 1
+          THEN floor(1000 * n_changes / (n_crawls - 1)) ELSE 0 END
+          AS BIGINT) AS change_pm
+      FROM c"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -4077,5 +4116,5 @@ object Queries {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
-    q121, q122, q123)
+    q121, q122, q123, q124)
 }

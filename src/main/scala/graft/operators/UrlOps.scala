@@ -222,6 +222,45 @@ object UrlOps {
   }
 
   /**
+   * Per-URL content change frequency across re-crawls — the recrawl-
+   * scheduling signal ([[crawlDelta]]'s longitudinal form): over a log
+   * of arrivals `(url, ts, fp)`, counts for each URL its crawls and how
+   * often the content fingerprint CHANGED between consecutive arrivals
+   * in event-time order, with `change_pm = floor(1000·n_changes /
+   * (n_crawls − 1))` (0 for single-crawl URLs — one observation asserts
+   * nothing about volatility). A crawler reads this to decide which
+   * URLs earn frequent re-fetches and which are static archives.
+   * Comparison is null-safe (`IS DISTINCT FROM` — a NULL fingerprint
+   * differs from content, matching [[crawlDelta]]'s rule); `tieCol`
+   * makes the within-timestamp order total, so the count is
+   * deterministic under any partitioning.
+   *
+   * 100 TB shape: ONE exchange on `urlCol`; the lag/row-number windows
+   * and the per-URL aggregation all share that clustering (arrivals per
+   * URL are crawl-frequency-bounded, so the per-partition sort is
+   * shallow; no global sort, no driver state).
+   */
+  def changeFrequency(arrivals: DataFrame, urlCol: String, tsCol: String,
+      fpCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = Seq("__prev", "__rn")
+    require(!arrivals.columns.exists(reserved.contains),
+      s"arrivals must not carry reserved columns ${reserved.mkString("/")}")
+    val w = Window.partitionBy(col(urlCol)).orderBy(col(tsCol), col(tieCol))
+    arrivals
+      .withColumn("__prev", lag(col(fpCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(urlCol))
+      .agg(count(lit(1)).as("n_crawls"),
+        sum(when(col("__rn") > 1 && !(col(fpCol) <=> col("__prev")), 1L)
+          .otherwise(0L)).as("n_changes"))
+      .withColumn("change_pm",
+        when(col("n_crawls") > 1,
+          floor(lit(1000) * col("n_changes") / (col("n_crawls") - 1)))
+          .otherwise(lit(0)).cast(org.apache.spark.sql.types.LongType))
+  }
+
+  /**
    * Robots-exclusion verdicts (RFC 9309 core) — the crawl-compliance
    * gate a Common-Crawl-style pipeline applies before fetching or
    * admitting a page. `robots` is the parsed per-host rule table

@@ -321,4 +321,28 @@ class UrlOpsSpec extends SparkSpec {
     val want = urls.filter(u => u.contains(".tld3.com/")).toSet
     assert(lookup.select("url").collect().map(_.getString(0)).toSet == want)
   }
+
+  test("changeFrequency: consecutive-change counts, null-safe compare, tie order, invariance") {
+    import spark.implicits._
+    // u1: a-a-b-b-a => 2 changes of 4 gaps (500pm); u2: single crawl =>
+    // 0pm; u3: null fp flips count as changes both ways (a-NULL-a => 2);
+    // u4: same ts twice, tiebreak decides order deterministically (v1 at
+    // tie 1, v2 at tie 2 => exactly 1 change)
+    val arrivals = Seq(
+      ("u1", 1L, 1L, "a"), ("u1", 2L, 2L, "a"), ("u1", 3L, 3L, "b"),
+      ("u1", 4L, 4L, "b"), ("u1", 5L, 5L, "a"),
+      ("u2", 1L, 6L, "x"),
+      ("u3", 1L, 7L, "a"), ("u3", 2L, 8L, null), ("u3", 3L, 9L, "a"),
+      ("u4", 1L, 2L, "v2"), ("u4", 1L, 1L, "v1"))
+      .toDF("url", "ts", "tie", "fp")
+    def run(d: org.apache.spark.sql.DataFrame) = UrlOps
+      .changeFrequency(d, "url", "ts", "fp", "tie")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val got = run(arrivals)
+    assert(got == Set(("u1", 5L, 2L, 500L), ("u2", 1L, 0L, 0L),
+      ("u3", 3L, 2L, 1000L), ("u4", 2L, 1L, 1000L)), got.toString)
+    assert(run(arrivals.orderBy(rand(4)).repartition(7)) == got)
+    intercept[IllegalArgumentException](UrlOps.changeFrequency(
+      arrivals.withColumn("__rn", lit(1)), "url", "ts", "fp", "tie"))
+  }
 }
