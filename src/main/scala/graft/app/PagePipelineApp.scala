@@ -21,7 +21,7 @@ import graft.streaming._
  *     --pages 1000000 --hosts 10000 --rate 50000 --checkpoint /cp \
  *     --table /out/pages_sessions --metrics /out/progress.jsonl \
  *     [--join-meta | --near-dup | --prep | --link-graph
- *      | --trending [--trend-epoch 3600]
+ *      | --trending [--trend-epoch 3600] | --change-track
  *      | --oov-gate /lexicon.parquet [--oov-max 500]
  *      | --lm-gate /bigram_counts.parquet [--lm-min 30000]
  *      | --sem-gate /semgate_dir [--sem-tau 900000] [--sem-dim 32]
@@ -40,7 +40,7 @@ object PagePipelineApp {
     // valueless flags are parsed separately: pairing them positionally
     // would shift every later key/value option
     val flags = Set("--join-meta", "--near-dup", "--prep", "--link-graph",
-      "--trending")
+      "--trending", "--change-track")
     val valueOpts = Set("--pages", "--hosts", "--rate", "--checkpoint", "--table", "--metrics",
       "--buckets", "--bucket-by", "--jsonl", "--oov-gate", "--oov-max",
       "--lm-gate", "--lm-min", "--sem-gate", "--sem-tau", "--sem-dim",
@@ -73,11 +73,13 @@ object PagePipelineApp {
     val prep = args.contains("--prep")
     val linkGraph = args.contains("--link-graph")
     val trending = args.contains("--trending")
+    val changeTrack = args.contains("--change-track")
     // modes are mutually exclusive — the mode chain below would otherwise
     // resolve a conflict silently by if/else order (e.g. --near-dup
     // --oov-gate would run the gate and silently skip dedup)
     val pickedModes = Seq("--join-meta" -> joinMeta, "--near-dup" -> nearDup,
       "--prep" -> prep, "--link-graph" -> linkGraph, "--trending" -> trending,
+      "--change-track" -> changeTrack,
       "--oov-gate" -> a.contains("--oov-gate"),
       "--lm-gate" -> a.contains("--lm-gate"),
       "--sem-gate" -> a.contains("--sem-gate"),
@@ -148,6 +150,29 @@ object PagePipelineApp {
         val epochUs = a.getOrElse("--trend-epoch", "3600").toLong * 1000000L
         (Trending.fromEvents(spark, pages, "host", "warc_ts", epochUs,
           watermark = "30 minutes").toDF(),
+          identity[org.apache.spark.sql.DataFrame] _)
+      } else if (changeTrack) {
+        // live per-URL change tracking (streaming.ChangeTracker): as
+        // re-crawls arrive, cumulative (url, n_crawls, n_changes,
+        // change_pm) rows emit once the watermark passes each arrival's
+        // event time (order-final — every future arrival must sort
+        // after). NOTE on the synthetic generator: cycled page ids
+        // re-arrive with their ORIGINAL event times, so once the
+        // watermark outruns the synthetic span they drop as late and
+        // the steady state is one crawl per url (the sessionize-mode
+        // behavior, not the link-graph one) — feed --jsonl for a
+        // real re-crawl stream with fresh fetch timestamps. Serving
+        // read: newest row per url (max-struct on (n_crawls, ...) —
+        // the latestSnapshot shape) = the recrawl scheduler's
+        // volatility table.
+        import spark.implicits._
+        val arrivals = pages
+          .select(col("url"), col("warc_ts").as("ts"),
+            unix_micros(col("warc_ts")).as("tie"),
+            graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+          .withWatermark("ts", "30 minutes")
+          .as[graft.streaming.ChangeTracker.Arrival]
+        (graft.streaming.ChangeTracker.track(arrivals).toDF(),
           identity[org.apache.spark.sql.DataFrame] _)
       } else if (prep) {
         // the complete ingest prep chain (quality gate -> lang gate ->
@@ -350,6 +375,7 @@ object PagePipelineApp {
         if (prep || nearDup) Seq("id", "ts")
         else if (linkGraph) Seq("src_host", "dst_host", "n_links")
         else if (trending) Seq("key", "epoch", "score")
+        else if (changeTrack) Seq("url", "n_crawls", "n_changes", "change_pm")
         else out.columns.toSeq
       if (!sinkCols.contains(routeCol))
         sys.error(s"--bucket-by $routeCol is not a sink output column " +
@@ -361,6 +387,7 @@ object PagePipelineApp {
     val statsCol =
       if (linkGraph) None // edge deltas carry no event time
       else if (trending) None // epochs are already coarse time buckets
+      else if (changeTrack) None // cumulative counters, no event-time col
       else if (prep || nearDup) Some("ts")
       else if (joinMeta || a.contains("--oov-gate")
         || a.contains("--lm-gate") || a.contains("--sem-gate")
