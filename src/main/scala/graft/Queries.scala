@@ -4106,6 +4106,45 @@ object Queries {
           AS BIGINT) AS change_pm
       FROM c"""))
 
+  // q125: fill-in-the-middle split (TrainingExport.fimSplit) — PSM
+  // re-serialization with md5-derived cut points, value-checked by
+  // per-doc md5 of the rewritten text; the oracle rebuilds the 48-bit
+  // hash (q119's digit-sum chain), both cuts, and the three-slice
+  // concatenation verbatim. Short docs (< 3 tokens) pass through with
+  // zero cuts.
+  private val q125 = QueryDef("q125_fim_split",
+    (s, d) => TrainingExport.fimSplit(rd(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_toks"), col("cut_i"), col("cut_j"),
+        md5(col("fim_text").cast(BinaryType)).as("fim_md5")),
+    Some("""WITH t AS (SELECT doc_id, text,
+        string_split_regex(trim(text), '\s+') AS l FROM documents),
+      h AS (SELECT doc_id, text, l, len(l) AS k,
+        list_sum(list_transform(generate_series(1, 12),
+          p -> cast(strpos('0123456789abcdef',
+                 substr(md5(doc_id::VARCHAR || ':i'), p, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[p])) AS hi,
+        list_sum(list_transform(generate_series(1, 12),
+          p -> cast(strpos('0123456789abcdef',
+                 substr(md5(doc_id::VARCHAR || ':j'), p, 1)) - 1 AS BIGINT)
+            * ([17592186044416,1099511627776,68719476736,4294967296,268435456,
+                16777216,1048576,65536,4096,256,16,1])[p])) AS hj
+      FROM t),
+      c AS (SELECT doc_id, text, l, k, hj,
+        CASE WHEN k >= 3 THEN 1 + hi % (k - 2) ELSE 0 END AS i0
+      FROM h),
+      c2 AS (SELECT doc_id, text, l, k, i0,
+        CASE WHEN k >= 3 THEN i0 + 1 + hj % (k - 1 - i0) ELSE 0 END AS j0
+      FROM c)
+      SELECT doc_id, cast(k AS BIGINT) AS n_toks,
+        cast(i0 AS BIGINT) AS cut_i, cast(j0 AS BIGINT) AS cut_j,
+        CASE WHEN k >= 3 THEN md5('<FIM_PRE>'
+            || array_to_string(l[1:i0], ' ')
+            || '<FIM_SUF>' || array_to_string(l[j0+1:k], ' ')
+            || '<FIM_MID>' || array_to_string(l[i0+1:j0], ' '))
+          ELSE md5(text) END AS fim_md5
+      FROM c2"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -4116,5 +4155,5 @@ object Queries {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
-    q121, q122, q123, q124)
+    q121, q122, q123, q124, q125)
 }

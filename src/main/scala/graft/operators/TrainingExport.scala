@@ -264,4 +264,40 @@ object TrainingExport {
       .withColumn("ord", row_number().over(w).cast("long"))
       .drop("__ehu")
   }
+
+  /**
+   * Fill-in-the-middle transformation (PSM order) — the training-data
+   * rewrite behind FIM-capable code/text models: each document is cut
+   * at two DETERMINISTIC token positions `0 < i < j < n_toks` (both
+   * md5-derived from the doc id, so the split is reproducible across
+   * reruns, partitionings, and engines — the [[Sampling.hashUniform48]]
+   * discipline) and re-serialized as
+   * `<FIM_PRE>prefix<FIM_SUF>suffix<FIM_MID>middle`, which trains the
+   * model to infill `middle` given both sides. Cuts guarantee all
+   * three segments non-empty; documents under 3 tokens pass through
+   * unchanged with `cut_i = cut_j = 0` (nothing to infill — dropping
+   * them silently would break the one-row-per-doc contract).
+   *
+   * Returns `(idCol, n_toks, cut_i, cut_j, fim_text)`. Fully row-local
+   * (one tokenize, two md5s, three slices — scan-stage, zero shuffle);
+   * apply downstream of the gates and upstream of [[packedSequences]].
+   */
+  def fimSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextAnalysis.wordArray(col(textCol))
+    val k = size(w)
+    val hi = Sampling.hashUniform48(
+      concat(col(idCol).cast("string"), lit(":i")))
+    val hj = Sampling.hashUniform48(
+      concat(col(idCol).cast("string"), lit(":j")))
+    val i = (lit(1L) + hi % (k - 2).cast("long")).cast("int")
+    val j = (i.cast("long") + lit(1L) +
+      hj % (k.cast("long") - 1L - i.cast("long"))).cast("int")
+    val fim = concat(lit("<FIM_PRE>"), array_join(slice(w, lit(1), i), " "),
+      lit("<FIM_SUF>"), array_join(slice(w, j + 1, k - j), " "),
+      lit("<FIM_MID>"), array_join(slice(w, i + 1, j - i), " "))
+    docs.select(col(idCol), k.cast("long").as("n_toks"),
+      when(k >= 3, i.cast("long")).otherwise(lit(0L)).as("cut_i"),
+      when(k >= 3, j.cast("long")).otherwise(lit(0L)).as("cut_j"),
+      when(k >= 3, fim).otherwise(col(textCol)).as("fim_text"))
+  }
 }

@@ -320,6 +320,41 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("fimSplit: segments reassemble, cuts in range and deterministic, short-doc passthrough") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(125)
+    val docs = ((0 until 200).map { i =>
+      (i.toLong, (0 until (3 + rnd.nextInt(30)))
+        .map(j => s"w${rnd.nextInt(9)}x$j").mkString(" "))
+    } ++ Seq((900L, ""), (901L, "one"), (902L, "one two")))
+      .toDF("doc_id", "text")
+    val got = TrainingExport.fimSplit(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val texts = docs.as[(Long, String)].collect().toMap
+    for ((id, (_, n, i, j, fim)) <- got) {
+      val w = texts(id).trim.split("\\s+", -1).toSeq
+      assert(n == w.size, s"doc $id")
+      if (w.size < 3) {
+        assert((i, j) == (0L, 0L) && fim == texts(id), s"doc $id passthrough")
+      } else {
+        assert(0 < i && i < j && j < n, s"doc $id cuts ($i, $j) of $n")
+        // PSM re-serialization carries every token exactly once
+        val want = "<FIM_PRE>" + w.take(i.toInt).mkString(" ") +
+          "<FIM_SUF>" + w.drop(j.toInt).mkString(" ") +
+          "<FIM_MID>" + w.slice(i.toInt, j.toInt).mkString(" ")
+        assert(fim == want, s"doc $id")
+      }
+    }
+    // cuts are a pure function of the id: stable across partitionings
+    val again = TrainingExport.fimSplit(
+      docs.orderBy(rand(5)).repartition(7), "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+    // and the cut positions actually vary across docs (not degenerate)
+    assert(got.values.filter(_._2 >= 3).map(v => (v._3, v._4)).toSet.size > 20)
+  }
+
   test("packedSequences: budget-exact packs, token-exact straddle splits, text round-trip") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
