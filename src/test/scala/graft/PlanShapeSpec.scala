@@ -375,6 +375,20 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the 4 pinned merge joins:\n$p")
   }
 
+  test("changeFrequency: ONE exchange on url shared by windows and rollup") {
+    import spark.implicits._
+    val log = (0 until 300).map(i =>
+      (s"u${i % 40}", i.toLong, i.toLong, s"v${i % 3}"))
+      .toDF("url", "ts", "tie", "fp")
+    val p = plan(graft.operators.UrlOps
+      .changeFrequency(log, "url", "ts", "fp", "tie"))
+    // the lag/row-number windows and the per-url aggregation must all
+    // ride one url clustering — a second exchange would re-shuffle the
+    // corpus between the window and the rollup
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"changeFrequency != 1 exchange:\n$p")
+  }
+
   test("badWordHits is scan-stage (no join, no exchange); gateSweep is one histogram exchange") {
     import spark.implicits._
     val docs = (0 until 300)
