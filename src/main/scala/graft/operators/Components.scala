@@ -85,26 +85,47 @@ object Components {
       maxIters: Int = 50): DataFrame = {
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val sym = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst"))).distinct()
-    val edges = mat(sym, checkpointDir, "edges")
-    var labels = mat(
+    // pin the edge list ALREADY HASH-PARTITIONED on src: every round's
+    // equi-join probes edges on src, and localCheckpoint preserves the
+    // physical partitioning (LogicalRDD), so no round re-exchanges the
+    // (potentially corpus-pair-sized) edge side — only the node-sized
+    // label table moves per round
+    val edges = mat(sym.repartition($"src"), checkpointDir, "edges")
+    val idType = pairs.schema(idA).dataType
+    var pinned = mat(
       edges.select($"src".as("id")).distinct().select($"id", $"id".as("cluster_id")),
       checkpointDir, "labels-0")
+    var labels = pinned
     var it = 0
     var done = labels.isEmpty // empty graph: nothing to propagate
     while (!done && it < maxIters) {
       it += 1
+      // the convergence flag rides the SAME aggregation that computes the
+      // round (guide §2.4: two ops keyed the same way share one exchange):
+      // label rows carry their own cluster_id as __prev, propagated rows
+      // carry NULL, so min(__prev) per id is exactly the previous label
+      // (every propagated id has a label row — edges are symmetric) and
+      // __chg marks ids whose label moved. The fixpoint test is then a
+      // scan of the already-materialized round — the previous per-round
+      // join + isEmpty action (2 exchanges + an extra job) is gone.
       val prop = edges
         .join(labels.select($"id".as("src"), $"cluster_id"), "src")
-        .select($"dst".as("id"), $"cluster_id")
+        .select($"dst".as("id"), $"cluster_id",
+          lit(null).cast(idType).as("__prev"))
       val next = mat(
-        labels.union(prop).groupBy($"id").agg(min($"cluster_id").as("cluster_id")),
+        labels.select($"id", $"cluster_id", $"cluster_id".as("__prev"))
+          .union(prop)
+          .groupBy($"id").agg(min($"cluster_id").as("cluster_id"),
+            min($"__prev").as("__prev"))
+          .select($"id", $"cluster_id",
+            ($"cluster_id" =!= $"__prev").as("__chg")),
         checkpointDir, s"labels-$it")
       // min-propagation is monotone, so the fixpoint test is exact:
       // unchanged round => unchanged forever
-      done = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .where($"cluster_id" =!= $"prev").isEmpty
-      labels.unpersist()
-      labels = next
+      done = next.where($"__chg").isEmpty
+      pinned.unpersist()
+      pinned = next
+      labels = next.select($"id", $"cluster_id")
     }
     require(done, s"connectedComponents did not converge in $maxIters rounds — " +
       "graph diameter exceeds the near-dup shape this operator targets; " +

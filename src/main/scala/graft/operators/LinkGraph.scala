@@ -54,7 +54,13 @@ object LinkGraph {
     * `:port` suffix and userinfo stripped — the aggregation key of a
     * host-level graph (finer keys belong to [[UrlOps.canonicalizeUrl]]).
     * NULL for strings without a `scheme://authority` prefix. */
-  def hostOf(url: Column): Column = {
+  def hostOf(url: Column): Column =
+    org.apache.spark.sql.graftshim.Bridge.column(
+      HostOfUrl(org.apache.spark.sql.graftshim.Bridge.expression(url)))
+
+  /** The original 3-regex formulation of [[hostOf]], kept as the
+    * semantic reference the spec pins the builtin rewrite against. */
+  private[graft] def hostOfRef(url: Column): Column = {
     val auth = lower(regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     val noUser = regexp_replace(auth, "^[^@]*@", "")
@@ -162,22 +168,28 @@ object LinkGraph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // pin the edge table FIRST: ew and nodes both derive from it, and
     // without the pin each would re-run the full upstream (corpus scan +
-    // extraction + edge shuffle) once more
+    // extraction + edge shuffle) once more. Pin it HASH-PARTITIONED on
+    // src (localCheckpoint preserves physical partitioning), so the
+    // per-round rank join never re-exchanges the edge side.
     val e = edges.select($"src_host".as("src"), $"dst_host".as("dst"),
-      $"n_links".cast(LongType).as("n")).localCheckpoint()
+      $"n_links".cast(LongType).as("n")).repartition($"src").localCheckpoint()
     val deg = e.groupBy($"src").agg(sum($"n").as("d"))
     val ew = e.join(deg, "src").localCheckpoint()
     val nodes = e.select($"src".as("host"))
       .union(e.select($"dst".as("host"))).distinct().localCheckpoint()
     var r = nodes.select($"host", lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
-      val contribs = ew.join(r.withColumnRenamed("host", "src"), "src")
+      // dangling-host base mass rides the SAME aggregation as the
+      // contributions (guide §2.4): a zero row per node unioned under
+      // the contrib groupBy replaces the former per-round `nodes LEFT
+      // JOIN contribs` — one exchange on host instead of an aggregation
+      // exchange PLUS a join. sum(c0)+0 == coalesce(c, 0) exactly.
+      r = ew.join(r.withColumnRenamed("host", "src"), "src")
         .select($"dst".as("host"), expr("(r * n) div d").as("c0"))
+        .union(nodes.select($"host", lit(0L).as("c0")))
         .groupBy($"host").agg(sum($"c0").as("c"))
-      r = nodes.join(contribs, Seq("host"), "left")
         .select($"host",
-          (lit(150000L) + expr("(850000 * coalesce(c, 0L)) div 1000000"))
-            .as("r"))
+          (lit(150000L) + expr("(850000 * c) div 1000000")).as("r"))
         .localCheckpoint()
     }
     r.select($"host", $"r".as("rank_micro"))

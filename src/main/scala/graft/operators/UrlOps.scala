@@ -35,7 +35,15 @@ object UrlOps {
   private val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
   private val queryRe = "\\?([^#]*)"
 
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column): Column =
+    org.apache.spark.sql.graftshim.Bridge.column(
+      CanonUrl(org.apache.spark.sql.graftshim.Bridge.expression(url)))
+
+  /** The original regex-chain formulation of [[canonicalizeUrl]] — the
+    * semantic reference the spec fuzz-pins the [[UrlScan]] rewrite
+    * against. Not for hot paths: its self-referencing `when` tree is
+    * re-expanded at every downstream reference (see [[UrlScan]]). */
+  private[graft] def canonicalizeUrlRef(url: Column): Column = {
     // strip the fragment FIRST: a '?' inside a fragment must not be
     // mistaken for a query on fragment-only URLs like http://h/p#a?b
     val u = regexp_replace(url, "#.*$", "")
@@ -77,7 +85,13 @@ object UrlOps {
    * [[canonicalizeUrl]] rule). Scheme is dropped entirely (http/https
    * serve the same site). NULL for non-absolute URLs.
    */
-  def surtKey(url: Column): Column = {
+  def surtKey(url: Column): Column =
+    org.apache.spark.sql.graftshim.Bridge.column(
+      SurtKey(org.apache.spark.sql.graftshim.Bridge.expression(url)))
+
+  /** The original regex-chain formulation of [[surtKey]] — the semantic
+    * reference the spec fuzz-pins the [[UrlScan]] rewrite against. */
+  private[graft] def surtKeyRef(url: Column): Column = {
     val u = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(u, schemeRe, 1))
     val rawHost = lower(regexp_extract(u, authorityRe, 1))

@@ -154,4 +154,31 @@ class LinkGraphSpec extends SparkSpec {
     assert(one == many)
     assert(one.nonEmpty && one.map(_._2).sum > 0)
   }
+
+  test("hostOf: builtin rewrite ≡ the 3-regex reference on adversarial urls") {
+    import spark.implicits._
+    val base = Seq(
+      "https://WWW.Example.COM/path", "http://h.example.com:8080/q",
+      "https://user:pw@secret.example.com/x", "not a url", "/relative",
+      "", "http://", "http:///x", "x://host", "1http://x",
+      "http://a://b/c", "http://a@b@c/x", "http://@h/x", "http://@/x",
+      "http://h:/x", "http://h:80:90/p", "http://h:8a0", "http://[::1]:80/",
+      "http://::80", "http://host?q=1#f", "http://host#f?q", "http://host:",
+      "ht+t.p-x://Host.Name:443", "HTTPS://UP@HO:12?x", "http://h#",
+      "scheme://", "a://b?", "http://host:08", "http://h:0",
+      "http://xn--bcher-kva.example:65536/p")
+    // plus a deterministic fuzz sweep over url-ish character soup
+    val rnd = new scala.util.Random(42)
+    val alphabet = "aB:/@?#.019+-%_~ \t\n"
+    val fuzz = (1 to 3000).map { _ =>
+      val n = rnd.nextInt(24)
+      val pre = if (rnd.nextBoolean()) "http://" else ""
+      pre + (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = (base ++ fuzz).toDF("u")
+      .select(col("u"), LinkGraph.hostOf(col("u")).as("got"),
+        LinkGraph.hostOfRef(col("u")).as("want"))
+    val diff = df.where(not(col("got") <=> col("want"))).collect()
+    assert(diff.isEmpty, diff.take(10).mkString("; "))
+  }
 }

@@ -345,4 +345,40 @@ class UrlOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](UrlOps.changeFrequency(
       arrivals.withColumn("__rn", lit(1)), "url", "ts", "fp", "tie"))
   }
+
+  test("UrlScan rewrites ≡ the regex-chain references on adversarial urls") {
+    import spark.implicits._
+    val base = Seq(
+      "http://HOST:80/a?b=2&a=1#x", "https://Host:443/", "http://h:443/x",
+      "https://h:80/x", "HTTP://WWW.Sub.Example.COM:8080/P/q?b=2&a=1&#frag",
+      "not a url", "/relative", "", "http://", "http:///x", "x://host",
+      "1http://x", "http://a://b/c", "http://a@b@c/x", "http://@h/x",
+      "http://h:/x", "http://h:80:90/p", "http://h:8a0", "http://[::1]:80/",
+      "http://::80", "http://host?q=1#f", "http://host#f?q=2&p=1",
+      "http://host:", "ht+t.p-x://Host.Name:443", "HTTPS://UP@HO:12?x",
+      "http://h#", "scheme://", "a://b?", "http://h/p#a?b", "http://h/p?",
+      "http://h/p?&&", "http://h/p?z&y&z", "http://www.h/", "http://www./",
+      "http://WWW.WWW.h/", "http://h.example.com./p", "http://.h/",
+      "http://h/p#f1#f2", "http://h/p\n#f", "http://h/p#f\n", "http://h/p#f\r\n",
+      "http://h/p#a\nb#c", "http://h\u2028#f", "http://h/#f\u2029",
+      "http://h/p?B=1&b=0&%41=2&a=3", "http://\u0130stanbul.example/П",
+      "http://h/p?x=\u00e9&x=e")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "aB:/@?#.019+-%_~&= \t\nwWw\r\u0085\u2028"
+    val fuzz = (1 to 4000).map { _ =>
+      val n = rnd.nextInt(28)
+      val pre = rnd.nextInt(4) match {
+        case 0 => "http://" case 1 => "https://www." case 2 => "HTTP://" case _ => ""
+      }
+      pre + (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = (base ++ fuzz).toDF("u").select(col("u"),
+      UrlOps.canonicalizeUrl(col("u")).as("cg"),
+      UrlOps.canonicalizeUrlRef(col("u")).as("cw"),
+      UrlOps.surtKey(col("u")).as("sg"),
+      UrlOps.surtKeyRef(col("u")).as("sw"))
+    val bad = df.where(not(col("cg") <=> col("cw")) ||
+      not(col("sg") <=> col("sw"))).collect()
+    assert(bad.isEmpty, bad.take(10).mkString("; "))
+  }
 }
