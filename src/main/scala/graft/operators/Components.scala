@@ -92,8 +92,15 @@ object Components {
     // label table moves per round
     val edges = mat(sym.repartition($"src"), checkpointDir, "edges")
     val idType = pairs.schema(idA).dataType
+    // labels-0 already carries ROUND 1: cluster = min(own id, neighbors)
+    // folds into the same exchange that used to build the identity
+    // labeling (the distinct() on src), so the first propagation round
+    // costs nothing extra — one materialized table and one aggregation
+    // replace the old identity-labels + full first loop round
     var pinned = mat(
-      edges.select($"src".as("id")).distinct().select($"id", $"id".as("cluster_id")),
+      edges.groupBy($"src")
+        .agg(least(min($"dst"), min($"src")).as("cluster_id"))
+        .select($"src".as("id"), $"cluster_id"),
       checkpointDir, "labels-0")
     var labels = pinned
     var it = 0

@@ -194,7 +194,14 @@ object Dedup {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }
 
-  /** Word n-gram shingle set, one row per distinct (id, shingle). */
+  /** Word n-gram shingle set, one row per distinct (id, shingle) for
+    * id-unique inputs. Dedup is ROW-LOCAL (`array_distinct` before the
+    * explode — no exchange): every consumer either feeds an id-keyed
+    * table (one row per doc, so per-row distinct IS per-(id, shingle)
+    * distinct) or collapses cross-row duplicates in its own downstream
+    * aggregation ([[splitLeakage]]'s flag-max). The previous global
+    * `.distinct()` bought nothing those aggregations don't already do
+    * map-side, and cost every caller a full exchange. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // build the shingle ARRAY per doc, then explode it: the previous
     // index-explode carried the full token array on every exploded row
@@ -203,10 +210,9 @@ object Dedup {
     // sequence(0, -1) would step backwards — guard short docs to empty
     df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
       .select(col(idCol), explode(when(size($"toks") >= n,
-          transform(sequence(lit(0), size($"toks") - n),
-            i => concat_ws(" ", (0 until n).map(k => element_at($"toks", i + k + 1)): _*)))
+          array_distinct(transform(sequence(lit(0), size($"toks") - n),
+            i => concat_ws(" ", (0 until n).map(k => element_at($"toks", i + k + 1)): _*))))
         .otherwise(array().cast("array<string>"))).as("shingle"))
-      .distinct()
   }
 
   /**
@@ -224,11 +230,16 @@ object Dedup {
    */
   def cappedShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
       maxDf: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-    if (maxDf <= 0) sh
+    if (maxDf <= 0) shingles(df, idCol, textCol, n)
     else {
-      // the hot set is tiny (only shingles with df > cap) — anti-join
-      // against it is a broadcast under AQE
+      // ONE shingle-keyed exchange serves the whole family: the df-count
+      // groupBy, the anti-join, and every downstream shingle-keyed
+      // consumer (the Jaccard self-join, the LSH verification probes)
+      // are all co-partitioned on it — AQE reuses the single shuffle
+      // stage across consumers instead of each planting its own
+      // exchange (guide §2.4). The hot set stays tiny (only shingles
+      // with df > cap), so the anti-join's build side broadcasts.
+      val sh = shingles(df, idCol, textCol, n).repartition($"shingle")
       val hot = sh.groupBy($"shingle").agg(count(lit(1)).as("df_cnt"))
         .where($"df_cnt" > maxDf).select($"shingle")
       sh.join(hot, Seq("shingle"), "left_anti")
