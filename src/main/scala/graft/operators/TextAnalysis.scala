@@ -256,13 +256,22 @@ object TextAnalysis {
    * of a corpus-scale shuffle.
    */
   def topWordCount(words: Column): Column =
-    array_max(transform(array_distinct(words),
-      x => size(filter(words, y => y === x))))
+    Bridge.column(WordRepScan(Bridge.expression(words))).getField("top")
 
   /** Number of word positions whose word occurs more than once (counted
     * with multiplicity) — `dup_word_count/n_words` is the duplicated-word
-    * fraction filter. Same row-local HOF shape as [[topWordCount]]. */
+    * fraction filter. Same codegen'd scan as [[topWordCount]]. */
   def dupWordCount(words: Column): Column =
+    Bridge.column(WordRepScan(Bridge.expression(words))).getField("dup")
+
+  /** The interpreted-HOF O(distinct·n) formulations of
+    * [[topWordCount]]/[[dupWordCount]] — the semantic references the
+    * spec pins the [[WordRepScan]] rewrite against. */
+  private[graft] def topWordCountHof(words: Column): Column =
+    array_max(transform(array_distinct(words),
+      x => size(filter(words, y => y === x))))
+
+  private[graft] def dupWordCountHof(words: Column): Column =
     size(words) - size(filter(array_distinct(words),
       x => size(filter(words, y => y === x)) === 1))
 
@@ -310,7 +319,17 @@ object TextAnalysis {
    * Aggregating over the array itself hands the lambda each element
    * directly and evaluates the sort exactly once.
    */
-  def ngramCoverStats(words: Column, n: Int): Column =
+  def ngramCoverStats(words: Column, n: Int): Column = {
+    require(n >= 2, s"n-grams need n >= 2 (word-level stats cover n=1); got $n")
+    Bridge.column(NgramCoverScan(Bridge.expression(words), n))
+  }
+
+  /** The interpreted-HOF run-scan formulation of [[ngramCoverStats]] —
+    * kept as the semantic bridge the spec pins [[NgramCoverScan]]
+    * against (which in turn is pinned on the O(k²) `*Ref` trees). The
+    * HOF lambda runs interpreted per element; the codegen'd scan is
+    * ~5x cheaper on webtext-sized docs. */
+  private[graft] def ngramCoverStatsHof(words: Column, n: Int): Column =
     aggregate(array_sort(wordNgrams(words, n)),
       struct(lit(null).cast(StringType).as("prev"), lit(0).as("run"),
         lit(0).as("best"), lit(0).as("dup")),
@@ -1146,6 +1165,161 @@ case class HashedTfVec(child: Expression, dim: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): HashedTfVec =
     copy(child = newChild)
+}
+
+/**
+ * `ngram_cover_scan(words, n): struct<top:int, dup:int>` — both Gopher
+ * n-gram repetition numerators in ONE codegen'd row-local pass over the
+ * word array (see [[TextAnalysis.ngramCoverStats]] for the semantics).
+ * Counts equal grams with a binary-equality hash map (UTF8String keys —
+ * the same equality the HOF's `array_sort` adjacency uses), then
+ *   `top` = max over distinct grams of count·charLen,
+ *   `dup` = Σ over grams with count ≥ 2 of count·charLen,
+ * with charLen = numChars(space-joined gram) − (n−1) and Int arithmetic
+ * exactly like the HOF twin ([[TextAnalysis.ngramCoverStatsHof]],
+ * spec-pinned value-identical). Null/short inputs yield (0, 0) — the
+ * HOF's empty-aggregate result — so the expression is non-nullable.
+ */
+case class NgramCoverScan(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, s"n-grams need n >= 2; got $n")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top", IntegerType, nullable = false),
+    StructField("dup", IntegerType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "ngram_cover_scan"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ngram_cover_scan requires array<string>, got $other")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    NgramCoverScan.compute(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(isNull = FalseLiteral, code =
+      code"""
+        |${childGen.code}
+        |InternalRow ${ev.value} = graft.operators.NgramCoverScan.compute(
+        |  ${childGen.isNull} ? null : ${childGen.value}, $n);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramCoverScan =
+    copy(child = newChild)
+}
+
+/**
+ * `word_rep_scan(words): struct<top:int?, dup:int>` — the Gopher
+ * word-repetition numerators in ONE codegen'd pass: `top` = occurrence
+ * count of the most frequent word (NULL for an empty array — the HOF
+ * twin's `array_max(empty)`), `dup` = word positions whose word occurs
+ * more than once, with multiplicity. Mirrors the HOF trees' null
+ * semantics exactly: a NULL array element never equals anything, so it
+ * contributes a 0 candidate to `top` and counts only in `size(words)`.
+ */
+case class WordRepScan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("top", IntegerType, nullable = true),
+    StructField("dup", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_rep_scan"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_rep_scan requires array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WordRepScan.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.WordRepScan.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordRepScan =
+    copy(child = newChild)
+}
+
+object WordRepScan {
+  /** Static so generated code and interpreted eval share one body. */
+  def compute(words: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val k = words.numElements()
+    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+    var hasNull = false
+    var i = 0
+    while (i < k) {
+      val u = words.getUTF8String(i)
+      if (u == null) hasNull = true
+      else {
+        val slot = counts.get(u)
+        if (slot == null) counts.put(u, Array(1)) else slot(0) += 1
+      }
+      i += 1
+    }
+    var top = if (hasNull) 0 else -1 // a null element contributes candidate 0
+    var ones = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > top) top = c
+      if (c == 1) ones += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (top < 0) null else top, k - ones))
+  }
+}
+
+object NgramCoverScan {
+  /** Static so generated code and interpreted eval share one body. */
+  def compute(words: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    var top = 0
+    var dup = 0
+    val k = if (words == null) 0 else words.numElements()
+    if (k >= n) {
+      val elems = new Array[UTF8String](k)
+      var i = 0
+      while (i < k) { elems(i) = words.getUTF8String(i); i += 1 }
+      val sep = UTF8String.fromString(" ")
+      val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+      i = 0
+      val m = k - n + 1
+      while (i < m) {
+        // UTF8String.concatWs skips nulls — array_join's semantics
+        val window = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { window(j) = elems(i + j); j += 1 }
+        val gram = UTF8String.concatWs(sep, window: _*)
+        val slot = counts.get(gram)
+        if (slot == null) counts.put(gram, Array(1)) else slot(0) += 1
+        i += 1
+      }
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val clen = e.getKey.numChars() - (n - 1)
+        val c = e.getValue()(0)
+        val cover = c * clen
+        if (cover > top) top = cover
+        if (c > 1) dup += cover
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](top, dup))
+  }
 }
 
 object HashedTfVec {
