@@ -84,13 +84,18 @@ object Components {
       idB: String = "id_b", checkpointDir: Option[String] = None,
       maxIters: Int = 50): DataFrame = {
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    val sym = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst"))).distinct()
-    // pin the edge list ALREADY HASH-PARTITIONED on src: every round's
-    // equi-join probes edges on src, and localCheckpoint preserves the
-    // physical partitioning (LogicalRDD), so no round re-exchanges the
-    // (potentially corpus-pair-sized) edge side — only the node-sized
-    // label table moves per round
-    val edges = mat(sym.repartition($"src"), checkpointDir, "edges")
+    val sym = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+    // No `.distinct()` before the pin: min-label propagation is
+    // idempotent over duplicate edges (the min over a multiset equals
+    // the min over its support), every pair finder in
+    // [[graft.operators.Dedup]] already emits distinct pairs, and the
+    // dedup exchange would double the build cost for nothing. (No
+    // repartition either: a localCheckpoint scan comes back as an
+    // ExistingRDD with real size stats but NO partitioning, so a
+    // pre-pin exchange buys nothing — measured, and visible in the
+    // plan. The stats are what matter: node-sized label tables
+    // broadcast in the per-round join once AQE sees their true size.)
+    val edges = mat(sym, checkpointDir, "edges")
     val idType = pairs.schema(idA).dataType
     // labels-0 already carries ROUND 1: cluster = min(own id, neighbors)
     // folds into the same exchange that used to build the identity

@@ -202,9 +202,21 @@ object Dedup {
     * aggregation ([[splitLeakage]]'s flag-max). The previous global
     * `.distinct()` bought nothing those aggregations don't already do
     * map-side, and cost every caller a full exchange. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // build the shingle ARRAY per doc, then explode it: the previous
-    // index-explode carried the full token array on every exploded row
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(word_shingles(col(textCol), n)).as("shingle"))
+
+  /** `word_shingles(text, n): array<string>` Column over [[WordShingles]]. */
+  def word_shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.Bridge.column(
+      WordShingles(org.apache.spark.sql.graftshim.Bridge.expression(text), n))
+
+  /** The interpreted-HOF twin of [[shingles]] — the semantic reference
+    * the spec pins [[WordShingles]] against (value-identical; the HOF
+    * lambda runs interpreted per window). */
+  private[graft] def shinglesHof(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    // build the shingle ARRAY per doc, then explode it: an index-explode
+    // would carry the full token array on every exploded row
     // (O(tokens²) bytes moved per doc — measured 40% of q21's wall); the
     // transform runs once per doc over tokens elements (linear), and
     // sequence(0, -1) would step backwards — guard short docs to empty
@@ -537,7 +549,11 @@ object Dedup {
    */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val sp = spanHashRows(df, idCol, textCol, n)
+    // pin ONE span_hash-keyed exchange: the df-count groupBy and both
+    // sides of the flag-back join are co-partitioned on it, so the
+    // corpus is tokenized+hashed once and AQE reuses the single shuffle
+    // stage for both consumers (the cappedShingles pattern)
+    val sp = spanHashRows(df, idCol, textCol, n).repartition($"span_hash")
     val dupDf = sp.groupBy($"span_hash")
       .agg(count(lit(1)).as("n_docs")).where($"n_docs" >= 2)
     sp.join(dupDf, Seq("span_hash"))
@@ -1130,6 +1146,72 @@ case class SpanHashes(child: org.apache.spark.sql.catalyst.expressions.Expressio
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): SpanHashes =
     copy(child = newChild)
+}
+
+/**
+ * `word_shingles(text, n): array<string>` — the distinct word n-grams of
+ * a document as ONE codegen'd row-local pass: tokenize (trim-0x20 +
+ * `\s+` split, Spark `split` semantics — the [[SpanHashes]] tokenizer),
+ * join each n-window with single spaces, dedup in first-occurrence order
+ * (the `array_distinct` key). Value-identical to the HOF chain
+ * `array_distinct(transform(sequence(…), concat_ws(" ", element_at…)))`
+ * (spec-asserted), without the interpreted per-window lambda.
+ */
+case class WordShingles(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  require(n >= 1, "shingle width must be >= 1 token")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.WordShingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val splitter = java.util.regex.Pattern.compile("\\s+")
+
+  /** Static so generated code and interpreted eval share one body. */
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = splitter.split(text.trim().toString, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+      out.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
 }
 
 object SpanHashes {

@@ -168,11 +168,12 @@ object LinkGraph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // pin the edge table FIRST: ew and nodes both derive from it, and
     // without the pin each would re-run the full upstream (corpus scan +
-    // extraction + edge shuffle) once more. Pin it HASH-PARTITIONED on
-    // src (localCheckpoint preserves physical partitioning), so the
-    // per-round rank join never re-exchanges the edge side.
+    // extraction + edge shuffle) once more. The checkpoint also gives
+    // the planner REAL size stats (an ExistingRDD scan), so the
+    // host-sized rank table broadcasts in the per-round join when it
+    // fits instead of planning a sort-merge join from unknown stats.
     val e = edges.select($"src_host".as("src"), $"dst_host".as("dst"),
-      $"n_links".cast(LongType).as("n")).repartition($"src").localCheckpoint()
+      $"n_links".cast(LongType).as("n")).localCheckpoint()
     val deg = e.groupBy($"src").agg(sum($"n").as("d"))
     val ew = e.join(deg, "src").localCheckpoint()
     val nodes = e.select($"src".as("host"))

@@ -127,6 +127,29 @@ class DedupScaleSpec extends SparkSpec {
       s"only-expr=${(expr -- hof).take(3)} only-hof=${(hof -- expr).take(3)}")
   }
 
+  test("codegen'd WordShingles equals the interpreted HOF twin (real + adversarial)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val real = docs.select($"doc_id", $"text")
+    assert(rows(Dedup.shingles(real, "doc_id", "text", 3)) ==
+      rows(Dedup.shinglesHof(real, "doc_id", "text", 3)))
+    val frags = Array("word", "Wort", "été", "中文", "a", "",
+      " ", "\t", "\n", "\r", "", " ", " ", "　",
+      "x́", "end.", "  ", "\t\n", "tok-en", "123", "a a a a a a")
+    val cases = (0 until 300).map { caseI =>
+      val len = ((graft.sources.PageGen.rnd(37L, 0, caseI) >>> 1) % 24).toInt
+      val s = (0 until len).map(i =>
+        frags(((graft.sources.PageGen.rnd(37L, 1, caseI, i) >>> 1) % frags.length).toInt))
+        .mkString("")
+      (caseI.toLong, s)
+    }.toDF("doc_id", "text")
+    val expr = rows(Dedup.shingles(cases, "doc_id", "text", 2))
+    val hof = rows(Dedup.shinglesHof(cases, "doc_id", "text", 2))
+    assert(expr == hof,
+      s"only-expr=${(expr -- hof).take(3)} only-hof=${(hof -- expr).take(3)}")
+  }
+
   test("removeDuplicatedSpans: overlap merge, doc boundaries, identity, full cut") {
     import spark.implicits._
     val corpus = Seq(
