@@ -1141,9 +1141,14 @@ object Queries {
       val media = Multimodal.asMedia(s,
         docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
         "doc_id", "payload", "video")
+      // pinned: the typed decode→sample→extract chain (three opaque
+      // mapPartitions stages, no codegen) feeds the query side, the
+      // corpus side, the seed sample and the cell assignment — unpinned
+      // it would re-run up to four times inside the IVF DAG
       val feats = Multimodal.extractFeatures(
         Multimodal.sampleFrames(media, every = 10), bins = 16)
         .select((col("media_id") * 100 + col("frame_idx")).as("vid"), col("feature"))
+        .localCheckpoint()
       Similarity.ivfTopK(feats.where(col("vid") < 1000), feats.where(col("vid") >= 1000),
         "vid", "vid", "feature", "feature", k = 5, seedMod = 64L, nProbe = 4)
         .select(col("query_id"), col("corpus_id"), col("cos_q"), col("rk"))
@@ -1431,10 +1436,14 @@ object Queries {
     (s, d) => {
       val docs = rd(s, d, "documents")
       val corpus = docs.where(col("doc_id") >= 5)
+      // pinned: bm25TopK, termDf and statsOf each derive from the
+      // postings table — the persisted-index convention made explicit
+      // (unpinned, the corpus tokenize+count would run three times)
       val postings = TextSearch.postingsIncrement(
           corpus.where(col("doc_id") % 2 === 0), "doc_id", "text")
         .unionByName(TextSearch.postingsIncrement(
           corpus.where(col("doc_id") % 2 === 1), "doc_id", "text"))
+        .localCheckpoint()
       val qt = TextSearch.queryTerms(
         docs.where(col("doc_id") < 5), "doc_id", "text", maxTerms = 6)
       TextSearch.bm25TopK(qt, postings,
@@ -2551,9 +2560,14 @@ object Queries {
     (s, d) => {
       val docs = rd(s, d, "documents")
       val train = docs.where(col("doc_id") % 3 === 0)
+      // pin the model table: scoreDocs derives c1 and V from it, so an
+      // unpinned model DAG would re-run the corpus bigram count three
+      // times (the "derived once and cached" serving convention the
+      // LanguageModel scaladoc prescribes)
       val model = LanguageModel.foldCounts(
         LanguageModel.bigramIncrement(train.where(col("doc_id") % 2 === 0), "text"),
         LanguageModel.bigramIncrement(train.where(col("doc_id") % 2 === 1), "text"))
+        .localCheckpoint()
       LanguageModel.tierByCutoffs(
         LanguageModel.scoreDocs(docs.where(col("doc_id") % 3 =!= 0),
           model, "doc_id", "text"),
@@ -2596,8 +2610,11 @@ object Queries {
   private val q85 = QueryDef("q85_lm_gate_probe",
     (s, d) => {
       val docs = rd(s, d, "documents")
+      // pinned: enrichModel/c1Of/vocabPlusOne each re-derive from the
+      // model table (vocabPlusOne is an eager count), so the unpinned
+      // DAG would re-run the bigram build four times
       val model = LanguageModel.bigramIncrement(
-        docs.where(col("doc_id") % 3 === 0), "text")
+        docs.where(col("doc_id") % 3 === 0), "text").localCheckpoint()
       RequestResponse.lmScoreProbe(
         docs.where(col("doc_id") < 30),
         LanguageModel.enrichModel(model), LanguageModel.c1Of(model),
@@ -2726,10 +2743,11 @@ object Queries {
   private val q88 = QueryDef("q88_dsir_weights",
     (s, d) => {
       val docs = rd(s, d, "documents")
+      // pinned: importanceWeights derives three artifacts per model
       val target = LanguageModel.bigramIncrement(
-        docs.where(col("doc_id") % 5 === 0), "text")
+        docs.where(col("doc_id") % 5 === 0), "text").localCheckpoint()
       val raw = LanguageModel.bigramIncrement(
-        docs.where(col("doc_id") % 5 === 1), "text")
+        docs.where(col("doc_id") % 5 === 1), "text").localCheckpoint()
       LanguageModel.importanceWeights(docs.where(col("doc_id") % 5 >= 2),
         target, raw, "doc_id", "text")
     },
@@ -2816,10 +2834,12 @@ object Queries {
   private val q90 = QueryDef("q90_dsir_probe",
     (s, d) => {
       val docs = rd(s, d, "documents")
+      // pinned: four artifact derivations + an eager vocab count PER
+      // MODEL would otherwise re-run each bigram build
       val target = LanguageModel.bigramIncrement(
-        docs.where(col("doc_id") % 5 === 0), "text")
+        docs.where(col("doc_id") % 5 === 0), "text").localCheckpoint()
       val raw = LanguageModel.bigramIncrement(
-        docs.where(col("doc_id") % 5 === 1), "text")
+        docs.where(col("doc_id") % 5 === 1), "text").localCheckpoint()
       RequestResponse.dsirProbe(docs.where(col("doc_id") < 30),
         LanguageModel.enrichModel(target), LanguageModel.c1Of(target),
         LanguageModel.vocabPlusOne(target),
