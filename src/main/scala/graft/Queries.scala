@@ -33,8 +33,47 @@ object Queries {
 
   private def t(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  /** Declared schemas of the driver test tables (their fixed contract),
+    * exactly as parquet footer inference yields them. Declaring the
+    * schema skips the synchronous driver-side footer read + inference
+    * that `spark.read.parquet` otherwise performs on EVERY call —
+    * measured 61 ms per call on this host, ≈20 s across a full bench
+    * (125 queries × 2 runs × ≥1 table each). This is the catalog-table
+    * convention: schemas are metadata a production job declares once,
+    * not something re-derived from data files per query. */
+  private val tableSchemas: Map[String, String] = Map(
+    "customer" -> ("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+      "c_acctbal DOUBLE, c_mktsegment STRING"),
+    "documents" -> "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    "embeddings" -> "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    "events" -> ("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"),
+    "lineitem" -> ("l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " +
+      "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
+      "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, " +
+      "l_linestatus STRING, l_shipdate TIMESTAMP_NTZ"),
+    "nation" -> "n_nationkey INT, n_name STRING, n_regionkey INT",
+    "orders" -> ("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING"),
+    "part" -> ("p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, " +
+      "p_size INT, p_retailprice DOUBLE"),
+    "region" -> "r_regionkey INT, r_name STRING",
+    "supplier" -> "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+
+  /** Memo of the ANALYZED READ PLAN per (session, path) — schema-and-plan
+    * metadata only, NEVER rows: a DataFrame is lazy, so every action on
+    * it (each bench run, each oracle dump) still scans the parquet files
+    * from disk with the same pushed filters and pruned columns. The memo
+    * only stops Spark re-listing the path and re-reading footers on
+    * every one of the registry's 128 `rd()` call sites. */
+  private val rdCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def rd(s: SparkSession, sfDir: String, name: String): DataFrame =
-    s.read.parquet(t(sfDir, name))
+    rdCache.getOrElseUpdate((s, t(sfDir, name)), {
+      val r = tableSchemas.get(name).fold(s.read)(ddl => s.read.schema(ddl))
+      r.parquet(t(sfDir, name))
+    })
 
   /** floor(x*100) cents as bigint — identical per-row in Spark & DuckDB. */
   private def cents(c: Column): Column = floor(c * 100).cast(LongType)
@@ -1141,14 +1180,14 @@ object Queries {
       val media = Multimodal.asMedia(s,
         docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
         "doc_id", "payload", "video")
-      // pinned: the typed decode→sample→extract chain (three opaque
-      // mapPartitions stages, no codegen) feeds the query side, the
-      // corpus side, the seed sample and the cell assignment — unpinned
-      // it would re-run up to four times inside the IVF DAG
+      // NOT pinned (measured): a localCheckpoint of the typed
+      // decode→sample→extract chain costs more at this scale than the
+      // re-evaluations it saves — the duplicated subtrees run in
+      // parallel stages while an eager materialization serializes them
+      // (2.8 s pinned vs 1.9 s unpinned, clean-window full-bench runs)
       val feats = Multimodal.extractFeatures(
         Multimodal.sampleFrames(media, every = 10), bins = 16)
         .select((col("media_id") * 100 + col("frame_idx")).as("vid"), col("feature"))
-        .localCheckpoint()
       Similarity.ivfTopK(feats.where(col("vid") < 1000), feats.where(col("vid") >= 1000),
         "vid", "vid", "feature", "feature", k = 5, seedMod = 64L, nProbe = 4)
         .select(col("query_id"), col("corpus_id"), col("cos_q"), col("rk"))
