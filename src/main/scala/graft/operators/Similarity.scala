@@ -149,14 +149,18 @@ object Similarity {
    */
   def ivfSearchIndex(q: DataFrame, assigned: DataFrame, seeds: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    // probe selection: top-nProbe cells per query (score DESC, seed ASC)
-    val probes = TopK.perKey(
-      q.crossJoin(broadcast(seeds))
-        .select($"query_id", $"seed_id",
-          cosQ(VectorOps.dot_q($"qv", $"sv"), $"qn", $"sn").as("sc")),
-      "query_id", "seed_id", "sc", nProbe, "seed_id", "sc")
-      .join(q, Seq("query_id")) // recover qv/qn; the query set is small
-      .select($"query_id", $"qv", $"qn", $"seed_id".as("centroid"))
+    // probe selection: top-nProbe cells per query (score DESC, seed ASC).
+    // qv/qn ride the GROUP KEY (they are functionally determined by
+    // query_id, so the group is unchanged) instead of a join-back
+    // against q — one join and one re-evaluation of the query subtree
+    // less, same partial-aggregated top-k shape.
+    val probes = q.crossJoin(broadcast(seeds))
+      .select($"query_id", $"qv", $"qn", $"seed_id",
+        cosQ(VectorOps.dot_q($"qv", $"sv"), $"qn", $"sn").as("sc"))
+      .groupBy($"query_id", $"qv", $"qn")
+      .agg(TopK.topKUdaf(nProbe)($"seed_id", $"sc").as("_top"))
+      .select($"query_id", $"qv", $"qn", explode($"_top").as("__p"))
+      .select($"query_id", $"qv", $"qn", $"__p.id".as("centroid"))
 
     val scored = assigned.join(broadcast(probes), Seq("centroid"))
       .select($"query_id", $"corpus_id",
