@@ -309,13 +309,27 @@ object Dedup {
       n: Int = 3, bands: Int = 8): DataFrame =
     minhashBandsFromShingles(shingles(df, idCol, textCol, n), idCol, bands)
 
-  /** [[minhashBands]] over an existing (id, shingle) set. */
+  /** [[minhashBands]] over an existing (id, shingle) set.
+    *
+    * The `bands` signatures are aggregated as `bands` parallel `min`
+    * columns of ONE groupBy(id) — not an explode×bands before the agg:
+    * min over hex strings plans as SortAggregate (string agg buffers
+    * are not hash-aggregable), so the explode form sorted `bands`× the
+    * rows for the same result. The md5 inputs are byte-identical
+    * (`shingle || "|" || band` with the band a compile-time literal)
+    * and the post-agg posexplode recovers the same (id, band, sig)
+    * rows — band = position 0..bands-1, exactly the old
+    * `sequence(0, bands-1)` values. */
   def minhashBandsFromShingles(sh: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val bandCols = explode(sequence(lit(0), lit(bands - 1))).as("band")
-    sh.select(col(idCol), $"shingle", bandCols)
-      .groupBy(col(idCol), $"band")
-      .agg(min(md5(concat($"shingle", lit("|"), $"band".cast(StringType))
-        .cast(BinaryType))).as("sig"))
+    val sigCols = (0 until bands).map(b =>
+      md5(concat($"shingle", lit("|" + b)).cast(BinaryType)).as(s"__s$b"))
+    val minCols = (0 until bands).map(b => min(col(s"__s$b")).as(s"__m$b"))
+    sh.select(col(idCol) +: sigCols: _*)
+      .groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        posexplode(array((0 until bands).map(b => col(s"__m$b")): _*)))
+      .select(col(idCol), $"pos".cast("int").as("band"), $"col".as("sig"))
   }
 
   // NOTE (measured, sf0.1): formulating shingles/min-hashes as per-row
